@@ -1,0 +1,287 @@
+"""Vectorized analyzers (tokenizers) over Arrow string columns.
+
+Functional rebuild of the reference analyzer family
+(``core/analysis/*_token_stream.*``). Each analyzer turns a batch of
+texts (a ``pyarrow`` string array) into an *exploded token table*:
+
+    (doc_idx: int64, term: pa.StringArray, pos: int64)
+
+where ``pos`` is the 0-based token position within the doc (the
+``increment``-accumulated position attribute of the reference token
+streams). All hot paths are ``pyarrow.compute`` / numpy — no per-row
+Python in the default ``segmentation`` analyzer.
+
+Registry semantics mirror ``REGISTER_ANALYZER_JSON``
+(``core/analysis/analyzers.cpp``): ``get_analyzer(name, options_dict)``.
+
+Defaults of ``segmentation`` follow the reference
+(``core/analysis/segmentation_token_stream.hpp:51-52``):
+``case=lower``, ``break=alpha`` (only tokens containing
+letters/digits are emitted).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# token-boundary pattern for break=alpha: a token is a maximal run of
+# unicode letters/digits (approximation of UAX#29 word break with the
+# ALPHA filter used by the reference benchmark default).
+_ALPHA_SPLIT = r"[^\pL\pN]+"
+_GRAPHIC_SPLIT = r"\s+"
+
+# reference rejects over-long terms (core/index/field_data.cpp:1054-1061)
+MAX_TERM_BYTES = 8191
+
+# small default English stopword list for the `text` analyzer; the
+# reference ships per-locale snowball stopword files — we keep the
+# mechanism (set filter) with a minimal builtin list.
+DEFAULT_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def _flatten_tokens(
+    lists: pa.ListArray, n_docs: int
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Explode a list<string> token array into (doc_idx, term, pos).
+
+    Empty-string tokens (artifacts of regex splitting at boundaries) are
+    dropped and positions are re-counted over the kept tokens, matching
+    token-stream increment semantics.
+    """
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)  # null text -> 0 tokens
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
+        zero_copy_only=False
+    )
+    if not keep.all():
+        keep_idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(keep_idx))
+        doc_idx = doc_idx[keep_idx]
+    # positions: occurrence index within each doc (doc_idx is nondecreasing)
+    n = doc_idx.size
+    if n == 0:
+        return doc_idx, flat, np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+    run_lens = np.diff(np.append(starts, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run_lens)
+    return doc_idx, flat, pos
+
+
+@dataclass
+class Analyzer:
+    """Base analyzer: subclasses implement ``tokenize``.
+
+    ``tokenize(texts)`` -> (doc_idx, terms, pos) exploded token table.
+    ``tokenize_query(text)`` -> list[str] terms for a single query string.
+    """
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        raise NotImplementedError
+
+    def tokenize_query(self, text: str) -> list[str]:
+        _, terms, _ = self.tokenize(pa.array([text], type=pa.string()))
+        return terms.to_pylist()
+
+
+@dataclass
+class SegmentationAnalyzer(Analyzer):
+    """UAX#29-ish word segmentation: the reference benchmark default.
+
+    Reference: ``core/analysis/segmentation_token_stream.cpp`` with
+    defaults ``{case: lower, break: alpha}``
+    (``utils/index-put.cpp:86-87`` uses ``segmentation {}``).
+    """
+
+    case: str = "lower"  # lower | none | upper
+    word_break: str = "alpha"  # alpha | graphic | all
+
+    def _pattern(self) -> str:
+        return _ALPHA_SPLIT if self.word_break == "alpha" else _GRAPHIC_SPLIT
+
+    def _case(self, arr: pa.Array) -> pa.Array:
+        if self.case == "lower":
+            return pc.utf8_lower(arr)
+        if self.case == "upper":
+            return pc.utf8_upper(arr)
+        return arr
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        cased = self._case(texts)
+        lists = pc.split_pattern_regex(cased, self._pattern())
+        return _flatten_tokens(lists, n)
+
+
+@dataclass
+class TextAnalyzer(SegmentationAnalyzer):
+    """`text` analyzer: segmentation + stopword filter (+ edge n-grams).
+
+    Reference: ``core/analysis/text_token_stream.cpp:356-414`` (ICU
+    break -> case -> stopwords -> snowball stem -> edge n-grams). The
+    snowball stemmer is not available in this environment; an optional
+    light English suffix stripper stands in when ``stemming=True``
+    (documented divergence — disabled by default).
+    """
+
+    stopwords: frozenset = field(default_factory=lambda: DEFAULT_STOPWORDS)
+    stemming: bool = False
+    min_gram: int = 0  # edge n-grams disabled when 0
+    max_gram: int = 0
+    preserve_original: bool = True
+
+    _SUFFIXES = ("ational", "iveness", "fulness", "ization", "ations", "ingly",
+                 "ness", "ment", "ions", "ing", "ed", "es", "s")
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        doc_idx, terms, pos = super().tokenize(texts)
+        if self.stopwords:
+            keep = ~np.isin(
+                terms.to_numpy(zero_copy_only=False), list(self.stopwords)
+            )
+            # positions are NOT re-counted after stopword removal: the
+            # reference emits increment>1 over removed tokens, i.e. the
+            # surviving tokens keep their original positions.
+            idx = np.flatnonzero(keep)
+            doc_idx, terms, pos = doc_idx[idx], terms.take(pa.array(idx)), pos[idx]
+        if self.stemming:
+            py = terms.to_pylist()
+            stemmed = []
+            for t in py:
+                for suf in self._SUFFIXES:
+                    if len(t) > len(suf) + 2 and t.endswith(suf):
+                        t = t[: -len(suf)]
+                        break
+                stemmed.append(t)
+            terms = pa.array(stemmed, type=pa.string())
+        if self.min_gram > 0:
+            doc_idx, terms, pos = self._edge_ngrams(doc_idx, terms, pos)
+        return doc_idx, terms, pos
+
+    def _edge_ngrams(self, doc_idx, terms, pos):
+        out_doc, out_term, out_pos = [], [], []
+        for d, t, p in zip(doc_idx, terms.to_pylist(), pos):
+            lo, hi = self.min_gram, self.max_gram or len(t)
+            emitted = False
+            for g in range(lo, min(hi, len(t)) + 1):
+                out_doc.append(d); out_term.append(t[:g]); out_pos.append(p)
+                emitted = t[:g] == t or emitted
+            if self.preserve_original and not emitted:
+                out_doc.append(d); out_term.append(t); out_pos.append(p)
+        return (
+            np.asarray(out_doc, dtype=np.int64),
+            pa.array(out_term, type=pa.string()),
+            np.asarray(out_pos, dtype=np.int64),
+        )
+
+
+@dataclass
+class DelimiterAnalyzer(Analyzer):
+    """Split on delimiter(s); reference ``delimited_token_stream`` /
+    ``multi_delimited_token_stream``."""
+
+    delimiters: tuple = (",",)
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        pat = "[" + re.escape("".join(self.delimiters)) + "]"
+        lists = pc.split_pattern_regex(texts, pat)
+        return _flatten_tokens(lists, len(texts))
+
+
+@dataclass
+class KeywordAnalyzer(Analyzer):
+    """Whole input as a single exact term (reference ``string_token_stream``,
+    ``core/analysis/token_streams.hpp:47``)."""
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(valid)
+        return (
+            idx.astype(np.int64),
+            texts.take(pa.array(idx)),
+            np.zeros(idx.size, dtype=np.int64),
+        )
+
+
+@dataclass
+class NgramAnalyzer(Analyzer):
+    """Character n-grams [min_gram, max_gram]; reference
+    ``ngram_token_stream`` (``core/analysis/ngram_token_stream.hpp:40-64``).
+
+    Vectorized per gram-size via ``pc.utf8_slice_codepoints`` shifted by
+    start offset — loop runs over (max doc length x gram sizes), fine
+    for short fields; long-text n-gramming should go through the
+    tokenizing analyzers first.
+    """
+
+    min_gram: int = 2
+    max_gram: int = 3
+    preserve_original: bool = False
+    lowercase: bool = True
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        src = pc.utf8_lower(texts) if self.lowercase else texts
+        py = src.to_pylist()
+        out_doc, out_term, out_pos = [], [], []
+        for d, t in enumerate(py):
+            if t is None:
+                continue
+            k = 0
+            for i in range(len(t)):
+                for g in range(self.min_gram, self.max_gram + 1):
+                    if i + g <= len(t):
+                        out_doc.append(d); out_term.append(t[i : i + g]); out_pos.append(i)
+                        k += 1
+            if self.preserve_original and (len(t) < self.min_gram or len(t) > self.max_gram):
+                out_doc.append(d); out_term.append(t); out_pos.append(0)
+        return (
+            np.asarray(out_doc, dtype=np.int64),
+            pa.array(out_term, type=pa.string()),
+            np.asarray(out_pos, dtype=np.int64),
+        )
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_analyzer(name: str, cls: type) -> None:
+    """Python analogue of ``REGISTER_ANALYZER_JSON``."""
+    _REGISTRY[name] = cls
+
+
+def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
+    opts = dict(options or {})
+    if name in ("segmentation", "text"):
+        # JSON option names follow the reference ("case", "break")
+        if "case" in opts:
+            opts["case"] = opts.pop("case")
+        if "break" in opts:
+            opts["word_break"] = opts.pop("break")
+    cls = _REGISTRY[name]
+    return cls(**opts)
+
+
+register_analyzer("segmentation", SegmentationAnalyzer)
+register_analyzer("text", TextAnalyzer)
+register_analyzer("delimiter", DelimiterAnalyzer)
+register_analyzer("keyword", KeywordAnalyzer)
+register_analyzer("ngram", NgramAnalyzer)

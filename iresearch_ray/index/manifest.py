@@ -1,0 +1,93 @@
+"""Index manifest: MVCC commit point over a set of segments.
+
+The analogue of the reference's ``segments_N`` generation file
+(``core/index/index_meta.hpp``, ``core/index/file_names.cpp:33-44``):
+commits never mutate existing segments — a commit writes a new
+``manifest-N.json`` listing live segments and atomically swaps a
+``manifest.json`` pointer (temp file + rename). Readers open the latest
+generation; stale segments are garbage-collected by
+``Manifest.cleanup()`` (the ``directory_cleaner`` analogue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+class Manifest:
+    def __init__(self, index_dir: str, data: dict):
+        self.index_dir = index_dir
+        self.data = data
+
+    # -- read -------------------------------------------------------------
+    @classmethod
+    def load(cls, index_dir: str) -> "Manifest":
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return cls(index_dir, json.load(f))
+
+    @classmethod
+    def exists(cls, index_dir: str) -> bool:
+        return os.path.exists(os.path.join(index_dir, "manifest.json"))
+
+    @property
+    def generation(self) -> int:
+        return self.data["generation"]
+
+    @property
+    def segments(self) -> list[dict]:
+        """Segment metas ordered by first sort key; each carries
+        ``doc_base`` (global docid = doc_base + local docid)."""
+        return self.data["segments"]
+
+    @property
+    def total_docs(self) -> int:
+        return sum(s["docs_count"] for s in self.segments)
+
+    def segment_dir(self, seg: dict) -> str:
+        return os.path.join(self.index_dir, seg["name"])
+
+    # -- write ------------------------------------------------------------
+    @classmethod
+    def commit(cls, index_dir: str, segment_metas: list[dict],
+               extra: dict | None = None) -> "Manifest":
+        """Two-phase commit: segment files are already durable (each has
+        its ``_SUCCESS``); this is the single atomic publish step
+        (``IndexWriter::Commit``, ``core/index/index_writer.cpp:2356-2413``).
+        """
+        # order segments by their first (conv_id, turn_idx) key so that
+        # global doc ids follow the stable global turn ordering
+        metas = sorted(segment_metas, key=lambda m: tuple(m["first_key"]))
+        base = 0
+        for m in metas:
+            m["doc_base"] = base
+            base += m["docs_count"]
+        gen = 1
+        if cls.exists(index_dir):
+            gen = cls.load(index_dir).generation + 1
+        data = {
+            "generation": gen,
+            "segments": metas,
+            "total_docs": base,
+            **(extra or {}),
+        }
+        path = os.path.join(index_dir, f"manifest-{gen}.json")
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+        tmp = os.path.join(index_dir, f"manifest.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+        return cls(index_dir, data)
+
+    def cleanup(self) -> list[str]:
+        """Remove segment dirs not referenced by the current generation."""
+        live = {s["name"] for s in self.segments}
+        removed = []
+        for entry in os.listdir(self.index_dir):
+            p = os.path.join(self.index_dir, entry)
+            if os.path.isdir(p) and entry.startswith("seg-") and entry not in live:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(entry)
+        return removed

@@ -1,0 +1,533 @@
+"""Segment encode/decode: postings inversion + compressed posting lists.
+
+A *segment* is the self-contained immutable sub-index of the reference
+(``README.md:54-70``): here it is one directory of Parquet files
+
+    terms.parquet   term dict + compressed postings + skip/block-max meta
+                    (rows byte-sorted by term — replaces the burst-trie/FST
+                    term dictionary, ``core/formats/formats_burst_trie.cpp``)
+    norms.parquet   per-doc token count (Norm2 doc length,
+                    ``core/index/norm.hpp:128-167``)
+    docmap.parquet  stored columns (columnstore analogue), row i = doc i+1
+    meta.json       segment meta + lineage/throughput metrics
+
+Doc ids are segment-local, 1-based, assigned in ``(conv_id, turn_idx)``
+order within the partition (``core/index/segment_writer.hpp:159-162``).
+
+Inversion (``field_data::invert``, ``core/index/field_data.cpp:985-1080``)
+is done columnar: explode -> dictionary-encode -> lexsort -> run-length,
+with ONE flat vectorized varint pass for every term with df < 128 and
+bitpacked 128-doc blocks (+ varint tail) for larger terms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from iresearch_ray.analysis.analyzers import Analyzer
+from iresearch_ray.index.codec import (
+    BLOCK_SIZE,
+    bitpack_block,
+    bitunpack_block,
+    delta_encode_lists,
+    encode_lists_varint,
+    varint_decode,
+    varint_encode,
+)
+
+FORMAT_VERSION = 1
+SUCCESS_MARKER = "_SUCCESS"
+
+
+# ---------------------------------------------------------------------------
+# inversion
+# ---------------------------------------------------------------------------
+
+
+def invert_batch(
+    texts: pa.Array, analyzer: Analyzer
+) -> dict:
+    """Invert one batch of texts into grouped postings arrays.
+
+    Returns a dict with (all numpy unless noted):
+      vocab         pa.StringArray, byte-sorted unique terms
+      term_starts   index into runs of each term's first run (len=V)
+      run_doc       0-based doc ordinal per (term, doc) run
+      run_tf        term frequency per run
+      pos_sorted    flat positions, grouped by (term, doc), ascending
+      run_starts    index into pos_sorted of each run's first position
+      doc_len       tokens per doc (len = n_docs)
+    """
+    n_docs = len(texts)
+    doc_idx, terms, pos = analyzer.tokenize(texts)
+    doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    if doc_idx.size == 0:
+        return {
+            "vocab": pa.array([], type=pa.string()),
+            "term_starts": np.empty(0, np.int64),
+            "run_doc": np.empty(0, np.int64),
+            "run_tf": np.empty(0, np.int64),
+            "pos_sorted": np.empty(0, np.int64),
+            "run_starts": np.empty(0, np.int64),
+            "doc_len": doc_len,
+        }
+    dict_arr = pc.dictionary_encode(terms)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dict_arr.dictionary
+    # byte-sorted term order (reference flushes terms in byte order:
+    # core/index/field_data.cpp get_sorted_postings)
+    sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(vocab), dtype=np.int64)
+    codes = rank[codes]
+    vocab_sorted = vocab.take(pa.array(sort_idx))
+    order = np.lexsort((pos, doc_idx, codes))
+    c, d, p = codes[order], doc_idx[order], pos[order]
+    new_run = np.empty(c.size, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_tf = np.diff(np.append(run_starts, c.size))
+    run_code = c[run_starts]
+    run_doc = d[run_starts]
+    term_change = np.empty(run_code.size, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = run_code[1:] != run_code[:-1]
+    term_starts = np.flatnonzero(term_change)
+    return {
+        "vocab": vocab_sorted,
+        "term_starts": term_starts,
+        "run_doc": run_doc,
+        "run_tf": run_tf,
+        "pos_sorted": p,
+        "run_starts": run_starts,
+        "doc_len": doc_len,
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_postings_table(inv: dict) -> pa.Table:
+    """Encode inverted runs into the terms.parquet table.
+
+    Per-term layout (mirrors the .doc/.pos file split of the reference,
+    ``core/formats/formats_10.cpp:326-333``):
+      doc_blob   full 128-blocks of bitpacked doc-deltas, then varint tail
+      freq_blob  same block structure over raw tf values
+      pos_blob   varint position-deltas, contiguous per (doc) run
+      block_*    per-block skip + WAND metadata (last doc id, byte
+                 offsets, max tf, min doc length)
+    """
+    vocab = inv["vocab"]
+    term_starts = inv["term_starts"]
+    run_doc = inv["run_doc"]
+    run_tf = inv["run_tf"]
+    doc_len = inv["doc_len"]
+    n_terms = len(vocab)
+    n_runs = run_doc.size
+    df = np.diff(np.append(term_starts, n_runs)) if n_terms else np.empty(0, np.int64)
+
+    # --- positions: ONE flat varint pass over all runs' position deltas
+    pos_deltas = delta_encode_lists(inv["pos_sorted"], inv["run_starts"])
+    pos_blob_all, pos_byte_starts = encode_lists_varint(
+        pos_deltas, inv["run_starts"], run_tf
+    )
+    pos_blob_all = np.frombuffer(pos_blob_all, dtype=np.uint8)
+    pos_total = pos_blob_all.size
+    run_pos_end = np.append(pos_byte_starts[1:], pos_total)
+
+    # --- doc deltas: flat pass (used directly for small terms)
+    local_doc = run_doc + 1  # 1-based local doc ids
+    doc_deltas = delta_encode_lists(local_doc, term_starts)
+    doc_blob_all, doc_byte_starts = encode_lists_varint(doc_deltas, term_starts, df)
+    doc_blob_all = np.frombuffer(doc_blob_all, dtype=np.uint8)
+    doc_end = np.append(doc_byte_starts[1:], doc_blob_all.size)
+    freq_blob_all, freq_byte_starts = encode_lists_varint(run_tf, term_starts, df)
+    freq_blob_all = np.frombuffer(freq_blob_all, dtype=np.uint8)
+    freq_end = np.append(freq_byte_starts[1:], freq_blob_all.size)
+
+    run_dl = doc_len[run_doc]  # doc length per run (for block min-dl)
+
+    doc_blobs: list[bytes] = []
+    freq_blobs: list[bytes] = []
+    pos_blobs: list[bytes] = []
+    blk_last: list[list[int]] = []
+    blk_doc_off: list[list[int]] = []
+    blk_freq_off: list[list[int]] = []
+    blk_pos_off: list[list[int]] = []
+    blk_max_tf: list[list[int]] = []
+    blk_min_dl: list[list[int]] = []
+    total_tf = np.zeros(n_terms, dtype=np.int64)
+
+    for i in range(n_terms):
+        s = term_starts[i]
+        e = s + df[i]
+        tfs = run_tf[s:e]
+        total_tf[i] = int(tfs.sum())
+        t_pos_start = pos_byte_starts[s]
+        pos_blobs.append(pos_blob_all[t_pos_start : run_pos_end[e - 1]].tobytes())
+        if df[i] < BLOCK_SIZE:
+            doc_blobs.append(doc_blob_all[doc_byte_starts[i] : doc_end[i]].tobytes())
+            freq_blobs.append(freq_blob_all[freq_byte_starts[i] : freq_end[i]].tobytes())
+            blk_last.append([int(local_doc[e - 1])])
+            blk_doc_off.append([0])
+            blk_freq_off.append([0])
+            blk_pos_off.append([0])
+            blk_max_tf.append([int(tfs.max())])
+            blk_min_dl.append([int(run_dl[s:e].min())])
+        else:
+            deltas = doc_deltas[s:e]
+            docs = local_doc[s:e]
+            dls = run_dl[s:e]
+            n = int(df[i])
+            full = n // BLOCK_SIZE
+            has_tail = (n % BLOCK_SIZE) != 0
+            d_parts, f_parts = [], []
+            d_off, f_off, p_off = [], [], []
+            last, mtf, mdl = [], [], []
+            dpos = fpos = 0
+            for j in range(full):
+                lo, hi = j * BLOCK_SIZE, (j + 1) * BLOCK_SIZE
+                db = bitpack_block(deltas[lo:hi])
+                fb = bitpack_block(tfs[lo:hi])
+                d_off.append(dpos); f_off.append(fpos)
+                p_off.append(int(pos_byte_starts[s + lo] - t_pos_start))
+                d_parts.append(db); f_parts.append(fb)
+                dpos += len(db); fpos += len(fb)
+                last.append(int(docs[hi - 1]))
+                mtf.append(int(tfs[lo:hi].max()))
+                mdl.append(int(dls[lo:hi].min()))
+            if has_tail:
+                lo = full * BLOCK_SIZE
+                d_off.append(dpos); f_off.append(fpos)
+                p_off.append(int(pos_byte_starts[s + lo] - t_pos_start))
+                db = varint_encode(deltas[lo:])
+                fb = varint_encode(tfs[lo:])
+                d_parts.append(db); f_parts.append(fb)
+                last.append(int(docs[-1]))
+                mtf.append(int(tfs[lo:].max()))
+                mdl.append(int(dls[lo:].min()))
+            doc_blobs.append(b"".join(d_parts))
+            freq_blobs.append(b"".join(f_parts))
+            blk_last.append(last)
+            blk_doc_off.append(d_off)
+            blk_freq_off.append(f_off)
+            blk_pos_off.append(p_off)
+            blk_max_tf.append(mtf)
+            blk_min_dl.append(mdl)
+
+    return pa.table(
+        {
+            "term": vocab,
+            "doc_freq": pa.array(df, type=pa.int64()),
+            "total_tf": pa.array(total_tf, type=pa.int64()),
+            "doc_blob": pa.array(doc_blobs, type=pa.binary()),
+            "freq_blob": pa.array(freq_blobs, type=pa.binary()),
+            "pos_blob": pa.array(pos_blobs, type=pa.binary()),
+            "block_last_doc": pa.array(blk_last, type=pa.list_(pa.int64())),
+            "block_doc_off": pa.array(blk_doc_off, type=pa.list_(pa.int64())),
+            "block_freq_off": pa.array(blk_freq_off, type=pa.list_(pa.int64())),
+            "block_pos_off": pa.array(blk_pos_off, type=pa.list_(pa.int64())),
+            "block_max_tf": pa.array(blk_max_tf, type=pa.list_(pa.int64())),
+            "block_min_dl": pa.array(blk_min_dl, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def segment_name(first_key: tuple, docs_count: int) -> str:
+    h = hashlib.sha1(repr(first_key).encode()).hexdigest()[:12]
+    return f"seg-{h}-{docs_count}"
+
+
+def write_segment(
+    index_dir: str,
+    batch: pa.Table,
+    analyzer: Analyzer,
+    *,
+    text_col: str = "text",
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    stored_cols: tuple | None = None,
+    analyzer_spec: dict | None = None,
+) -> dict:
+    """Encode one input partition into a committed segment directory.
+
+    The write is atomic (temp dir + rename) and idempotent: if a segment
+    with the same name (derived from the partition's first sort key and
+    row count) already has a ``_SUCCESS`` marker, the encode is skipped
+    and the existing meta returned — this is the per-partition
+    checkpoint that makes index builds resumable.
+    """
+    t0 = time.time()
+    # stable in-partition doc order (primary sort, reference
+    # core/index/segment_writer.cpp:241-256)
+    sort_keys = [(k, "ascending") for k in key_cols if k in batch.column_names]
+    if sort_keys:
+        batch = batch.sort_by(sort_keys)
+    n = batch.num_rows
+    first_key = tuple(batch.column(k)[0].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
+    last_key = tuple(batch.column(k)[n - 1].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
+    name = segment_name(first_key, n)
+    seg_dir = os.path.join(index_dir, name)
+    meta_path = os.path.join(seg_dir, "meta.json")
+    if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
+        with open(meta_path) as f:
+            return json.load(f)
+
+    inv = invert_batch(batch.column(text_col), analyzer)
+    terms_table = encode_postings_table(inv)
+    doc_len = inv["doc_len"]
+
+    tmp_dir = seg_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+    pq.write_table(
+        pa.table({"doc_len": pa.array(doc_len, type=pa.int32())}),
+        os.path.join(tmp_dir, "norms.parquet"),
+    )
+    stored = list(stored_cols) if stored_cols is not None else batch.column_names
+    pq.write_table(batch.select(stored), os.path.join(tmp_dir, "docmap.parquet"))
+    elapsed = time.time() - t0
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "name": name,
+        "docs_count": int(n),
+        "docs_with_field": int((doc_len > 0).sum()),
+        "sum_doc_len": int(doc_len.sum()),
+        "n_terms": terms_table.num_rows,
+        "first_key": list(first_key),
+        "last_key": list(last_key),
+        "text_col": text_col,
+        "key_cols": list(key_cols),
+        "analyzer": analyzer_spec or {"name": "segmentation", "options": {}},
+        "lineage": {
+            "encode_sec": round(elapsed, 4),
+            "docs_per_sec": round(n / elapsed, 1) if elapsed > 0 else None,
+        },
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(tmp_dir, SUCCESS_MARKER), "w") as f:
+        f.write("")
+    # atomic publish; a concurrent retry that won the race is equivalent
+    # (deterministic encode), so losing the rename is fine.
+    try:
+        os.rename(tmp_dir, seg_dir)
+    except OSError:
+        import shutil
+
+        if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            raise
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# reading / decoding
+# ---------------------------------------------------------------------------
+
+
+class SegmentReader:
+    """Read-side view of one segment (``SegmentReader`` analogue).
+
+    Term dictionary columns (term, doc_freq, total_tf) are loaded
+    eagerly (small); posting blobs are column-loaded lazily on first
+    postings access. At scale the sorted ``term`` column gives Parquet
+    row-group pruning for point lookups.
+    """
+
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._dict = pq.read_table(
+            os.path.join(seg_dir, "terms.parquet"),
+            columns=["term", "doc_freq", "total_tf"],
+        )
+        self.terms = np.asarray(self._dict.column("term").to_pylist(), dtype=object)
+        self.doc_freq = self._dict.column("doc_freq").to_numpy()
+        self.total_tf = self._dict.column("total_tf").to_numpy()
+        self._postings: pa.Table | None = None
+        self._norms: np.ndarray | None = None
+        self._docmap: pa.Table | None = None
+
+    # --- stats -----------------------------------------------------------
+    @property
+    def docs_count(self) -> int:
+        return self.meta["docs_count"]
+
+    @property
+    def docs_with_field(self) -> int:
+        return self.meta["docs_with_field"]
+
+    @property
+    def sum_doc_len(self) -> int:
+        return self.meta["sum_doc_len"]
+
+    @property
+    def norms(self) -> np.ndarray:
+        """doc_len array, index = local docid - 1."""
+        if self._norms is None:
+            t = pq.read_table(os.path.join(self.dir, "norms.parquet"))
+            self._norms = t.column("doc_len").to_numpy().astype(np.float32)
+        return self._norms
+
+    @property
+    def docmap(self) -> pa.Table:
+        if self._docmap is None:
+            self._docmap = pq.read_table(os.path.join(self.dir, "docmap.parquet"))
+        return self._docmap
+
+    # --- term dictionary --------------------------------------------------
+    def lookup(self, term: str) -> int:
+        """Row ordinal of term, or -1 (binary search over sorted terms)."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < self.terms.size and self.terms[i] == term:
+            return i
+        return -1
+
+    def term_range(self, lo: str | None, hi: str | None,
+                   inc_lo: bool = True, inc_hi: bool = True) -> np.ndarray:
+        """Row ordinals of terms in [lo, hi] (dictionary range scan)."""
+        a = 0 if lo is None else int(np.searchsorted(self.terms, lo, side="left" if inc_lo else "right"))
+        b = self.terms.size if hi is None else int(np.searchsorted(self.terms, hi, side="right" if inc_hi else "left"))
+        return np.arange(a, b, dtype=np.int64)
+
+    def _posting_row(self, idx: int):
+        if self._postings is None:
+            self._postings = pq.read_table(
+                os.path.join(self.dir, "terms.parquet"),
+                columns=[
+                    "doc_blob", "freq_blob", "pos_blob",
+                    "block_last_doc", "block_doc_off", "block_freq_off",
+                    "block_pos_off", "block_max_tf", "block_min_dl",
+                ],
+            )
+        return self._postings.slice(idx, 1)
+
+    def postings(self, idx: int, positions: bool = False):
+        """Fully decode term ``idx`` -> PostingList (exhaustive path)."""
+        row = self._posting_row(idx)
+        df = int(self.doc_freq[idx])
+        doc_blob = np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8)
+        freq_blob = np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8)
+        doc_off = np.asarray(row.column("block_doc_off")[0].as_py(), dtype=np.int64)
+        freq_off = np.asarray(row.column("block_freq_off")[0].as_py(), dtype=np.int64)
+        deltas, tfs = _decode_stream(doc_blob, doc_off, df), _decode_stream(
+            freq_blob, freq_off, df
+        )
+        docs = np.cumsum(deltas.astype(np.int64))
+        pos = None
+        if positions:
+            pos_blob = np.frombuffer(row.column("pos_blob")[0].as_py(), dtype=np.uint8)
+            pos_deltas = varint_decode(pos_blob).astype(np.int64)
+            run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+            pos = np.cumsum(pos_deltas)
+            # reset cumulative sum at each run start
+            base = np.repeat(pos[run_starts] - pos_deltas[run_starts], tfs.astype(np.int64))
+            pos = pos - base
+        return PostingList(docs=docs, tfs=tfs.astype(np.int64), positions=pos,
+                           run_tfs=tfs.astype(np.int64) if positions else None)
+
+    def cursor(self, idx: int) -> "BlockCursor":
+        """Block-at-a-time cursor with skip + block-max metadata (WAND)."""
+        row = self._posting_row(idx)
+        return BlockCursor(
+            df=int(self.doc_freq[idx]),
+            doc_blob=np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8),
+            freq_blob=np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8),
+            doc_off=np.asarray(row.column("block_doc_off")[0].as_py(), dtype=np.int64),
+            freq_off=np.asarray(row.column("block_freq_off")[0].as_py(), dtype=np.int64),
+            last_doc=np.asarray(row.column("block_last_doc")[0].as_py(), dtype=np.int64),
+            max_tf=np.asarray(row.column("block_max_tf")[0].as_py(), dtype=np.int64),
+            min_dl=np.asarray(row.column("block_min_dl")[0].as_py(), dtype=np.int64),
+        )
+
+
+def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndarray:
+    """Decode a blocked stream (full bitpacked blocks + varint tail)."""
+    n_blocks = offsets.size
+    full = count // BLOCK_SIZE
+    out = np.empty(count, dtype=np.int64)
+    pos = 0
+    for j in range(n_blocks):
+        if j < full:
+            out[pos : pos + BLOCK_SIZE] = bitunpack_block(blob, int(offsets[j]))
+            pos += BLOCK_SIZE
+        else:
+            end = int(offsets[j + 1]) if j + 1 < n_blocks else blob.size
+            vals = varint_decode(blob[int(offsets[j]) : end], count=count - pos)
+            out[pos : pos + vals.size] = vals.astype(np.int64)
+            pos += vals.size
+    assert pos == count, f"decoded {pos} of {count}"
+    return out
+
+
+class PostingList:
+    """Fully decoded posting list for one term in one segment."""
+
+    __slots__ = ("docs", "tfs", "positions", "run_tfs")
+
+    def __init__(self, docs, tfs, positions=None, run_tfs=None):
+        self.docs = docs          # local doc ids, ascending, 1-based
+        self.tfs = tfs            # term frequency per doc
+        self.positions = positions  # flat positions grouped per doc (or None)
+        self.run_tfs = run_tfs
+
+    def positions_for(self, i: int) -> np.ndarray:
+        """Positions of the i-th doc in the list."""
+        starts = np.concatenate(([0], np.cumsum(self.tfs)))
+        return self.positions[starts[i] : starts[i + 1]]
+
+
+class BlockCursor:
+    """Per-block iterator over one posting list (wanderator analogue,
+    ``core/formats/formats_10.cpp:2426-2546``): exposes per-block
+    ``last_doc`` / ``max_tf`` / ``min_dl`` so callers can skip blocks
+    whose BM25 upper bound is below the current top-k threshold."""
+
+    def __init__(self, df, doc_blob, freq_blob, doc_off, freq_off,
+                 last_doc, max_tf, min_dl):
+        self.df = df
+        self.doc_blob = doc_blob
+        self.freq_blob = freq_blob
+        self.doc_off = doc_off
+        self.freq_off = freq_off
+        self.last_doc = last_doc
+        self.max_tf = max_tf
+        self.min_dl = min_dl
+        self.n_blocks = last_doc.size
+
+    def block_count(self, j: int) -> int:
+        full = self.df // BLOCK_SIZE
+        if j < full:
+            return BLOCK_SIZE
+        return self.df - full * BLOCK_SIZE
+
+    def decode_block(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode block j -> (docs ascending 1-based, tfs)."""
+        cnt = self.block_count(j)
+        base = int(self.last_doc[j - 1]) if j > 0 else 0
+        if j < self.df // BLOCK_SIZE:
+            deltas = bitunpack_block(self.doc_blob, int(self.doc_off[j])).astype(np.int64)
+            tfs = bitunpack_block(self.freq_blob, int(self.freq_off[j])).astype(np.int64)
+        else:
+            d_end = int(self.doc_off[j + 1]) if j + 1 < self.n_blocks else self.doc_blob.size
+            f_end = int(self.freq_off[j + 1]) if j + 1 < self.n_blocks else self.freq_blob.size
+            deltas = varint_decode(self.doc_blob[int(self.doc_off[j]) : d_end], cnt).astype(np.int64)
+            tfs = varint_decode(self.freq_blob[int(self.freq_off[j]) : f_end], cnt).astype(np.int64)
+        docs = base + np.cumsum(deltas)
+        return docs, tfs

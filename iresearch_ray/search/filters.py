@@ -1,0 +1,497 @@
+"""Filter AST + per-segment execution kernels (exhaustive path).
+
+Rebuild of the reference search layer (``core/search/*``): a filter
+tree is ``prepare()``d once per query — collecting **index-wide** term
+stats first, like ``filter.prepare(PrepareContext)`` walking all
+segments (``core/search/term_filter.cpp:92-129``) — then executed per
+segment, producing ``(docs ascending, float scores)`` numpy arrays.
+
+All kernels are vectorized:
+- conjunction  = sorted-array intersection (``conjunction.hpp:81-120``)
+- disjunction  = concat + sort + reduceat with min_match counting
+  (``disjunction.hpp``, ``min_match_disjunction.hpp:58``)
+- exclusion    = sorted-membership difference (``exclusion.hpp:33``)
+- phrase       = (doc<<32|pos-i) key-set intersection over positions
+  (``phrase_iterator.hpp:75-158``); phrase frequency feeds the scorer
+- multiterm (prefix/wildcard/range/fuzzy) = dictionary scan -> scored
+  disjunction over matched terms (``multiterm_query.hpp:32-60``;
+  we score *all* matched terms, i.e. scored_terms_limit=inf —
+  documented divergence from the two-tier limited-sample collector)
+
+Scores use SumMerger semantics (the reference default ScoreMergeType).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow as pa
+
+_EMPTY_I = np.empty(0, dtype=np.int64)
+
+
+def _empty(dtype) -> tuple[np.ndarray, np.ndarray]:
+    return _EMPTY_I, np.empty(0, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# AST nodes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Filter:
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        raise NotImplementedError
+
+
+@dataclass
+class Term(Filter):
+    term: str
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        st = searcher.resolve_term(self.term)
+        ctx = scorer.make_ctx(
+            searcher.field_stats(),
+            scorer.idf(searcher.field_stats().docs_with_field, st.docs_with_term)
+            if st.docs_with_term
+            else 0.0,
+            boost * self.boost,
+        )
+        return PreparedTerm(searcher, st, ctx, scorer)
+
+
+@dataclass
+class Terms(Filter):
+    """Set of terms with optional per-term boost and min_match
+    (``core/search/terms_filter.hpp:37-83``)."""
+
+    terms: list
+    min_match: int = 1
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        children = [
+            Term(t if isinstance(t, str) else t[0],
+                 1.0 if isinstance(t, str) else t[1]).prepare(
+                searcher, scorer, boost * self.boost
+            )
+            for t in self.terms
+        ]
+        return PreparedDisjunction(children, self.min_match, scorer)
+
+
+@dataclass
+class Prefix(Filter):
+    prefix: str
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        matched = searcher.scan_terms(lambda terms: [
+            t for t in terms if t.startswith(self.prefix)
+        ])
+        return _multiterm(searcher, scorer, matched, boost * self.boost)
+
+
+@dataclass
+class Range(Filter):
+    """Term range on binary term order (``core/search/range_filter.hpp``)."""
+
+    lo: str | None = None
+    hi: str | None = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        def pred(terms):
+            out = []
+            for t in terms:
+                if self.lo is not None and (t < self.lo or (t == self.lo and not self.include_lo)):
+                    continue
+                if self.hi is not None and (t > self.hi or (t == self.hi and not self.include_hi)):
+                    continue
+                out.append(t)
+            return out
+        matched = searcher.scan_terms(pred)
+        return _multiterm(searcher, scorer, matched, boost * self.boost)
+
+
+@dataclass
+class Wildcard(Filter):
+    """`%`/`_` (or `*`/`?`) pattern over the term dictionary
+    (``core/search/wildcard_filter.hpp:56``)."""
+
+    pattern: str
+    boost: float = 1.0
+
+    def _like(self) -> str:
+        return self.pattern.replace("*", "%").replace("?", "_")
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        like = self._like()
+
+        def pred(terms):
+            arr = pa.array(list(terms), type=pa.string())
+            m = pc.match_like(arr, like).to_numpy(zero_copy_only=False)
+            return [t for t, ok in zip(terms, m) if ok]
+
+        matched = searcher.scan_terms(pred)
+        return _multiterm(searcher, scorer, matched, boost * self.boost)
+
+
+@dataclass
+class Fuzzy(Filter):
+    """Levenshtein distance <= max_distance term expansion
+    (``core/search/levenshtein_filter.hpp:74-93``). The reference
+    intersects a parametric DFA with the FST; here a vectorized banded
+    DP over length-filtered dictionary candidates (same result set)."""
+
+    term: str
+    max_distance: int = 1
+    prefix: str = ""
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        target = self.term
+        d = self.max_distance
+
+        def pred(terms):
+            cands = [
+                t for t in terms
+                if abs(len(t) - len(target)) <= d and t.startswith(self.prefix)
+            ]
+            if not cands:
+                return []
+            dist = _levenshtein_many(target, cands, d)
+            return [t for t, dd in zip(cands, dist) if dd <= d]
+
+        matched = searcher.scan_terms(pred)
+        return _multiterm(searcher, scorer, matched, boost * self.boost)
+
+
+@dataclass
+class Phrase(Filter):
+    """Fixed-term phrase over positions (``core/search/phrase_filter.hpp``).
+    Phrase frequency (count of matching start positions) is the tf fed
+    to the scorer; per-term idfs are summed into one stats group, like
+    the reference collecting every phrase term into one stats buffer."""
+
+    terms: list
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        states = [searcher.resolve_term(t) for t in self.terms]
+        fs = searcher.field_stats()
+        idf_sum = sum(
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            for st in states if st.docs_with_term
+        )
+        ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
+        return PreparedPhrase(searcher, states, ctx, scorer)
+
+
+@dataclass
+class And(Filter):
+    filters: list = dc_field(default_factory=list)
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        pos = [f.prepare(searcher, scorer, boost * self.boost)
+               for f in self.filters if not isinstance(f, Not)]
+        neg = [f.filter.prepare(searcher, scorer, boost * self.boost)
+               for f in self.filters if isinstance(f, Not)]
+        if not pos:
+            pos = [All().prepare(searcher, scorer, boost * self.boost)]
+        return PreparedConjunction(pos, neg, scorer)
+
+
+@dataclass
+class Or(Filter):
+    filters: list = dc_field(default_factory=list)
+    min_match: int = 1
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        pos = [f.prepare(searcher, scorer, boost * self.boost)
+               for f in self.filters if not isinstance(f, Not)]
+        neg = [f.filter.prepare(searcher, scorer, boost * self.boost)
+               for f in self.filters if isinstance(f, Not)]
+        dis = PreparedDisjunction(pos, self.min_match, scorer)
+        if neg:
+            return PreparedConjunction([dis], neg, scorer)
+        return dis
+
+
+@dataclass
+class Not(Filter):
+    """Negation — only meaningful inside And/Or (``boolean_filter.hpp:117``);
+    a top-level Not is executed as All AND NOT x."""
+
+    filter: Filter = None
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return And([All(), self]).prepare(searcher, scorer, boost)
+
+
+@dataclass
+class All(Filter):
+    """Match all docs, constant boost score (``core/search/all_filter.hpp``)."""
+
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return PreparedAll(searcher, np.dtype(scorer.dtype).type(boost * self.boost), scorer)
+
+
+@dataclass
+class Empty(Filter):
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return PreparedEmpty(scorer)
+
+
+@dataclass
+class ColumnExistence(Filter):
+    """Docs where a stored column is non-null / non-empty
+    (``core/search/column_existence_filter.hpp:47``)."""
+
+    column: str
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return PreparedColumnExistence(
+            searcher, self.column, np.dtype(scorer.dtype).type(boost * self.boost), scorer
+        )
+
+
+# ---------------------------------------------------------------------------
+# prepared nodes (hold index-wide stats; execute per segment)
+# ---------------------------------------------------------------------------
+
+
+class Prepared:
+    def __init__(self, scorer):
+        self.scorer = scorer
+        self.dtype = scorer.dtype
+
+    def execute(self, seg_ord: int) -> tuple[np.ndarray, np.ndarray]:
+        """-> (local docs ascending, scores)."""
+        raise NotImplementedError
+
+    def cost(self, seg_ord: int) -> int:
+        """Upper bound on matched docs (``core/search/cost.hpp``)."""
+        return 1 << 62
+
+
+class PreparedTerm(Prepared):
+    def __init__(self, searcher, state, ctx, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.state = state  # TermState
+        self.ctx = ctx
+
+    def cost(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        return 0 if row < 0 else int(self.searcher.segments[seg_ord].doc_freq[row])
+
+    def execute(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        if row < 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        pl = seg.postings(int(row))
+        dls = seg.norms[pl.docs - 1]
+        return pl.docs, self.scorer.score(self.ctx, pl.tfs, dls)
+
+
+class PreparedDisjunction(Prepared):
+    def __init__(self, children, min_match, scorer):
+        super().__init__(scorer)
+        self.children = children
+        self.min_match = max(1, int(min_match))
+
+    def cost(self, seg_ord):
+        return sum(c.cost(seg_ord) for c in self.children)
+
+    def execute(self, seg_ord):
+        parts = [c.execute(seg_ord) for c in self.children]
+        parts = [(d, s) for d, s in parts if d.size]
+        if not parts:
+            return _empty(self.dtype)
+        docs = np.concatenate([d for d, _ in parts])
+        scores = np.concatenate([s for _, s in parts])
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        starts = np.flatnonzero(np.diff(docs, prepend=-1))
+        out_docs = docs[starts]
+        out_scores = np.add.reduceat(scores, starts).astype(self.dtype)
+        if self.min_match > 1:
+            counts = np.diff(np.append(starts, docs.size))
+            keep = counts >= self.min_match
+            out_docs, out_scores = out_docs[keep], out_scores[keep]
+        return out_docs, out_scores
+
+
+class PreparedConjunction(Prepared):
+    def __init__(self, positives, negatives, scorer):
+        super().__init__(scorer)
+        self.positives = positives
+        self.negatives = negatives
+
+    def cost(self, seg_ord):
+        return min(p.cost(seg_ord) for p in self.positives)
+
+    def execute(self, seg_ord):
+        # cost-sorted leapfrog: start from the cheapest child
+        # (``boolean_filter.hpp:79``, cost-based ordering)
+        parts = sorted(
+            (p.execute(seg_ord) for p in self.positives), key=lambda t: t[0].size
+        )
+        docs, scores = parts[0]
+        scores = scores.copy()
+        for d, s in parts[1:]:
+            if docs.size == 0 or d.size == 0:
+                return _empty(self.dtype)
+            idx = np.searchsorted(d, docs)
+            valid = idx < d.size
+            match = np.zeros(docs.size, dtype=bool)
+            match[valid] = d[idx[valid]] == docs[valid]
+            docs = docs[match]
+            scores = scores[match] + s[idx[match]]
+        for n in self.negatives:
+            if docs.size == 0:
+                break
+            nd, _ = n.execute(seg_ord)
+            if nd.size:
+                idx = np.searchsorted(nd, docs)
+                valid = idx < nd.size
+                hit = np.zeros(docs.size, dtype=bool)
+                hit[valid] = nd[idx[valid]] == docs[valid]
+                docs, scores = docs[~hit], scores[~hit]
+        return docs, scores.astype(self.dtype)
+
+
+class PreparedPhrase(Prepared):
+    def __init__(self, searcher, states, ctx, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.states = states
+        self.ctx = ctx
+
+    def cost(self, seg_ord):
+        costs = []
+        for st in self.states:
+            row = st.rows[seg_ord]
+            costs.append(0 if row < 0 else int(self.searcher.segments[seg_ord].doc_freq[row]))
+        return min(costs) if costs else 0
+
+    def execute(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        keysets = []
+        for i, st in enumerate(self.states):
+            row = st.rows[seg_ord]
+            if row < 0:
+                return _empty(self.dtype)
+            pl = seg.postings(int(row), positions=True)
+            doc_rep = np.repeat(pl.docs, pl.tfs)
+            # shift term i's positions left by i: a phrase start p matches
+            # iff every term i has a position p+i
+            ok = pl.positions >= i
+            keys = (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - i)
+            keysets.append(keys)
+        keysets.sort(key=len)
+        common = keysets[0]
+        for ks in keysets[1:]:
+            if common.size == 0:
+                return _empty(self.dtype)
+            common = common[np.isin(common, ks, assume_unique=True)]
+        if common.size == 0:
+            return _empty(self.dtype)
+        docs_all = (common >> np.int64(32)).astype(np.int64)
+        docs, tfs = np.unique(docs_all, return_counts=True)
+        dls = seg.norms[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
+
+
+class PreparedAll(Prepared):
+    def __init__(self, searcher, boost, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.boost = boost
+
+    def cost(self, seg_ord):
+        return self.searcher.segments[seg_ord].docs_count
+
+    def execute(self, seg_ord):
+        # BM25/TFIDF score an `all` match as 0 unless boost_as_score is
+        # set (``core/search/bm25.cpp:420-430``) — we mirror the default.
+        n = self.searcher.segments[seg_ord].docs_count
+        docs = np.arange(1, n + 1, dtype=np.int64)
+        return docs, np.zeros(n, dtype=self.dtype)
+
+
+class PreparedEmpty(Prepared):
+    def cost(self, seg_ord):
+        return 0
+
+    def execute(self, seg_ord):
+        return _empty(self.dtype)
+
+
+class PreparedColumnExistence(Prepared):
+    def __init__(self, searcher, column, boost, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.column = column
+        self.boost = boost
+
+    def execute(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        col = seg.docmap.column(self.column)
+        valid = pc.is_valid(col)
+        if pa.types.is_string(col.type):
+            valid = pc.and_(valid, pc.not_equal(col, ""))
+        mask = valid.to_numpy(zero_copy_only=False)
+        docs = np.flatnonzero(mask).astype(np.int64) + 1
+        return docs, np.full(docs.size, self.boost, dtype=self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _multiterm(searcher, scorer, matched_terms: list[str], boost: float):
+    """Scored disjunction over dictionary-matched terms."""
+    children = [Term(t).prepare(searcher, scorer, boost) for t in matched_terms]
+    return PreparedDisjunction(children, 1, scorer)
+
+
+def _levenshtein_many(target: str, cands: list[str], dmax: int) -> np.ndarray:
+    """Levenshtein distance of ``target`` vs many candidates, vectorized
+    across candidates (DP over target chars; numpy over candidates)."""
+    tcp = np.frombuffer(target.encode("utf-32-le"), dtype=np.uint32)
+    maxlen = max(len(c) for c in cands)
+    mat = np.zeros((len(cands), maxlen), dtype=np.uint32)
+    lens = np.empty(len(cands), dtype=np.int64)
+    for i, c in enumerate(cands):
+        cp = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+        mat[i, : cp.size] = cp
+        lens[i] = cp.size
+    n = len(cands)
+    prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int64), (n, maxlen + 1)).copy()
+    for i, tc in enumerate(tcp, start=1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (mat != tc)
+        dele = prev[:, 1:] + 1
+        np.minimum(sub, dele, out=sub)
+        # insertion needs a left-to-right scan; do it with cummin trick
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(sub[:, j - 1], cur[:, j - 1] + 1)
+        prev = cur
+    return prev[np.arange(n), lens]

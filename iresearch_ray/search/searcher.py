@@ -1,0 +1,222 @@
+"""IndexSearcher: manifest -> global stats -> per-segment top-k -> merge.
+
+Query lifecycle mirrors ``index-search`` (``utils/index-search.cpp:672-781``):
+
+1. ``prepare``: resolve terms against every segment's dictionary and sum
+   the collector stats index-wide (docs_with_term, docs_with_field,
+   total_term_freq) — the barrier between stats and scoring.
+2. per segment (in doc_base order): execute the prepared tree, push
+   (global_doc, score) into a top-k collector whose threshold carries
+   across segments (the reference's persistent min-heap).
+3. ``mode="strict"`` enables block-max WAND skipping for term queries
+   (wanderator semantics, ``core/formats/formats_10.cpp:2426-2546``);
+   ``mode="all"`` is the exhaustive oracle — both must be rank-identical.
+
+Ties: a candidate replaces the heap minimum only on strictly greater
+score (``utils/index-search.cpp:758``), so the final order is
+(score desc, global doc id asc).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from iresearch_ray.index.manifest import Manifest
+from iresearch_ray.index.segment import SegmentReader
+from iresearch_ray.search.filters import (
+    Filter,
+    Prepared,
+    PreparedTerm,
+)
+from iresearch_ray.search.scorers import BM25, FieldStats, get_scorer
+
+
+@dataclass
+class TermState:
+    """Per-term index-wide state: dictionary row per segment + summed
+    collector stats (``core/search/term_filter.cpp:92-129``)."""
+
+    term: str
+    rows: np.ndarray  # int64 row ordinal per segment, -1 = absent
+    docs_with_term: int
+
+
+class TopK:
+    """Global top-k collector with strict-threshold semantics."""
+
+    def __init__(self, k: int, dtype=np.float32):
+        self.k = k
+        self.docs = np.empty(0, dtype=np.int64)
+        self.scores = np.empty(0, dtype=dtype)
+        self.dtype = dtype
+
+    @property
+    def threshold(self) -> float:
+        if self.scores.size < self.k:
+            return -np.inf
+        return float(self.scores[-1])
+
+    def push(self, docs: np.ndarray, scores: np.ndarray) -> None:
+        if docs.size == 0:
+            return
+        thr = self.threshold
+        if np.isfinite(thr):
+            keep = scores > thr  # strict: ties keep the earlier doc
+            docs, scores = docs[keep], scores[keep]
+            if docs.size == 0:
+                return
+        docs = np.concatenate([self.docs, docs])
+        scores = np.concatenate([self.scores, scores])
+        order = np.lexsort((docs, -scores.astype(np.float64)))[: self.k]
+        self.docs, self.scores = docs[order], scores[order]
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = Manifest.load(index_dir)
+        self.segments = [
+            SegmentReader(os.path.join(index_dir, s["name"]))
+            for s in self.manifest.segments
+        ]
+        self.doc_bases = np.asarray(
+            [s["doc_base"] for s in self.manifest.segments], dtype=np.int64
+        )
+        self._field_stats: FieldStats | None = None
+        self._term_cache: dict[str, TermState] = {}
+
+    # -- stats (collector merge) ------------------------------------------
+    def field_stats(self) -> FieldStats:
+        if self._field_stats is None:
+            fs = FieldStats()
+            for seg in self.segments:
+                fs.add(FieldStats(seg.docs_with_field, seg.sum_doc_len))
+            self._field_stats = fs
+        return self._field_stats
+
+    def resolve_term(self, term: str) -> TermState:
+        st = self._term_cache.get(term)
+        if st is None:
+            rows = np.full(len(self.segments), -1, dtype=np.int64)
+            dwt = 0
+            for i, seg in enumerate(self.segments):
+                r = seg.lookup(term)
+                rows[i] = r
+                if r >= 0:
+                    dwt += int(seg.doc_freq[r])
+            st = TermState(term, rows, dwt)
+            self._term_cache[term] = st
+        return st
+
+    def scan_terms(self, pred) -> list[str]:
+        """Union of dictionary terms selected by ``pred`` across segments
+        (multiterm candidate generation)."""
+        seen: set[str] = set()
+        for seg in self.segments:
+            seen.update(pred(seg.terms.tolist()))
+        return sorted(seen)
+
+    # -- search ------------------------------------------------------------
+    def search(
+        self,
+        flt: Filter,
+        k: int = 10,
+        scorer=None,
+        mode: str = "strict",
+        columns: tuple | None = None,
+    ) -> pd.DataFrame:
+        """Top-k matched docs -> DataFrame(doc_id, score[, columns]).
+
+        ``mode="all"`` = exhaustive; ``"strict"`` = block-max WAND where
+        supported (rank-identical by construction + tests).
+        """
+        scorer = self._scorer(scorer)
+        prepared = flt.prepare(self, scorer)
+        col = TopK(k, dtype=scorer.dtype)
+        for i in range(len(self.segments)):
+            base = int(self.doc_bases[i])
+            if mode == "strict" and isinstance(prepared, PreparedTerm):
+                self._wand_term(prepared, i, base, col)
+            else:
+                docs, scores = prepared.execute(i)
+                col.push(docs + base, scores)
+        return self._result_frame(col.docs, col.scores, columns)
+
+    def match_docs(self, flt: Filter, scorer=None) -> np.ndarray:
+        """All matching global doc ids (unscored path)."""
+        scorer = self._scorer(scorer)
+        prepared = flt.prepare(self, scorer)
+        out = []
+        for i in range(len(self.segments)):
+            docs, _ = prepared.execute(i)
+            out.append(docs + int(self.doc_bases[i]))
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    def count(self, flt: Filter) -> int:
+        return int(self.match_docs(flt).size)
+
+    # -- WAND --------------------------------------------------------------
+    def _wand_term(self, prepared: PreparedTerm, seg_ord: int, base: int, col: TopK):
+        row = prepared.state.rows[seg_ord]
+        if row < 0:
+            return
+        seg = self.segments[seg_ord]
+        cur = seg.cursor(int(row))
+        norms = seg.norms
+        for j in range(cur.n_blocks):
+            thr = col.threshold
+            if np.isfinite(thr):
+                ub = self.scorer_ub(prepared, cur, j)
+                if ub <= thr:
+                    continue  # skip the whole 128-doc block
+            docs, tfs = cur.decode_block(j)
+            scores = prepared.scorer.score(prepared.ctx, tfs, norms[docs - 1])
+            col.push(docs + base, scores)
+
+    @staticmethod
+    def scorer_ub(prepared: PreparedTerm, cur, j: int) -> float:
+        return prepared.scorer.upper_bound(
+            prepared.ctx, float(cur.max_tf[j]), float(cur.min_dl[j])
+        )
+
+    # -- result assembly ---------------------------------------------------
+    def _scorer(self, scorer):
+        if scorer is None:
+            return BM25()
+        if isinstance(scorer, str):
+            return get_scorer(scorer)
+        return scorer
+
+    def seg_of_docs(self, global_docs: np.ndarray) -> np.ndarray:
+        # seg = largest i with doc_base[i] < doc (globals are base+local,
+        # local >= 1, so doc == base+count belongs to segment i, not i+1)
+        return np.searchsorted(self.doc_bases, global_docs, side="left") - 1
+
+    def _result_frame(
+        self, docs: np.ndarray, scores: np.ndarray, columns: tuple | None
+    ) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": docs, "score": scores})
+        if columns:
+            seg_ord = self.seg_of_docs(docs)
+            cols: dict[str, list] = {c: [None] * docs.size for c in columns}
+            for s in np.unique(seg_ord):
+                idx = np.flatnonzero(seg_ord == s)
+                local = docs[idx] - self.doc_bases[s] - 1
+                dm = self.segments[s].docmap.take(pa.array(local))
+                for c in columns:
+                    vals = dm.column(c).to_pylist()
+                    for i, v in zip(idx, vals):
+                        cols[c][i] = v
+            for c in columns:
+                out[c] = cols[c]
+        return out
+
+    def fetch_stored(self, global_docs: np.ndarray, columns: tuple) -> pd.DataFrame:
+        return self._result_frame(
+            global_docs, np.zeros(global_docs.size, dtype=np.float32), columns
+        ).drop(columns=["score"])

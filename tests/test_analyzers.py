@@ -1,0 +1,71 @@
+import numpy as np
+import pyarrow as pa
+
+from iresearch_ray.analysis.analyzers import get_analyzer
+
+
+def toks(analyzer, text):
+    d, t, p = analyzer.tokenize(pa.array([text], type=pa.string()))
+    return t.to_pylist(), p.tolist()
+
+
+def test_segmentation_defaults_lower_alpha():
+    # reference defaults: case=lower, break=alpha
+    # (core/analysis/segmentation_token_stream.hpp:51-52)
+    an = get_analyzer("segmentation", {})
+    t, p = toks(an, "Hello, World! x2")
+    assert t == ["hello", "world", "x2"]
+    assert p == [0, 1, 2]
+
+
+def test_segmentation_unicode():
+    an = get_analyzer("segmentation", {})
+    t, _ = toks(an, "Köln STRASSE straße 東京")
+    assert t == ["köln", "strasse", "straße", "東京"]
+
+
+def test_segmentation_case_none():
+    an = get_analyzer("segmentation", {"case": "none"})
+    t, _ = toks(an, "Hello WORLD")
+    assert t == ["Hello", "WORLD"]
+
+
+def test_empty_and_null_texts():
+    an = get_analyzer("segmentation", {})
+    d, t, p = an.tokenize(pa.array(["", None, "a b", "   "], type=pa.string()))
+    assert d.tolist() == [2, 2]
+    assert t.to_pylist() == ["a", "b"]
+
+
+def test_positions_count_repeats():
+    an = get_analyzer("segmentation", {})
+    t, p = toks(an, "a b a a")
+    assert t == ["a", "b", "a", "a"]
+    assert p == [0, 1, 2, 3]
+
+
+def test_text_analyzer_stopwords_keep_positions():
+    an = get_analyzer("text", {})
+    t, p = toks(an, "the quick fox")
+    # "the" removed; surviving tokens keep original positions
+    assert t == ["quick", "fox"]
+    assert p == [1, 2]
+
+
+def test_delimiter():
+    an = get_analyzer("delimiter", {"delimiters": (",",)})
+    t, _ = toks(an, "a,b,,c")
+    assert t == ["a", "b", "c"]
+
+
+def test_keyword():
+    an = get_analyzer("keyword", {})
+    d, t, p = an.tokenize(pa.array(["Exact Term", None], type=pa.string()))
+    assert t.to_pylist() == ["Exact Term"]
+    assert d.tolist() == [0]
+
+
+def test_ngram():
+    an = get_analyzer("ngram", {"min_gram": 2, "max_gram": 3})
+    t, _ = toks(an, "abcd")
+    assert set(t) == {"ab", "abc", "bc", "bcd", "cd"}

@@ -1,0 +1,104 @@
+"""Ray Data index build: partition invariance, resumability, docid continuity."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from iresearch_ray.data.transcripts import make_transcripts_partition, write_transcripts
+from iresearch_ray.search import filters as F
+from iresearch_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_transcripts(str(d), n_parts=4, convs_per_part=64)
+    return str(d)
+
+
+def test_generator_deterministic():
+    a = make_transcripts_partition(3, 32)
+    b = make_transcripts_partition(3, 32)
+    assert a.equals(b)
+
+
+def test_build_with_ray(ray_session, corpus_dir, tmp_path):
+    from iresearch_ray.index.build import build_index
+
+    idx = str(tmp_path / "idx")
+    man = build_index(corpus_dir, idx, segment_docs=512)
+    assert man.total_docs == sum(
+        pq.ParquetFile(os.path.join(corpus_dir, f)).metadata.num_rows
+        for f in os.listdir(corpus_dir)
+    )
+    # doc bases are contiguous prefix sums in first-key order
+    bases = [s["doc_base"] for s in man.segments]
+    counts = [s["docs_count"] for s in man.segments]
+    assert bases == [sum(counts[:i]) for i in range(len(counts))]
+    # key ranges are disjoint and ordered
+    keys = [(tuple(s["first_key"]), tuple(s["last_key"])) for s in man.segments]
+    for (f1, l1), (f2, _) in zip(keys, keys[1:]):
+        assert l1 < f2
+
+    s = IndexSearcher(idx)
+    res = s.search(F.Term("ref"), k=10)
+    assert len(res) == 10
+    assert (np.diff(res["score"].to_numpy()) <= 0).all()
+
+
+def test_partitioning_invariance(ray_session, corpus_dir, tmp_path):
+    """Single-segment and many-segment builds give identical query results
+    (the analogue of the reference's directory x format test matrix)."""
+    from iresearch_ray.index.build import build_index
+
+    idx_a = str(tmp_path / "one")
+    idx_b = str(tmp_path / "many")
+    build_index(corpus_dir, idx_a, segment_docs=1 << 20)
+    build_index(corpus_dir, idx_b, segment_docs=300)
+    sa, sb = IndexSearcher(idx_a), IndexSearcher(idx_b)
+    assert len(sa.segments) == 1
+    assert len(sb.segments) > 4
+    for flt in [
+        F.Term("ref"),
+        F.Or([F.Term("the"), F.Term("deploy")]),
+        F.And([F.Term("the"), F.Term("ok")]),
+        F.Phrase(["ref", "name"]),
+        F.Prefix("sec"),
+    ]:
+        ra = sa.search(flt, k=25, mode="all")
+        rb = sb.search(flt, k=25, mode="all")
+        assert ra["doc_id"].tolist() == rb["doc_id"].tolist(), flt
+        np.testing.assert_allclose(
+            ra["score"].to_numpy(), rb["score"].to_numpy(), rtol=1e-6
+        )
+
+
+def test_resume_skips_finished_segments(ray_session, corpus_dir, tmp_path):
+    from iresearch_ray.index.build import build_index
+
+    idx = str(tmp_path / "idx")
+    man1 = build_index(corpus_dir, idx, segment_docs=512)
+    mtimes = {
+        s["name"]: os.path.getmtime(os.path.join(idx, s["name"], "terms.parquet"))
+        for s in man1.segments
+    }
+    man2 = build_index(corpus_dir, idx, segment_docs=512)  # rerun = resume
+    assert [s["name"] for s in man2.segments] == [s["name"] for s in man1.segments]
+    for s in man2.segments:
+        # segment files untouched: encode was skipped via _SUCCESS checkpoint
+        assert os.path.getmtime(os.path.join(idx, s["name"], "terms.parquet")) == mtimes[s["name"]]
+    assert man2.generation == man1.generation + 1
+
+
+def test_manifest_cleanup(ray_session, corpus_dir, tmp_path):
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus_dir, idx, segment_docs=512)
+    # orphan segment dir
+    os.makedirs(os.path.join(idx, "seg-deadbeef-1"), exist_ok=True)
+    removed = Manifest.load(idx).cleanup()
+    assert removed == ["seg-deadbeef-1"]

@@ -1,0 +1,190 @@
+"""Search kernels vs the independent brute-force oracle (tests/oracle.py)."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.search import filters as F
+
+from .oracle import OracleIndex, tokenize
+
+
+@pytest.fixture(scope="module")
+def oracle(small_corpus):
+    ordered = small_corpus.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    return OracleIndex(ordered)
+
+
+def ids(arr):
+    return sorted(np.asarray(arr).tolist())
+
+
+def test_term_postings_match_oracle(searcher, oracle):
+    for term in ["the", "ref", "deploy", "second", "rare00001", "zzz-missing"]:
+        got = ids(searcher.match_docs(F.Term(term)))
+        assert got == sorted(oracle.postings.get(term, {})), term
+
+
+def test_term_scores_match_oracle(searcher, oracle):
+    for term in ["ref", "deploy", "the"]:
+        res = searcher.search(F.Term(term), k=20, mode="all")
+        exp = OracleIndex.topk(oracle.score_term(term), 20)
+        assert res["doc_id"].tolist() == [d for d, _ in exp], term
+        np.testing.assert_allclose(
+            res["score"].to_numpy(), [s for _, s in exp], rtol=1e-6
+        )
+
+
+def test_wand_rank_identical_to_exhaustive(searcher):
+    for term in ["the", "ref", "ok", "deploy", "med001", "rare00003"]:
+        for k in (1, 5, 100):
+            strict = searcher.search(F.Term(term), k=k, mode="strict")
+            full = searcher.search(F.Term(term), k=k, mode="all")
+            assert strict["doc_id"].tolist() == full["doc_id"].tolist(), (term, k)
+            np.testing.assert_array_equal(
+                strict["score"].to_numpy(), full["score"].to_numpy()
+            )
+
+
+def test_and_or_not(searcher, oracle):
+    t = set(oracle.postings.get("the", {}))
+    r = set(oracle.postings.get("ref", {}))
+    assert ids(searcher.match_docs(F.And([F.Term("the"), F.Term("ref")]))) == sorted(t & r)
+    assert ids(searcher.match_docs(F.Or([F.Term("the"), F.Term("ref")]))) == sorted(t | r)
+    allv = set(range(1, oracle.n + 1))
+    assert ids(searcher.match_docs(F.Not(F.Term("the")))) == sorted(allv - t)
+    assert ids(
+        searcher.match_docs(F.And([F.Term("ref"), F.Not(F.Term("the"))]))
+    ) == sorted(r - t)
+
+
+def test_and_scores_are_summed(searcher, oracle):
+    res = searcher.search(F.And([F.Term("ref"), F.Term("ok")]), k=10, mode="all")
+    exp = OracleIndex.topk(
+        OracleIndex.intersect_sum(oracle.score_term("ref"), oracle.score_term("ok")), 10
+    )
+    assert res["doc_id"].tolist() == [d for d, _ in exp]
+    np.testing.assert_allclose(res["score"].to_numpy(), [s for _, s in exp], rtol=1e-5)
+
+
+def test_or_scores_are_summed(searcher, oracle):
+    res = searcher.search(F.Or([F.Term("deploy"), F.Term("second")]), k=10, mode="all")
+    exp = OracleIndex.topk(
+        OracleIndex.merge_sum(oracle.score_term("deploy"), oracle.score_term("second")),
+        10,
+    )
+    assert res["doc_id"].tolist() == [d for d, _ in exp]
+    np.testing.assert_allclose(res["score"].to_numpy(), [s for _, s in exp], rtol=1e-5)
+
+
+def test_min_match(searcher, oracle):
+    terms = ["ref", "ok", "deploy"]
+    sets = [set(oracle.postings.get(t, {})) for t in terms]
+    exp = sorted(
+        d
+        for d in set().union(*sets)
+        if sum(d in s for s in sets) >= 2
+    )
+    got = ids(searcher.match_docs(F.Or([F.Term(t) for t in terms], min_match=2)))
+    assert got == exp
+
+
+def test_phrase(searcher, oracle):
+    res = searcher.search(F.Phrase(["ref", "name"]), k=15, mode="all")
+    exp = OracleIndex.topk(oracle.score_phrase(["ref", "name"]), 15)
+    assert res["doc_id"].tolist() == [d for d, _ in exp]
+    np.testing.assert_allclose(res["score"].to_numpy(), [s for _, s in exp], rtol=1e-6)
+
+
+def test_phrase_three_terms(searcher, small_corpus, oracle):
+    # find any adjacent triple in the corpus to assert a non-empty result
+    got = ids(searcher.match_docs(F.Phrase(["deploy", "target"])))
+    assert got == sorted(oracle.score_phrase(["deploy", "target"]))
+
+
+def test_prefix(searcher, oracle):
+    exp = set()
+    for t, posts in oracle.postings.items():
+        if t.startswith("sec"):
+            exp |= set(posts)
+    assert ids(searcher.match_docs(F.Prefix("sec"))) == sorted(exp)
+
+
+def test_wildcard(searcher, oracle):
+    exp = set()
+    for t, posts in oracle.postings.items():
+        if t.startswith("dep") and len(t) >= 3:
+            exp |= set(posts)
+    assert ids(searcher.match_docs(F.Wildcard("dep%"))) == sorted(exp)
+    # single-char wildcard
+    exp1 = set()
+    for t, posts in oracle.postings.items():
+        if len(t) == 3 and t[0] == "r" and t[2] == "f":
+            exp1 |= set(posts)
+    assert ids(searcher.match_docs(F.Wildcard("r_f"))) == sorted(exp1)
+
+
+def test_fuzzy(searcher, oracle):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i]
+            for j, cb in enumerate(b, 1):
+                ndp.append(min(dp[j] + 1, ndp[-1] + 1, dp[j - 1] + (ca != cb)))
+            dp = ndp
+        return dp[-1]
+
+    for target, d in [("deploy", 1), ("deploy", 2), ("ref", 1)]:
+        exp = set()
+        for t, posts in oracle.postings.items():
+            if lev(target, t) <= d:
+                exp |= set(posts)
+        got = ids(searcher.match_docs(F.Fuzzy(target, d)))
+        assert got == sorted(exp), (target, d)
+
+
+def test_range(searcher, oracle):
+    exp = set()
+    for t, posts in oracle.postings.items():
+        if "sec" <= t <= "seczzz":
+            exp |= set(posts)
+    assert ids(searcher.match_docs(F.Range("sec", "seczzz"))) == sorted(exp)
+
+
+def test_column_existence(searcher, small_corpus):
+    ordered = small_corpus.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    tools = ordered.column("tool").to_pylist()
+    exp = [i + 1 for i, t in enumerate(tools) if t]
+    assert ids(searcher.match_docs(F.ColumnExistence("tool"))) == exp
+
+
+def test_stored_fields_roundtrip(searcher, small_corpus):
+    """Per-turn text-equality invariant: docmap joined by global docid
+    reproduces the input text under stable (conv_id, turn_idx) order."""
+    ordered = small_corpus.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    n = ordered.num_rows
+    all_docs = np.arange(1, n + 1, dtype=np.int64)
+    df = searcher.fetch_stored(all_docs, ("conv_id", "turn_idx", "text"))
+    assert df["conv_id"].tolist() == ordered.column("conv_id").to_pylist()
+    assert df["turn_idx"].tolist() == ordered.column("turn_idx").to_pylist()
+    assert df["text"].tolist() == ordered.column("text").to_pylist()
+
+
+def test_tfidf_scores(searcher, oracle):
+    from iresearch_ray.search.scorers import TFIDF
+
+    res = searcher.search(F.Term("deploy"), k=10, scorer=TFIDF(), mode="all")
+    dwt = oracle.df("deploy")
+    idf = np.float32(1.0 + np.log(oracle.docs_with_field / (dwt + 1.0)))
+    exp = {
+        d: float(np.float32(np.sqrt(np.float32(len(p)))) * idf)
+        for d, p in oracle.postings["deploy"].items()
+    }
+    top = OracleIndex.topk(exp, 10)
+    assert res["doc_id"].tolist() == [d for d, _ in top]
+    np.testing.assert_allclose(res["score"].to_numpy(), [s for _, s in top], rtol=1e-6)

@@ -1,16 +1,22 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship: index the sf0.001 documents table with the Ray
+Data build pipeline and run a BM25 top-k query batch.
+``queries()`` — one callable per implemented operator (SURVEY.md §2):
+full-text search family over the ``documents`` table, index statistics,
+dedup / text-stats / ANN / windowed-aggregate pipelines.
+``oracle_sql()`` — DuckDB-equivalent SQL for everything SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
+
+Tokenizer parity note: the engine's default ``segmentation`` analyzer
+lowercases and splits on non-alphanumerics (``[^\\pL\\pN]+``); the SQL
+oracle mirrors it with ``regexp_split_to_array(lower(text),'[^a-z0-9]+')``
+(the documents corpus is lowercase ASCII, so the two agree exactly).
+Scored queries are computed in float64 on BOTH sides with the identical
+expression shape (``c0 - c0*c1/(c1+tf)``; k=1.2, b=0.75, log1p idf,
+doc-length norms) and rounded to 4 decimals as ``score_r``.
 """
 
 from __future__ import annotations
@@ -18,27 +24,438 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+SEG_DOCS = 200  # forces multiple segments + bitpacked blocks at sf>=0.01
+
+# shared SQL prelude: tokenization + per-doc lengths + field stats
+_TOK_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+term_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+dl AS (SELECT doc_id, len(toks) AS n_tokens FROM tok),
+fstats AS (
+  SELECT count(*) FILTER (WHERE n_tokens > 0) AS dwf,
+         CAST(sum(n_tokens) AS BIGINT) AS ttf
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM term_pos GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS dwt, CAST(sum(tf) AS BIGINT) AS ttf_term
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term,
+         (2.2 * ln(1 + ((f.dwf - d.dwt) + 0.5) / (d.dwt + 0.5)))
+           - (2.2 * ln(1 + ((f.dwf - d.dwt) + 0.5) / (d.dwt + 0.5)))
+             * ((1.2 - 1.2*0.75) + ((1.2*0.75) / (CAST(f.ttf AS DOUBLE) / f.dwf)) * l.n_tokens)
+             / (((1.2 - 1.2*0.75) + ((1.2*0.75) / (CAST(f.ttf AS DOUBLE) / f.dwf)) * l.n_tokens) + t.tf)
+           AS score
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN fstats f
+)
+"""
+
+
+def _bm25_f64():
+    from iresearch_ray.search.scorers import BM25
+
+    return BM25(dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: Ray Data index build over sf0.001 documents + BM25 top-k."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher("/root/testdata/sf0.001", SEG_DOCS)
+    return topk_frame(s, F.Or([F.Term("customer"), F.Term("vector")]), k=50,
+                      scorer=_bm25_f64())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25_term(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(s, F.Term("customer"), k=100, scorer=_bm25_f64())
+
+
+def _q_bm25_or(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.Or([F.Term("customer"), F.Term("vector")]), k=100, scorer=_bm25_f64()
+    )
+
+
+def _q_bm25_and(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.And([F.Term("customer"), F.Term("vector")]), k=100, scorer=_bm25_f64()
+    )
+
+
+def _q_phrase(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Phrase(["table", "part"]))
+
+
+def _q_prefix(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Prefix("s"))
+
+
+def _q_wildcard(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Wildcard("%an%"))
+
+
+def _q_fuzzy(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Fuzzy("scan", 1))
+
+
+def _q_range(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Range("batch", "customer"))
+
+
+def _q_minmatch(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s,
+        F.Or([F.Term("customer"), F.Term("vector"), F.Term("window")], min_match=2),
+    )
+
+
+def _q_not(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.And([F.Term("customer"), F.Not(F.Term("vector"))]))
+
+
+def _q_term_stats(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, documents_index_dir
+    from iresearch_ray.index.stats import term_stats_dataset
+
+    documents_searcher(sf_dir, SEG_DOCS)  # ensure built
+    pdf = term_stats_dataset(documents_index_dir(sf_dir, SEG_DOCS)).to_pandas()
+    return pdf.sort_values("term").reset_index(drop=True)
+
+
+def _q_doc_lengths(sf_dir: str):
+    import pandas as pd
+
+    from iresearch_ray.api import documents_searcher
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    frames = []
+    for seg in s.segments:
+        frames.append(
+            pd.DataFrame({
+                "doc_id": seg.docmap.column("doc_id").to_numpy(),
+                "n_tokens": seg.norms.astype(np.int64),
+            })
+        )
+    return pd.concat(frames).sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    kept = exact_dedup(ds, text_col="text", id_col="doc_id")
+    pdf = kept.to_pandas()[["doc_id"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import token_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(token_stats, batch_format="pyarrow")
+    pdf = out.to_pandas()[["doc_id", "n_tokens", "avg_token_len"]]
+    # half-up rounding to match DuckDB ROUND (numpy rounds half-to-even)
+    pdf["avg_token_len"] = np.floor(pdf["avg_token_len"] * 1e4 + 0.5) / 1e4
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ann(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import cosine_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = t.column("vec_id").to_numpy() == 7
+    qvec = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[qmask]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pdf = cosine_topk(ds, qvec, k=11)
+    pdf = pdf[pdf["vec_id"] != 7].head(10)[["vec_id", "cosine"]]
+    pdf["cosine_r"] = pdf["cosine"].round(5)
+    return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
+
+
+def _q_events_hourly(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def bucket(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("hour", hour)
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(4)
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def _q_minhash(sf_dir: str):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import minhash_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_candidates(ds).to_pandas()
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import simhash_fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, fn_constructor_kwargs=dict(),
+                         batch_format="pyarrow", concurrency=2)
+    return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_transcripts_flagship(sf_dir: str):
+    """Full transcript pipeline on the synthetic corpus (schema =
+    BASELINE.json input hint); non-SQL (uses generated data, not sf
+    tables)."""
+    import iresearch_ray
+    from iresearch_ray.data.transcripts import write_transcripts
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    corpus = "/tmp/iresearch_ray_cache/transcripts_small"
+    write_transcripts(corpus, n_parts=4, convs_per_part=64)
+    idx = "/tmp/iresearch_ray_cache/transcripts_small_idx"
+    if not Manifest.exists(idx):
+        iresearch_ray.build_index(corpus, idx, segment_docs=2048)
+    s = IndexSearcher(idx)
+    return s.search(F.Or([F.Term("ref"), F.Phrase(["deploy", "target"])]), k=25,
+                    columns=("conv_id", "turn_idx"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "bm25_topk_term": _q_bm25_term,
+        "bm25_topk_or": _q_bm25_or,
+        "bm25_topk_and": _q_bm25_and,
+        "phrase_match": _q_phrase,
+        "prefix_match": _q_prefix,
+        "wildcard_match": _q_wildcard,
+        "fuzzy_match": _q_fuzzy,
+        "range_match": _q_range,
+        "minmatch_2of3": _q_minmatch,
+        "not_match": _q_not,
+        "term_stats": _q_term_stats,
+        "doc_lengths": _q_doc_lengths,
+        "exact_dedup": _q_exact_dedup,
+        "quality_stats": _q_quality,
+        "ann_cosine_topk": _q_ann,
+        "events_hourly": _q_events_hourly,
+        "minhash_lsh_buckets": _q_minhash,
+        "simhash_fingerprints": _q_simhash,
+        "lang_id": _q_langid,
+        "transcripts_flagship": _q_transcripts_flagship,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    topk = (
+        _TOK_SQL
+        + """
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM scored WHERE term = '{t}'
+ORDER BY score DESC, doc_id LIMIT 100
+"""
+    )
+    return {
+        "bm25_topk_term": topk.format(t="customer"),
+        "bm25_topk_or": _TOK_SQL + """
+, pair AS (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM pair ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "bm25_topk_and": _TOK_SQL + """
+, pair AS (
+  SELECT doc_id, sum(score) AS score, count(*) AS nt
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM pair WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "phrase_match": _TOK_SQL + """
+SELECT DISTINCT t1.doc_id AS doc_id
+FROM term_pos t1 JOIN term_pos t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.term = 'table' AND t2.term = 'part'
+ORDER BY doc_id
+""",
+        "prefix_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE 's%' ORDER BY doc_id
+""",
+        "wildcard_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE '%an%' ORDER BY doc_id
+""",
+        "fuzzy_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE levenshtein(term, 'scan') <= 1 ORDER BY doc_id
+""",
+        "range_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE term >= 'batch' AND term <= 'customer' ORDER BY doc_id
+""",
+        "minmatch_2of3": _TOK_SQL + """
+SELECT doc_id FROM (
+  SELECT doc_id, count(DISTINCT term) AS nt FROM term_pos
+  WHERE term IN ('customer', 'vector', 'window') GROUP BY doc_id
+) WHERE nt >= 2 ORDER BY doc_id
+""",
+        "not_match": _TOK_SQL + """
+SELECT doc_id FROM (
+  SELECT doc_id FROM term_pos WHERE term = 'customer'
+  EXCEPT
+  SELECT doc_id FROM term_pos WHERE term = 'vector'
+) ORDER BY doc_id
+""",
+        "term_stats": _TOK_SQL + """
+SELECT term, dwt AS doc_freq, ttf_term AS total_tf
+FROM df ORDER BY term
+""",
+        "doc_lengths": _TOK_SQL + """
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM dl ORDER BY doc_id
+""",
+        "exact_dedup": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "quality_stats": _TOK_SQL + """
+SELECT l.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       floor((CASE WHEN l.n_tokens > 0
+              THEN CAST(c.total_chars AS DOUBLE) / l.n_tokens ELSE 0 END)
+             * 10000 + 0.5) / 10000
+         AS avg_token_len
+FROM dl l
+LEFT JOIN (
+  SELECT doc_id, sum(len(term)) AS total_chars FROM term_pos GROUP BY doc_id
+) c ON c.doc_id = l.doc_id
+ORDER BY l.doc_id
+""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5)
+         AS cosine_r
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 7
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         vec_id
+LIMIT 10
+""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, ROUND(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    }

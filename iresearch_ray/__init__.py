@@ -21,6 +21,29 @@ __all__ = ["build_index", "Manifest", "IndexSearcher"]
 __version__ = "0.1.0"
 
 
+def _register_pickle_by_value() -> None:
+    """Ship this package to Ray workers by value.
+
+    The driver may initialise Ray from a working directory where
+    ``iresearch_ray`` is not importable; registering the package with
+    cloudpickle makes every class/function (SegmentEncoder, analyzers,
+    pipeline actors) serialize self-contained, so tasks deserialize on
+    any worker without a PYTHONPATH requirement. Registering the top
+    package covers all submodules.
+    """
+    try:
+        import sys
+
+        import ray.cloudpickle as _rcp
+
+        _rcp.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+
+_register_pickle_by_value()
+
+
 def __getattr__(name):  # lazy imports keep `import iresearch_ray` light
     if name == "build_index":
         from iresearch_ray.index.build import build_index

@@ -1,0 +1,72 @@
+"""High-level façade used by ``__ray_entry__`` and ``bench.py``:
+cached index builds over the driver's test tables + result framing
+helpers whose column names match the DuckDB oracle SQL."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+from iresearch_ray.index.build import build_index
+from iresearch_ray.index.manifest import Manifest
+from iresearch_ray.search.searcher import IndexSearcher
+
+_CACHE_ROOT = "/tmp/iresearch_ray_cache"
+_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def documents_index_dir(sf_dir: str, segment_docs: int = 200) -> str:
+    slug = hashlib.sha1(f"{os.path.abspath(sf_dir)}:{segment_docs}".encode()).hexdigest()[:12]
+    return os.path.join(_CACHE_ROOT, f"documents-{slug}")
+
+
+def documents_searcher(sf_dir: str, segment_docs: int = 200) -> IndexSearcher:
+    """Searcher over the ``documents`` table of ``sf_dir`` (index built
+    once per (sf_dir, segment_docs) and cached under /tmp)."""
+    idx = documents_index_dir(sf_dir, segment_docs)
+    key = idx
+    s = _SEARCHERS.get(key)
+    if s is not None:
+        return s
+    if not Manifest.exists(idx):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            idx,
+            text_col="text",
+            key_cols=("doc_id",),
+            stored_cols=("doc_id", "lang", "source", "n_chars", "text"),
+            segment_docs=segment_docs,
+        )
+    s = IndexSearcher(idx)
+    _SEARCHERS[key] = s
+    return s
+
+
+def topk_frame(searcher: IndexSearcher, flt, k: int, scorer=None,
+               mode: str = "strict", round_to: int | None = 4) -> pd.DataFrame:
+    """Top-k as (doc_id, score_r) where doc_id is the STORED id column
+    and score_r is rounded for float-stable oracle comparison."""
+    res = searcher.search(flt, k=k, scorer=scorer, mode=mode)
+    stored = searcher.fetch_stored(res["doc_id"].to_numpy(), ("doc_id",))
+    out = pd.DataFrame({
+        "doc_id": stored["doc_id"].astype("int64"),
+        "score_r": res["score"].astype(np.float64),
+    })
+    if round_to is not None:
+        # half-up, matching DuckDB ROUND for positive scores (pandas
+        # .round is half-to-even)
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out
+
+
+def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
+    """All matching docs as their stored doc_id (unscored set query)."""
+    docs = searcher.match_docs(flt)
+    stored = searcher.fetch_stored(docs, ("doc_id",))
+    return pd.DataFrame({"doc_id": stored["doc_id"].astype("int64")}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)

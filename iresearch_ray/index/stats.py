@@ -1,0 +1,41 @@
+"""Index-wide term statistics as a Ray Data pipeline.
+
+The merged dictionary view (term -> docs_with_term, total_term_freq
+summed over segments) is the distributed form of the reference's
+field/term collectors (``core/search/term_filter.cpp:92-129``). Per
+segment the stats already sit in ``terms.parquet``; the global view is
+``read_parquet(all segments) -> groupby(term).sum`` — a shuffle over
+(term, 2 ints) rows only, never over posting blobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from iresearch_ray.index.manifest import Manifest
+
+
+def term_stats_dataset(index_dir: str) -> "ray.data.Dataset":
+    """-> Dataset(term, doc_freq, total_tf) aggregated across segments."""
+    man = Manifest.load(index_dir)
+    paths = [
+        os.path.join(man.segment_dir(s), "terms.parquet") for s in man.segments
+    ]
+    ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
+    return ds.groupby("term").aggregate(
+        Sum("doc_freq", alias_name="doc_freq"),
+        Sum("total_tf", alias_name="total_tf"),
+    )
+
+
+def top_terms(index_dir: str, n: int = 10):
+    """Most-frequent terms by document frequency (the
+    ``top_terms_collector`` analogue) -> small pandas frame."""
+    ds = term_stats_dataset(index_dir)
+    pdf = ds.to_pandas()
+    pdf = pdf.sort_values(["doc_freq", "term"], ascending=[False, True],
+                          kind="mergesort").head(n)
+    return pdf.reset_index(drop=True)

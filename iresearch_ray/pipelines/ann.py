@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (brute-force + LSH-bucketed).
+
+Brute-force cosine top-k: the query matrix is broadcast once via
+``ray.put`` and every ``map_batches`` task does one numpy matmul per
+batch against it — per-segment local top-k rows, then a tiny global
+``sort.limit`` (same shape as the BM25 top-k merge). The LSH variant
+buckets vectors by random-hyperplane signs so at scale only matching
+buckets are scanned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+class CosineTopK:
+    """map_batches actor: local cosine top-k per batch vs broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)  # (Q, D)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(self.vec_col))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ self.q.T  # (N, Q)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            if s.size > self.k:
+                part = np.argpartition(-s, self.k)[: self.k]
+            else:
+                part = np.arange(s.size)
+            out_q.append(np.full(part.size, qi, dtype=np.int64))
+            out_id.append(ids[part])
+            out_sim.append(s[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_id)),
+            "cosine": pa.array(np.concatenate(out_sim)),
+        })
+
+
+def cosine_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding", concurrency: int = 4):
+    """Global cosine top-k per query row of ``queries`` (Q, D).
+
+    -> pandas DataFrame (query_id, id_col, cosine) with exactly k rows
+    per query, ordered cosine desc then id asc.
+    """
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # tiny result: Q * k * n_blocks rows -> driver merge
+    pdf = local.to_pandas()
+    pdf = pdf.sort_values(["query_id", "cosine", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    return pdf.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature (B bits) per vector — the bucketed
+    scale path: group by signature, scan only the query's bucket (and
+    neighbors at hamming distance <= r for recall)."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(self.vec_col))
+        signs = (m @ self.planes) > 0  # (N, bits)
+        sig = np.zeros(m.shape[0], dtype=np.int64)
+        for b in range(self.planes.shape[1]):
+            sig |= signs[:, b].astype(np.int64) << b
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "bucket": pa.array(sig),
+        })
+
+
+def lsh_buckets(ds, dim: int, bits: int = 16, id_col="vec_id",
+                vec_col="embedding", concurrency: int = 4):
+    return ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(dim=dim, bits=bits, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis batch stages: token counts, quality scores, language ID,
+document fingerprints — vectorized map_batches transforms for
+training-data pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_STOPWORDS = (
+    "the a an and or of to in is it that for on with as at by be this".split()
+)
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "it", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "se", "del", "las"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une"},
+    "de": {"der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"},
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_tokens / n_chars_seen / avg_token_len / stopword_ratio /
+    alpha_ratio columns (all pyarrow.compute, zero Python loops)."""
+    text = batch.column(text_col)
+    lower = pc.utf8_lower(text)
+    toks = pc.split_pattern_regex(lower, r"[^\pL\pN]+")
+    flat = pc.list_flatten(toks)  # empties masked out below
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    nonempty = flat_np != ""
+    doc_idx = np.repeat(np.arange(len(batch)), lens)
+    n_tokens = np.bincount(doc_idx[nonempty], minlength=len(batch)).astype(np.int64)
+    tok_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_tok_chars = np.bincount(doc_idx, weights=tok_chars, minlength=len(batch))
+    avg_len = np.divide(sum_tok_chars, n_tokens, out=np.zeros(len(batch)), where=n_tokens > 0)
+    is_stop = np.isin(flat_np, _STOPWORDS)
+    stop_counts = np.bincount(doc_idx[is_stop & nonempty], minlength=len(batch))
+    stop_ratio = np.divide(stop_counts, n_tokens, out=np.zeros(len(batch)), where=n_tokens > 0)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    alpha_chars = sum_tok_chars
+    alpha_ratio = np.divide(alpha_chars, n_chars, out=np.zeros(len(batch)),
+                            where=n_chars > 0)
+    return (
+        batch.append_column("n_tokens", pa.array(n_tokens))
+        .append_column("avg_token_len", pa.array(avg_len))
+        .append_column("stopword_ratio", pa.array(stop_ratio))
+        .append_column("alpha_ratio", pa.array(np.minimum(alpha_ratio, 1.0)))
+    )
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite heuristic quality score in [0,1] (length band +
+    stopword presence + alphabetic density)."""
+    t = token_stats(batch, text_col)
+    n = t.column("n_tokens").to_numpy()
+    stop = t.column("stopword_ratio").to_numpy()
+    alpha = t.column("alpha_ratio").to_numpy()
+    len_score = np.clip(n / 20.0, 0, 1) * np.clip((2000 - n) / 2000.0, 0, 1)
+    score = 0.4 * len_score + 0.3 * np.clip(stop * 5, 0, 1) + 0.3 * alpha
+    return t.append_column("quality", pa.array(score))
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram heuristic stand-in for the
+    reference's fastText ``classification`` analyzer — the model-based
+    path is stubbed since no model libs ship in this environment)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs = []
+        for t in texts:
+            toks = set(self.word.findall((t or "").lower()))
+            best, best_n = "unk", 0
+            for lang, prof in _LANG_PROFILES.items():
+                n = len(toks & prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            # CJK heuristic: any han codepoint dominates
+            if t and any("一" <= ch <= "鿿" for ch in t[:200]):
+                best = "zh"
+            langs.append(best)
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text",
+                out_col: str = "fingerprint") -> pa.Table:
+    """64-bit rolling-hash document fingerprint (content identity)."""
+    from iresearch_ray.pipelines.dedup import _hash_strings
+
+    return batch.append_column(
+        out_col, pa.array(_hash_strings(batch.column(text_col)).astype(np.int64))
+    )

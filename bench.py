@@ -1,0 +1,150 @@
+"""Headline benchmark: transcript index build throughput + BM25 top-k
+query latency over the reference's 18 task categories.
+
+    python bench.py              # one JSON line (build + query timings)
+    python bench.py --scaling    # same job at num_cpus=8 and =32 in
+                                 # fresh processes -> scaling efficiency
+
+Env:
+    GRAFT_SF_DIR     testdata dir (default /root/testdata/sf0.1);
+                     only used to scale the synthetic transcript corpus
+                     (sf0.1 -> ~1M turns) and locate the documents table
+                     for the secondary pipeline benchmark.
+    RAY_GRAFT_CPUS   num_cpus for ray.init (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+# corpus sizing per sf (turns ~= convs * 20.5)
+_CORPUS = {
+    "sf0.001": (4, 256),     # ~21k turns
+    "sf0.01": (24, 256),     # ~126k turns
+    "sf0.1": (768, 256),     # ~4.0M turns (FIXTURES: bench >= 1M)
+}
+
+
+def corpus_for(sf_name: str) -> tuple[int, int]:
+    return _CORPUS.get(sf_name, _CORPUS["sf0.1"])
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from iresearch_ray.data.transcripts import write_transcripts_ray
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search.benchmarks import reference_categories
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_parts, convs_per_part = corpus_for(sf_name)
+    corpus = f"/tmp/graft_transcripts_{sf_name}"
+    write_transcripts_ray(corpus, n_parts=n_parts, convs_per_part=convs_per_part)
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    n_turns = 0
+    for f in sorted(os.listdir(corpus)):
+        if f.endswith(".parquet"):
+            n_turns += pq.ParquetFile(os.path.join(corpus, f)).metadata.num_rows
+
+    index_dir = f"/tmp/graft_index_{sf_name}_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # segment size: fixed per-sf (NOT per-cpu) so scaling runs compare
+    # the same pipeline; ~123 segments at sf0.1 keeps both parallelism
+    # levels in full waves while per-segment query overhead stays low.
+    # Stored columns mirror the reference benchmark (WikiDoc stores
+    # title/date, not the indexed body, utils/index-put.cpp:190-258):
+    # excluding `text` halves segment write volume — the 32-cpu build is
+    # otherwise disk-write-bound on this single-disk sandbox.
+    segment_docs = 32768
+    t0 = time.time()
+    man = build_index(corpus, index_dir, segment_docs=segment_docs,
+                      stored_cols=("conv_id", "turn_idx", "role", "ts"))
+    build_sec = time.time() - t0
+
+    # query benchmark: topN=100, repeats, p50/p99 per category
+    searcher = IndexSearcher(index_dir)
+    cats = reference_categories()
+    repeats = 5 if n_turns > 500_000 else 10
+    qtimes: dict[str, float] = {}
+    p99s: dict[str, float] = {}
+    for name, flt in cats.items():
+        samples = []
+        for _ in range(repeats):
+            tq = time.time()
+            searcher.search(flt, k=100, mode="strict")
+            samples.append(time.time() - tq)
+        qtimes[name] = round(statistics.median(samples), 4)
+        p99s[name] = round(max(samples), 4)
+
+    query_total = sum(qtimes.values())
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "segments": len(man.segments),
+        "query_total_sec": round(query_total, 4),
+        "query_p99_sec": p99s,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo)
+        r_hi = run_subprocess(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_8": t_lo,
+            "sec_32": t_hi,
+            "turns_per_sec_8": r_lo["turns_per_sec"],
+            "turns_per_sec_32": r_hi["turns_per_sec"],
+            "sf": r_lo["sf"],
+            "queries": r_hi["queries"],
+        }))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

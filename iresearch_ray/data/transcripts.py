@@ -124,6 +124,39 @@ def write_transcripts(
     return out_dir
 
 
+def write_transcripts_ray(
+    out_dir: str, n_parts: int, convs_per_part: int = 256, seed: int = 42
+) -> str:
+    """Parallel corpus materialization: one Ray task per partition id
+    (deterministic per id — reruns skip existing files)."""
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    missing = [
+        p for p in range(n_parts)
+        if not os.path.exists(os.path.join(out_dir, f"part-{p:05d}.parquet"))
+    ]
+    if not missing:
+        return out_dir
+
+    def gen(batch) -> "pa.Table":
+        import pyarrow as _pa
+
+        for p in batch["id"].tolist():
+            path = os.path.join(out_dir, f"part-{int(p):05d}.parquet")
+            if not os.path.exists(path):
+                tmp = path + f".tmp.{os.getpid()}"
+                pq.write_table(make_transcripts_partition(int(p), convs_per_part, seed), tmp)
+                os.replace(tmp, path)
+        return _pa.table({"id": _pa.array(batch["id"])})
+
+    ray.data.from_items([{"id": p} for p in missing]).map_batches(
+        gen, batch_size=4, batch_format="numpy"
+    ).materialize()
+    return out_dir
+
+
 def make_transcripts(n_convs: int = 200, seed: int = 42) -> pa.Table:
     """Small single-table corpus for unit tests."""
     parts = []

@@ -1,0 +1,189 @@
+"""Segment merge + tiered consolidation (``merge_writer`` analogue).
+
+Reference behaviour (``core/index/merge_writer.cpp:75,151,403-540``):
+build per-segment doc-id maps (renumber contiguous), heap-merge term
+iterators, concatenate remapped postings, merge stored columns. Here the
+same thing is pure dataflow: group segments are ordered by first sort
+key, each segment's local doc ids are re-based by the cumulative doc
+count before it, term tables (already byte-sorted) are k-way merged, and
+per-term posting lists are decoded, offset, concatenated (never
+re-sorted — postings stay ascending by construction) and re-encoded.
+
+Consolidation policy is a simplified ConsolidateTier
+(``core/utils/index_utils.hpp:71-84``): group up to ``max_segments``
+consecutive size-sorted segments whose combined docs stay under
+``max_docs``. The merge round runs as a Ray Data job (one task per
+group) and commits a new manifest generation; old segments are removed
+by ``Manifest.cleanup()``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from iresearch_ray.index.manifest import Manifest
+from iresearch_ray.index.segment import (
+    SUCCESS_MARKER,
+    SegmentReader,
+    encode_postings_table,
+    segment_name,
+)
+
+
+def merge_segments(index_dir: str, group: list[dict]) -> dict:
+    """Merge an ordered group of segment metas into one new segment.
+
+    Pure function of its inputs (idempotent via _SUCCESS marker), so a
+    failed consolidation round can simply be re-run.
+    """
+    import time
+
+    t0 = time.time()
+    group = sorted(group, key=lambda m: tuple(m["first_key"]))
+    readers = [SegmentReader(os.path.join(index_dir, m["name"])) for m in group]
+    bases = np.concatenate(([0], np.cumsum([r.docs_count for r in readers])[:-1]))
+    total_docs = int(sum(r.docs_count for r in readers))
+    first_key = tuple(group[0]["first_key"])
+    last_key = tuple(group[-1]["last_key"])
+    name = segment_name(first_key, total_docs)
+    seg_dir = os.path.join(index_dir, name)
+    if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            return json.load(f)
+
+    # k-way merge of byte-sorted term dictionaries
+    all_terms = np.unique(np.concatenate([r.terms for r in readers]))
+    run_doc_parts, run_tf_parts, pos_parts = [], [], []
+    term_starts = np.empty(all_terms.size, dtype=np.int64)
+    n_runs = 0
+    for i, term in enumerate(all_terms):
+        term_starts[i] = n_runs
+        for r, base in zip(readers, bases):
+            row = r.lookup(term)
+            if row < 0:
+                continue
+            pl = r.postings(row, positions=True)
+            run_doc_parts.append(pl.docs - 1 + base)  # back to 0-based ordinals
+            run_tf_parts.append(pl.tfs)
+            pos_parts.append(pl.positions)
+            n_runs += pl.docs.size
+    run_doc = np.concatenate(run_doc_parts) if run_doc_parts else np.empty(0, np.int64)
+    run_tf = np.concatenate(run_tf_parts) if run_tf_parts else np.empty(0, np.int64)
+    pos_sorted = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+    run_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1])).astype(np.int64) \
+        if run_tf.size else np.empty(0, np.int64)
+    doc_len = np.concatenate([r.norms.astype(np.int64) for r in readers])
+
+    inv = {
+        "vocab": pa.array(all_terms.tolist(), type=pa.string()),
+        "term_starts": term_starts,
+        "run_doc": run_doc,
+        "run_tf": run_tf,
+        "pos_sorted": pos_sorted,
+        "run_starts": run_starts,
+        "doc_len": doc_len,
+    }
+    terms_table = encode_postings_table(inv)
+
+    tmp_dir = seg_dir + f".tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+    pq.write_table(
+        pa.table({"doc_len": pa.array(doc_len.astype(np.int32))}),
+        os.path.join(tmp_dir, "norms.parquet"),
+    )
+    docmap = pa.concat_tables([r.docmap for r in readers])
+    pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
+    elapsed = time.time() - t0
+    meta = {
+        "format_version": group[0].get("format_version", 1),
+        "name": name,
+        "docs_count": total_docs,
+        "docs_with_field": int(sum(r.docs_with_field for r in readers)),
+        "sum_doc_len": int(sum(r.sum_doc_len for r in readers)),
+        "n_terms": terms_table.num_rows,
+        "first_key": list(first_key),
+        "last_key": list(last_key),
+        "text_col": group[0].get("text_col", "text"),
+        "key_cols": group[0].get("key_cols", ["conv_id", "turn_idx"]),
+        "analyzer": group[0].get("analyzer", {"name": "segmentation", "options": {}}),
+        "lineage": {
+            "merged_from": [m["name"] for m in group],
+            "encode_sec": round(elapsed, 4),
+            "docs_per_sec": round(total_docs / elapsed, 1) if elapsed > 0 else None,
+        },
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(tmp_dir, SUCCESS_MARKER), "w") as f:
+        f.write("")
+    try:
+        os.rename(tmp_dir, seg_dir)
+    except OSError:
+        import shutil
+
+        if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            raise
+    return meta
+
+
+def plan_tier(segments: list[dict], min_segments: int = 2,
+              max_segments: int = 10, max_docs: int = 10_000_000) -> list[list[dict]]:
+    """Tiered candidate selection: consecutive (by first_key) runs of
+    small segments, merged bottom-up."""
+    ordered = sorted(segments, key=lambda m: tuple(m["first_key"]))
+    groups, cur, cur_docs = [], [], 0
+    for m in ordered:
+        if cur and (len(cur) >= max_segments or cur_docs + m["docs_count"] > max_docs):
+            if len(cur) >= min_segments:
+                groups.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(m)
+        cur_docs += m["docs_count"]
+    if len(cur) >= min_segments:
+        groups.append(cur)
+    return groups
+
+
+def consolidate(index_dir: str, min_segments: int = 2, max_segments: int = 10,
+                max_docs: int = 10_000_000, cleanup: bool = True) -> Manifest:
+    """One consolidation round as a Ray Data job (one task per group);
+    commits a new manifest generation referencing merged segments."""
+    import ray.data
+
+    man = Manifest.load(index_dir)
+    groups = plan_tier(man.segments, min_segments, max_segments, max_docs)
+    if not groups:
+        return man
+    grouped_names = {m["name"] for g in groups for m in g}
+    untouched = [m for m in man.segments if m["name"] not in grouped_names]
+
+    def do_merge(batch) -> pa.Table:
+        out = []
+        for gj in batch["group_json"]:
+            meta = merge_segments(index_dir, json.loads(gj))
+            out.append(json.dumps(meta))
+        return pa.table({"meta_json": pa.array(out)})
+
+    items = [{"group_json": json.dumps(g)} for g in groups]
+    merged = (
+        ray.data.from_items(items)
+        .map_batches(do_merge, batch_size=1, batch_format="numpy")
+        .take_all()
+    )
+    new_metas = untouched + [json.loads(r["meta_json"]) for r in merged]
+    # strip stale doc_base before recommit
+    for m in new_metas:
+        m.pop("doc_base", None)
+    man2 = Manifest.commit(index_dir, new_metas)
+    if cleanup:
+        man2.cleanup()
+    return man2

@@ -462,17 +462,38 @@ def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndar
     n_blocks = offsets.size
     full = count // BLOCK_SIZE
     out = np.empty(count, dtype=np.int64)
-    pos = 0
-    for j in range(n_blocks):
-        if j < full:
-            out[pos : pos + BLOCK_SIZE] = bitunpack_block(blob, int(offsets[j]))
-            pos += BLOCK_SIZE
-        else:
-            end = int(offsets[j + 1]) if j + 1 < n_blocks else blob.size
-            vals = varint_decode(blob[int(offsets[j]) : end], count=count - pos)
-            out[pos : pos + vals.size] = vals.astype(np.int64)
-            pos += vals.size
+    if full:
+        vals = _batch_unpack_full(blob, offsets[:full].astype(np.int64))
+        out[: full * BLOCK_SIZE] = vals.ravel()
+    pos = full * BLOCK_SIZE
+    if pos < count:
+        start = int(offsets[full]) if full < n_blocks else blob.size
+        vals = varint_decode(blob[start:], count=count - pos)
+        out[pos:] = vals.astype(np.int64)
+        pos += vals.size
     assert pos == count, f"decoded {pos} of {count}"
+    return out
+
+
+def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Decode many full bitpacked blocks at once -> (n, BLOCK_SIZE) int64.
+
+    Groups blocks by bit width: ONE unpackbits call per distinct width
+    instead of one per block (the numpy stand-in for the reference's
+    SIMD batch unpack, ``core/utils/simd_utils.hpp``)."""
+    n = offs.size
+    out = np.empty((n, BLOCK_SIZE), dtype=np.int64)
+    widths = blob[offs].astype(np.int64)
+    for w in np.unique(widths):
+        g = np.flatnonzero(widths == w)
+        nb = (BLOCK_SIZE * int(w) + 7) // 8
+        gather = (offs[g][:, None] + 1 + np.arange(nb)).ravel()
+        bits = np.unpackbits(
+            blob[gather].reshape(g.size, nb), axis=1,
+            count=BLOCK_SIZE * int(w), bitorder="little",
+        ).reshape(g.size, BLOCK_SIZE, int(w))
+        shifts = np.arange(int(w), dtype=np.uint64)
+        out[g] = (bits.astype(np.uint64) << shifts).sum(axis=2).astype(np.int64)
     return out
 
 
@@ -531,3 +552,25 @@ class BlockCursor:
             tfs = varint_decode(self.freq_blob[int(self.freq_off[j]) : f_end], cnt).astype(np.int64)
         docs = base + np.cumsum(deltas)
         return docs, tfs
+
+    def decode_blocks(self, idxs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batched decode of a selected set of block ordinals (ascending)
+        -> concatenated (docs, tfs). Full blocks use the width-grouped
+        batch unpack; bases come from the skip list's last_doc."""
+        if idxs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        full_n = self.df // BLOCK_SIZE
+        full_sel = idxs[idxs < full_n]
+        parts_d, parts_t = [], []
+        if full_sel.size:
+            d_deltas = _batch_unpack_full(self.doc_blob, self.doc_off[full_sel])
+            tfs = _batch_unpack_full(self.freq_blob, self.freq_off[full_sel])
+            bases = np.where(full_sel > 0, self.last_doc[full_sel - 1], 0)
+            docs = np.cumsum(d_deltas, axis=1) + bases[:, None]
+            parts_d.append(docs.ravel())
+            parts_t.append(tfs.ravel())
+        if idxs[-1] >= full_n:  # tail block selected
+            d, t = self.decode_block(self.n_blocks - 1)
+            parts_d.append(d)
+            parts_t.append(t)
+        return np.concatenate(parts_d), np.concatenate(parts_t)

@@ -195,6 +195,31 @@ class Phrase(Filter):
 
 
 @dataclass
+class NGramSimilarity(Filter):
+    """Approximate n-gram similarity (``core/search/ngram_similarity_filter.hpp``):
+    docs containing >= ``threshold`` fraction of the query's word
+    n-grams match; the match ratio scales the score (filter_boost
+    semantics). Divergence: the reference requires the common n-grams
+    to appear in order (longest common chain); this implementation
+    counts unordered presence — same candidates for threshold<=0.5
+    n-gram workloads, noted for parity review."""
+
+    text: str
+    threshold: float = 0.7
+    ngram: int = 2
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        words = self.text.split()
+        grams = [words[i : i + self.ngram] for i in range(len(words) - self.ngram + 1)]
+        if not grams:
+            return PreparedEmpty(scorer)
+        children = [Phrase(g).prepare(searcher, scorer, boost * self.boost)
+                    for g in grams]
+        return PreparedNGramSimilarity(children, self.threshold, scorer)
+
+
+@dataclass
 class And(Filter):
     filters: list = dc_field(default_factory=list)
     boost: float = 1.0
@@ -415,6 +440,33 @@ class PreparedPhrase(Prepared):
         docs, tfs = np.unique(docs_all, return_counts=True)
         dls = seg.norms[docs - 1]
         return docs, self.scorer.score(self.ctx, tfs, dls)
+
+
+class PreparedNGramSimilarity(Prepared):
+    def __init__(self, children, threshold, scorer):
+        super().__init__(scorer)
+        self.children = children
+        self.threshold = threshold
+
+    def execute(self, seg_ord):
+        m = len(self.children)
+        parts = [c.execute(seg_ord) for c in self.children]
+        parts = [(d, s) for d, s in parts if d.size]
+        if not parts:
+            return _empty(self.dtype)
+        docs = np.concatenate([d for d, _ in parts])
+        scores = np.concatenate([s for _, s in parts])
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        starts = np.flatnonzero(np.diff(docs, prepend=-1))
+        counts = np.diff(np.append(starts, docs.size))
+        ratio = counts / m
+        keep = ratio >= self.threshold
+        out_docs = docs[starts][keep]
+        out_scores = (
+            np.add.reduceat(scores, starts)[keep] * ratio[keep]
+        ).astype(self.dtype)
+        return out_docs, out_scores
 
 
 class PreparedAll(Prepared):

@@ -93,6 +93,12 @@ class BM25:
         c1 = ctx.norm_const + ctx.norm_length * dt(min_dl)
         return float(ctx.c0 - ctx.c0 * c1 / (c1 + dt(max_tf)))
 
+    def upper_bound_many(self, ctx: ScoreCtx, max_tf: np.ndarray,
+                         min_dl: np.ndarray) -> np.ndarray:
+        dt = ctx.dtype
+        c1 = ctx.norm_const + ctx.norm_length * min_dl.astype(dt)
+        return ctx.c0 - ctx.c0 * c1 / (c1 + max_tf.astype(dt))
+
 
 class TFIDF:
     name = "tfidf"
@@ -121,6 +127,14 @@ class TFIDF:
         if self.with_norms:
             ub = ub / np.sqrt(dt(min_dl))
         return float(ub)
+
+    def upper_bound_many(self, ctx: ScoreCtx, max_tf: np.ndarray,
+                         min_dl: np.ndarray) -> np.ndarray:
+        dt = ctx.dtype
+        ub = ctx.c0 * np.sqrt(max_tf.astype(dt))
+        if self.with_norms:
+            ub = ub / np.sqrt(min_dl.astype(dt))
+        return ub
 
 
 def get_scorer(name: str, **kwargs):

@@ -47,33 +47,61 @@ class TermState:
 
 
 class TopK:
-    """Global top-k collector with strict-threshold semantics."""
+    """Global top-k collector with strict-threshold semantics.
+
+    Pushes are buffered and compacted (exact lexsort truncate) only when
+    the buffer exceeds ~max(4096, 4k) candidates, so per-block pushes in
+    the WAND loop cost O(batch) amortized. Between compactions
+    ``threshold`` is a valid (stale, lower) bound — pruning with it is
+    always safe."""
 
     def __init__(self, k: int, dtype=np.float32):
         self.k = k
-        self.docs = np.empty(0, dtype=np.int64)
-        self.scores = np.empty(0, dtype=dtype)
         self.dtype = dtype
+        self._bufs: list[tuple[np.ndarray, np.ndarray]] = []
+        self._buffered = 0
+        self._limit = max(4096, 4 * k)
+        self._thr = -np.inf
+        self._seen = 0
 
     @property
     def threshold(self) -> float:
-        if self.scores.size < self.k:
-            return -np.inf
-        return float(self.scores[-1])
+        return self._thr
 
     def push(self, docs: np.ndarray, scores: np.ndarray) -> None:
         if docs.size == 0:
             return
-        thr = self.threshold
-        if np.isfinite(thr):
-            keep = scores > thr  # strict: ties keep the earlier doc
-            docs, scores = docs[keep], scores[keep]
+        if np.isfinite(self._thr):
+            keep = scores > self._thr  # strict: ties keep the earlier doc
+            if not keep.all():
+                docs, scores = docs[keep], scores[keep]
             if docs.size == 0:
                 return
-        docs = np.concatenate([self.docs, docs])
-        scores = np.concatenate([self.scores, scores])
+        self._bufs.append((docs, scores))
+        self._buffered += docs.size
+        self._seen += docs.size
+        if self._buffered > self._limit:
+            self._compact()
+
+    def _compact(self) -> None:
+        docs = np.concatenate([d for d, _ in self._bufs])
+        scores = np.concatenate([s for _, s in self._bufs])
         order = np.lexsort((docs, -scores.astype(np.float64)))[: self.k]
-        self.docs, self.scores = docs[order], scores[order]
+        docs, scores = docs[order], scores[order]
+        self._bufs = [(docs, scores)]
+        self._buffered = docs.size
+        if docs.size >= self.k:
+            self._thr = float(scores[-1])
+
+    @property
+    def docs(self) -> np.ndarray:
+        self._compact() if self._bufs else None
+        return self._bufs[0][0] if self._bufs else np.empty(0, dtype=np.int64)
+
+    @property
+    def scores(self) -> np.ndarray:
+        self._compact() if self._bufs else None
+        return self._bufs[0][1] if self._bufs else np.empty(0, dtype=self.dtype)
 
 
 class IndexSearcher:
@@ -161,28 +189,32 @@ class IndexSearcher:
         return int(self.match_docs(flt).size)
 
     # -- WAND --------------------------------------------------------------
+    _WAND_CHUNK = 64  # blocks (8192 docs) per prune-decode-score round
+
     def _wand_term(self, prepared: PreparedTerm, seg_ord: int, base: int, col: TopK):
+        """Block-max pruned scan: per chunk of blocks, drop every block
+        whose upper bound <= current threshold, batch-decode the
+        survivors, score vectorized, push once."""
         row = prepared.state.rows[seg_ord]
         if row < 0:
             return
         seg = self.segments[seg_ord]
         cur = seg.cursor(int(row))
         norms = seg.norms
-        for j in range(cur.n_blocks):
+        ubs = prepared.scorer.upper_bound_many(
+            prepared.ctx, cur.max_tf, cur.min_dl
+        )
+        C = self._WAND_CHUNK
+        for start in range(0, cur.n_blocks, C):
+            chunk = np.arange(start, min(start + C, cur.n_blocks))
             thr = col.threshold
             if np.isfinite(thr):
-                ub = self.scorer_ub(prepared, cur, j)
-                if ub <= thr:
-                    continue  # skip the whole 128-doc block
-            docs, tfs = cur.decode_block(j)
+                chunk = chunk[ubs[chunk] > thr]
+                if chunk.size == 0:
+                    continue
+            docs, tfs = cur.decode_blocks(chunk)
             scores = prepared.scorer.score(prepared.ctx, tfs, norms[docs - 1])
             col.push(docs + base, scores)
-
-    @staticmethod
-    def scorer_ub(prepared: PreparedTerm, cur, j: int) -> float:
-        return prepared.scorer.upper_bound(
-            prepared.ctx, float(cur.max_tf[j]), float(cur.min_dl[j])
-        )
 
     # -- result assembly ---------------------------------------------------
     def _scorer(self, scorer):

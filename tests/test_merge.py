@@ -1,0 +1,104 @@
+"""merge(S1..Sk) must be query-equivalent to index(concat) — the
+analogue of the reference's merge_writer tests."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.analysis.analyzers import get_analyzer
+from iresearch_ray.index.manifest import Manifest
+from iresearch_ray.index.merge import consolidate, merge_segments, plan_tier
+from iresearch_ray.index.segment import write_segment
+from iresearch_ray.search import filters as F
+from iresearch_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def many_segment_index(tmp_path_factory, small_corpus):
+    idx = str(tmp_path_factory.mktemp("merge_idx"))
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    metas = []
+    step = n // 5
+    for i in range(5):
+        lo = i * step
+        hi = n if i == 4 else (i + 1) * step
+        metas.append(write_segment(idx, small_corpus.slice(lo, hi - lo), an))
+    Manifest.commit(idx, metas)
+    return idx
+
+
+QUERIES = [
+    F.Term("the"),
+    F.Term("deploy"),
+    F.Phrase(["ref", "name"]),
+    F.Or([F.Term("ref"), F.Term("second")]),
+    F.And([F.Term("the"), F.Term("ok")]),
+    F.Prefix("sec"),
+]
+
+
+def test_merge_equivalent_to_direct_index(many_segment_index, searcher):
+    """5 segments merged into 1 == the 2-segment index built directly
+    (both == global corpus)."""
+    man = Manifest.load(many_segment_index)
+    merged_meta = merge_segments(many_segment_index, man.segments)
+    merged_meta.pop("doc_base", None)
+    Manifest.commit(many_segment_index, [merged_meta])
+    s_merged = IndexSearcher(many_segment_index)
+    assert len(s_merged.segments) == 1
+    for flt in QUERIES:
+        a = s_merged.search(flt, k=30, mode="all")
+        b = searcher.search(flt, k=30, mode="all")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), flt
+        np.testing.assert_allclose(
+            a["score"].to_numpy(), b["score"].to_numpy(), rtol=1e-6
+        )
+
+
+def test_merge_preserves_positions(many_segment_index):
+    s = IndexSearcher(many_segment_index)
+    seg = s.segments[0]
+    row = seg.lookup("ref")
+    pl = seg.postings(row, positions=True)
+    assert pl.positions is not None and (pl.positions >= 0).all()
+    assert pl.docs.size == seg.doc_freq[row]
+
+
+def test_plan_tier_groups():
+    segs = [
+        {"name": f"s{i}", "first_key": [f"c{i:02d}", 0], "last_key": [f"c{i:02d}", 9],
+         "docs_count": 100}
+        for i in range(7)
+    ]
+    groups = plan_tier(segs, min_segments=2, max_segments=3)
+    assert [len(g) for g in groups] == [3, 3]  # trailing singleton dropped
+    assert groups[0][0]["name"] == "s0"
+
+
+def test_consolidate_round(ray_session, tmp_path, small_corpus):
+    idx = str(tmp_path / "cidx")
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    metas = []
+    step = n // 4
+    for i in range(4):
+        lo = i * step
+        hi = n if i == 3 else (i + 1) * step
+        metas.append(write_segment(idx, small_corpus.slice(lo, hi - lo), an))
+    Manifest.commit(idx, metas)
+
+    before = IndexSearcher(idx).search(F.Term("ref"), k=10, mode="all")
+    man2 = consolidate(idx, min_segments=2, max_segments=4)
+    assert man2.generation == 2
+    assert len(man2.segments) == 1
+    assert man2.segments[0]["lineage"]["merged_from"] == [m["name"] for m in sorted(metas, key=lambda m: tuple(m["first_key"]))]
+    after = IndexSearcher(idx).search(F.Term("ref"), k=10, mode="all")
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    np.testing.assert_allclose(
+        before["score"].to_numpy(), after["score"].to_numpy(), rtol=1e-6
+    )
+    # old segment dirs were garbage-collected
+    import os
+
+    dirs = [d for d in os.listdir(idx) if d.startswith("seg-")]
+    assert dirs == [man2.segments[0]["name"]]

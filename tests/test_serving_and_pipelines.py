@@ -1,0 +1,151 @@
+"""Query parser, batch serving actor pool, and dedup/ANN/textstats
+pipelines."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from iresearch_ray.search import filters as F
+from iresearch_ray.search.parser import parse_query
+
+
+def test_parser_shapes():
+    assert isinstance(parse_query("hello"), F.Term)
+    assert isinstance(parse_query('"a b"'), F.Phrase)
+    q = parse_query("+a +b")
+    assert isinstance(q, F.And) and len(q.filters) == 2
+    q = parse_query("a b c")
+    assert isinstance(q, F.Or) and len(q.filters) == 3
+    assert isinstance(parse_query("pre*"), F.Prefix)
+    assert isinstance(parse_query("wi*d"), F.Wildcard)
+    f = parse_query("term~2")
+    assert isinstance(f, F.Fuzzy) and f.max_distance == 2
+    q = parse_query("2 a b c")
+    assert isinstance(q, F.Or) and q.min_match == 2
+    q = parse_query("+a -b")
+    assert isinstance(q, F.And)
+
+
+def test_parser_matches_direct_filters(searcher):
+    for text, flt in [
+        ("ref", F.Term("ref")),
+        ('"ref name"', F.Phrase(["ref", "name"])),
+        ("+the +ref", F.And([F.Term("the"), F.Term("ref")])),
+        ("the ref", F.Or([F.Term("the"), F.Term("ref")])),
+        ("sec*", F.Prefix("sec")),
+        ("deploy~1", F.Fuzzy("deploy", 1)),
+        ("2 the ref deploy", F.Or([F.Term("the"), F.Term("ref"), F.Term("deploy")], min_match=2)),
+    ]:
+        a = searcher.search(parse_query(text), k=15, mode="all")
+        b = searcher.search(flt, k=15, mode="all")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), text
+
+
+def test_search_batch_actor_pool(ray_session, small_index, searcher):
+    from iresearch_ray.search.serving import search_batch
+
+    queries = [("q1", "ref"), ("q2", '"ref name"'), ("q3", "+the +ok"),
+               ("q4", "sec*")]
+    out = search_batch(small_index, queries, k=10, concurrency=2).to_pandas()
+    assert set(out["qid"]) == {"q1", "q2", "q3", "q4"}
+    direct = searcher.search(F.Term("ref"), k=10)
+    got = out[out["qid"] == "q1"].sort_values("rank")
+    assert got["doc_id"].tolist() == direct["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               direct["score"].to_numpy().astype(np.float64),
+                               rtol=1e-6)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(["aa", "bb", "aa", "cc", "bb", "aa"]),
+    })
+    out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import minhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base.replace("today", "tomorrow"),
+             "completely different words about ray data pipelines and arrow",
+             "unrelated content mentioning neither foxes nor dogs at all ok"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = minhash_candidates(ray.data.from_arrow(t), bands=32, num_hashes=64).to_pandas()
+    pairs = set(zip(out["rep_id"], out["dup_id"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_similarity(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import simhash_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array([base, base + " today",
+                                    "zebra xylophone quantum entanglement theory"])})
+    out = simhash_fingerprints(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    fp = out["simhash"].to_numpy().astype(np.uint64)
+    d12 = bin(int(fp[0]) ^ int(fp[1])).count("1")
+    d13 = bin(int(fp[0]) ^ int(fp[2])).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import cosine_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8))
+    vecs[17] = vecs[3] * 2.0  # same direction as 3
+    t = pa.table({"vec_id": pa.array(np.arange(50), type=pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32()))})
+    pdf = cosine_topk(ray.data.from_arrow(t), vecs[3:4], k=2)
+    assert pdf["vec_id"].tolist()[:2] in ([3, 17], [17, 3])
+    # brute-force oracle
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    f32 = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    nf = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+    sims = nf @ (f32[3] / np.linalg.norm(f32[3]))
+    exp = np.argsort(-sims, kind="stable")[:2]
+    assert sorted(pdf["vec_id"].tolist()) == sorted(exp.tolist())
+
+
+def test_token_stats_vectorized():
+    from iresearch_ray.pipelines.textstats import token_stats
+
+    t = pa.table({"text": pa.array(["The quick fox", "", "a a a", None])})
+    out = token_stats(t)
+    assert out.column("n_tokens").to_pylist() == [3, 0, 3, 0]
+    assert out.column("stopword_ratio").to_pylist()[2] == pytest.approx(1.0)
+
+
+def test_lang_id():
+    from iresearch_ray.pipelines.textstats import LangId
+
+    li = LangId()
+    t = pa.table({"text": pa.array([
+        "the cat and the dog in the house",
+        "el perro y el gato en la casa de los",
+        "der hund und die katze ist mit dem haus",
+    ])})
+    out = li(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "es", "de"]
+
+
+def test_ngram_similarity_filter(searcher):
+    res = searcher.match_docs(F.NGramSimilarity("ref name", threshold=1.0))
+    exp = searcher.match_docs(F.Phrase(["ref", "name"]))
+    assert sorted(res.tolist()) == sorted(exp.tolist())

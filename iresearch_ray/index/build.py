@@ -122,15 +122,21 @@ def build_index(
         ds = ds.sort(list(key_cols))
 
     if concurrency is None:
-        # half the CPUs for the encoder pool, half for the read stage.
-        # Reserving (nearly) all CPUs starves the reads: input blocks
-        # then trickle into the pool one at a time and Ray Data's
-        # dispatch keeps feeding the same few actors — measured 3/31
-        # actors utilized and 4x worse wall time at 32 CPUs.
+        # Leave CPUs for the read stage: reserving (nearly) all CPUs
+        # starves the reads — input blocks then trickle into the pool
+        # one at a time and dispatch clumps onto a few actors (measured
+        # 3/31 actors utilized and 4x worse wall time at 32 CPUs).
         try:
-            concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
+            cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
-            concurrency = 4
+            cpus = 4
+        concurrency = max(1, cpus - 4) if cpus >= 16 else max(1, cpus // 2)
+    # spread work across the whole pool: with the default
+    # max_tasks_in_flight(4) + locality preference, early actors hoard
+    # queued batches while late actors never see work
+    ctx = ray.data.DataContext.get_current()
+    ctx.max_tasks_in_flight_per_actor = 1
+    ctx.execution_options.actor_locality_enabled = False
     encoder_kwargs = dict(
         index_dir=index_dir,
         analyzer=analyzer,

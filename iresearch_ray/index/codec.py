@@ -89,6 +89,29 @@ def bitpack_block(values: np.ndarray) -> bytes:
     return bytes([width]) + packed.tobytes()
 
 
+_POWERS = (np.uint64(1) << np.arange(1, 33, dtype=np.uint64)) - np.uint64(1)
+
+
+def bitpack_many(v2d: np.ndarray) -> list[bytes]:
+    """Pack many full blocks at once: (n, BLOCK_SIZE) -> list of encoded
+    block bytes (1 width byte + packed bits each). Grouped by width so
+    there is one packbits call per distinct width."""
+    v = np.ascontiguousarray(v2d, dtype=np.uint32)
+    n = v.shape[0]
+    maxs = v.max(axis=1)
+    widths = np.searchsorted(_POWERS, maxs, side="left") + 1  # bits needed
+    out: list[bytes] = [b""] * n
+    for w in np.unique(widths):
+        g = np.flatnonzero(widths == w)
+        shifts = np.arange(int(w), dtype=np.uint32)
+        bits = ((v[g][:, :, None] >> shifts) & np.uint32(1)).astype(np.uint8)
+        packed = np.packbits(bits.reshape(g.size, -1), axis=1, bitorder="little")
+        hdr = bytes([int(w)])
+        for r, row in zip(g, packed):
+            out[r] = hdr + row.tobytes()
+    return out
+
+
 def bitpack_block_size(width: int) -> int:
     """Encoded byte size (incl. width header) of a full block."""
     return 1 + (BLOCK_SIZE * width + 7) // 8

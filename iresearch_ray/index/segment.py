@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 
 from iresearch_ray.analysis.analyzers import Analyzer
 from iresearch_ray.index.codec import (
+    bitpack_many,
     BLOCK_SIZE,
     bitpack_block,
     bitunpack_block,
@@ -161,6 +162,31 @@ def encode_postings_table(inv: dict) -> pa.Table:
 
     run_dl = doc_len[run_doc]  # doc length per run (for block min-dl)
 
+    # vectorized per-term reductions (one reduceat each instead of
+    # numpy scalar calls inside the term loop — the loop itself only
+    # slices bytes for the common df<128 case)
+    total_tf = np.add.reduceat(run_tf, term_starts).astype(np.int64) \
+        if n_terms else np.empty(0, np.int64)
+    term_max_tf = np.maximum.reduceat(run_tf, term_starts) if n_terms else total_tf
+    term_min_dl = np.minimum.reduceat(run_dl, term_starts) if n_terms else total_tf
+    term_ends = np.append(term_starts[1:], n_runs)
+    term_last_doc = local_doc[term_ends - 1] if n_terms else total_tf
+
+    doc_bytes = doc_blob_all.tobytes()
+    freq_bytes = freq_blob_all.tobytes()
+    pos_bytes = pos_blob_all.tobytes()
+    t_pos_starts = pos_byte_starts[term_starts] if n_terms else np.empty(0, np.int64)
+    t_pos_ends = run_pos_end[term_ends - 1] if n_terms else np.empty(0, np.int64)
+
+    # python-int views for the slicing loop
+    L_df = df.tolist()
+    L_ds, L_de = doc_byte_starts.tolist(), doc_end.tolist()
+    L_fs, L_fe = freq_byte_starts.tolist(), freq_end.tolist()
+    L_ps, L_pe = t_pos_starts.tolist(), t_pos_ends.tolist()
+    L_last = term_last_doc.tolist()
+    L_mtf = term_max_tf.tolist()
+    L_mdl = term_min_dl.tolist()
+
     doc_blobs: list[bytes] = []
     freq_blobs: list[bytes] = []
     pos_blobs: list[bytes] = []
@@ -170,56 +196,54 @@ def encode_postings_table(inv: dict) -> pa.Table:
     blk_pos_off: list[list[int]] = []
     blk_max_tf: list[list[int]] = []
     blk_min_dl: list[list[int]] = []
-    total_tf = np.zeros(n_terms, dtype=np.int64)
+    ZERO = [0]
 
     for i in range(n_terms):
-        s = term_starts[i]
-        e = s + df[i]
-        tfs = run_tf[s:e]
-        total_tf[i] = int(tfs.sum())
-        t_pos_start = pos_byte_starts[s]
-        pos_blobs.append(pos_blob_all[t_pos_start : run_pos_end[e - 1]].tobytes())
-        if df[i] < BLOCK_SIZE:
-            doc_blobs.append(doc_blob_all[doc_byte_starts[i] : doc_end[i]].tobytes())
-            freq_blobs.append(freq_blob_all[freq_byte_starts[i] : freq_end[i]].tobytes())
-            blk_last.append([int(local_doc[e - 1])])
-            blk_doc_off.append([0])
-            blk_freq_off.append([0])
-            blk_pos_off.append([0])
-            blk_max_tf.append([int(tfs.max())])
-            blk_min_dl.append([int(run_dl[s:e].min())])
+        pos_blobs.append(pos_bytes[L_ps[i] : L_pe[i]])
+        if L_df[i] < BLOCK_SIZE:
+            doc_blobs.append(doc_bytes[L_ds[i] : L_de[i]])
+            freq_blobs.append(freq_bytes[L_fs[i] : L_fe[i]])
+            blk_last.append([L_last[i]])
+            blk_doc_off.append(ZERO)
+            blk_freq_off.append(ZERO)
+            blk_pos_off.append(ZERO)
+            blk_max_tf.append([L_mtf[i]])
+            blk_min_dl.append([L_mdl[i]])
         else:
+            s = term_starts[i]
+            e = s + df[i]
+            tfs = run_tf[s:e]
+            t_pos_start = pos_byte_starts[s]
             deltas = doc_deltas[s:e]
             docs = local_doc[s:e]
             dls = run_dl[s:e]
             n = int(df[i])
             full = n // BLOCK_SIZE
-            has_tail = (n % BLOCK_SIZE) != 0
-            d_parts, f_parts = [], []
-            d_off, f_off, p_off = [], [], []
-            last, mtf, mdl = [], [], []
-            dpos = fpos = 0
-            for j in range(full):
-                lo, hi = j * BLOCK_SIZE, (j + 1) * BLOCK_SIZE
-                db = bitpack_block(deltas[lo:hi])
-                fb = bitpack_block(tfs[lo:hi])
-                d_off.append(dpos); f_off.append(fpos)
-                p_off.append(int(pos_byte_starts[s + lo] - t_pos_start))
-                d_parts.append(db); f_parts.append(fb)
-                dpos += len(db); fpos += len(fb)
-                last.append(int(docs[hi - 1]))
-                mtf.append(int(tfs[lo:hi].max()))
-                mdl.append(int(dls[lo:hi].min()))
+            cut = full * BLOCK_SIZE
+            has_tail = n != cut
+            d_parts = bitpack_many(deltas[:cut].reshape(full, BLOCK_SIZE))
+            f_parts = bitpack_many(tfs[:cut].reshape(full, BLOCK_SIZE))
+            last = docs[BLOCK_SIZE - 1 : cut : BLOCK_SIZE].tolist()
+            mtf = tfs[:cut].reshape(full, BLOCK_SIZE).max(axis=1).tolist()
+            mdl = dls[:cut].reshape(full, BLOCK_SIZE).min(axis=1).tolist()
+            p_off = (
+                pos_byte_starts[s : s + cut : BLOCK_SIZE] - t_pos_start
+            ).tolist()
+            d_off = np.concatenate(
+                ([0], np.cumsum([len(b) for b in d_parts])[:-1])
+            ).tolist() if full else []
+            f_off = np.concatenate(
+                ([0], np.cumsum([len(b) for b in f_parts])[:-1])
+            ).tolist() if full else []
             if has_tail:
-                lo = full * BLOCK_SIZE
-                d_off.append(dpos); f_off.append(fpos)
-                p_off.append(int(pos_byte_starts[s + lo] - t_pos_start))
-                db = varint_encode(deltas[lo:])
-                fb = varint_encode(tfs[lo:])
-                d_parts.append(db); f_parts.append(fb)
+                d_off.append(d_off[-1] + len(d_parts[-1]) if full else 0)
+                f_off.append(f_off[-1] + len(f_parts[-1]) if full else 0)
+                p_off.append(int(pos_byte_starts[s + cut] - t_pos_start))
+                d_parts.append(varint_encode(deltas[cut:]))
+                f_parts.append(varint_encode(tfs[cut:]))
                 last.append(int(docs[-1]))
-                mtf.append(int(tfs[lo:].max()))
-                mdl.append(int(dls[lo:].min()))
+                mtf.append(int(tfs[cut:].max()))
+                mdl.append(int(dls[cut:].min()))
             doc_blobs.append(b"".join(d_parts))
             freq_blobs.append(b"".join(f_parts))
             blk_last.append(last)
@@ -363,6 +387,11 @@ class SegmentReader:
         self._postings: pa.Table | None = None
         self._norms: np.ndarray | None = None
         self._docmap: pa.Table | None = None
+        # bounded FIFO cache of decoded posting lists (hot terms are
+        # re-read across queries; the reference relies on mmap + OS page
+        # cache for the same effect, core/store/caching_directory.hpp)
+        self._pl_cache: dict[tuple[int, bool], "PostingList"] = {}
+        self._pl_cache_max = 256
 
     # --- stats -----------------------------------------------------------
     @property
@@ -419,7 +448,21 @@ class SegmentReader:
         return self._postings.slice(idx, 1)
 
     def postings(self, idx: int, positions: bool = False):
-        """Fully decode term ``idx`` -> PostingList (exhaustive path)."""
+        """Fully decode term ``idx`` -> PostingList (exhaustive path).
+        Decoded lists are cached (bounded FIFO)."""
+        key = (idx, positions)
+        hit = self._pl_cache.get(key)
+        if hit is None and positions is False:
+            hit = self._pl_cache.get((idx, True))  # positions superset
+        if hit is not None:
+            return hit
+        pl = self._decode_postings(idx, positions)
+        if len(self._pl_cache) >= self._pl_cache_max:
+            self._pl_cache.pop(next(iter(self._pl_cache)))
+        self._pl_cache[key] = pl
+        return pl
+
+    def _decode_postings(self, idx: int, positions: bool = False):
         row = self._posting_row(idx)
         df = int(self.doc_freq[idx])
         doc_blob = np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8)

@@ -180,6 +180,23 @@ def _q_not(sf_dir: str):
     return match_frame(s, F.And([F.Term("customer"), F.Not(F.Term("vector"))]))
 
 
+def _q_lang_field_stats(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, field_term_stats
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return field_term_stats(s, "lang")[["term", "doc_freq"]]
+
+
+def _q_field_and_text(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s, F.And([F.Term("customer"), F.Term("en", field="lang")])
+    )
+
+
 def _q_term_stats(sf_dir: str):
     from iresearch_ray.api import documents_searcher, documents_index_dir
     from iresearch_ray.index.stats import term_stats_dataset
@@ -339,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmatch_2of3": _q_minmatch,
         "not_match": _q_not,
         "term_stats": _q_term_stats,
+        "lang_field_stats": _q_lang_field_stats,
+        "field_and_text": _q_field_and_text,
         "doc_lengths": _q_doc_lengths,
         "exact_dedup": _q_exact_dedup,
         "quality_stats": _q_quality,
@@ -420,6 +439,16 @@ SELECT doc_id FROM (
         "term_stats": _TOK_SQL + """
 SELECT term, dwt AS doc_freq, ttf_term AS total_tf
 FROM df ORDER BY term
+""",
+        "lang_field_stats": """
+SELECT lang AS term, count(*) AS doc_freq
+FROM documents GROUP BY lang ORDER BY term
+""",
+        "field_and_text": _TOK_SQL + """
+SELECT DISTINCT t.doc_id AS doc_id
+FROM term_pos t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.term = 'customer' AND d.lang = 'en'
+ORDER BY doc_id
 """,
         "doc_lengths": _TOK_SQL + """
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM dl ORDER BY doc_id

@@ -19,7 +19,11 @@ _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
 def documents_index_dir(sf_dir: str, segment_docs: int = 200) -> str:
-    slug = hashlib.sha1(f"{os.path.abspath(sf_dir)}:{segment_docs}".encode()).hexdigest()[:12]
+    from iresearch_ray.index.segment import FORMAT_VERSION
+
+    slug = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{segment_docs}:v{FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     return os.path.join(_CACHE_ROOT, f"documents-{slug}")
 
 
@@ -38,6 +42,7 @@ def documents_searcher(sf_dir: str, segment_docs: int = 200) -> IndexSearcher:
             text_col="text",
             key_cols=("doc_id",),
             stored_cols=("doc_id", "lang", "source", "n_chars", "text"),
+            exact_fields=("lang", "source"),
             segment_docs=segment_docs,
         )
     s = IndexSearcher(idx)
@@ -61,6 +66,27 @@ def topk_frame(searcher: IndexSearcher, flt, k: int, scorer=None,
         p = 10.0 ** round_to
         out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
     return out
+
+
+def field_term_stats(searcher: IndexSearcher, field: str) -> pd.DataFrame:
+    """Merged dictionary (term -> doc_freq, total_tf) for one field —
+    driver-side collector sum over per-segment term tables."""
+    from collections import Counter
+
+    dfc: Counter = Counter()
+    ttf: Counter = Counter()
+    for seg in searcher.segments:
+        lo, hi = seg._field_range(field)
+        for t, d, tt in zip(seg.terms[lo:hi], seg.doc_freq[lo:hi],
+                            seg.total_tf[lo:hi]):
+            dfc[t] += int(d)
+            ttf[t] += int(tt)
+    terms = sorted(dfc)
+    return pd.DataFrame({
+        "term": terms,
+        "doc_freq": [dfc[t] for t in terms],
+        "total_tf": [ttf[t] for t in terms],
+    })
 
 
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:

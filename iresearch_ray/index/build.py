@@ -50,7 +50,8 @@ class SegmentEncoder:
     def __init__(self, index_dir: str, analyzer: str = "segmentation",
                  analyzer_options: dict | None = None, text_col: str = "text",
                  key_cols: tuple = ("conv_id", "turn_idx"),
-                 stored_cols: tuple | None = None):
+                 stored_cols: tuple | None = None,
+                 exact_fields: tuple = ()):
         # each actor reserves 1 CPU — pin Arrow's internal pools to it,
         # otherwise every actor spawns a machine-wide thread pool and the
         # node oversubscribes (regex split / sorts / parquet writes)
@@ -62,6 +63,7 @@ class SegmentEncoder:
         self.text_col = text_col
         self.key_cols = key_cols
         self.stored_cols = stored_cols
+        self.exact_fields = exact_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -77,6 +79,7 @@ class SegmentEncoder:
             key_cols=self.key_cols,
             stored_cols=self.stored_cols,
             analyzer_spec=self.analyzer_spec,
+            exact_fields=self.exact_fields,
         )
         return pa.table({
             "name": pa.array([meta["name"]]),
@@ -97,6 +100,7 @@ def build_index(
     concurrency: int | None = None,
     sort: bool = False,
     columns: list | None = None,
+    exact_fields: tuple = (),
 ) -> Manifest:
     """Build a committed index under ``index_dir``.
 
@@ -113,7 +117,7 @@ def build_index(
         cols = columns
         if cols is None:
             cols = None if stored_cols is None else sorted(
-                {text_col, *key_cols, *(stored_cols or ())}
+                {text_col, *key_cols, *(stored_cols or ()), *exact_fields}
             )
         ds = ray.data.read_parquet(source, columns=cols)
     else:
@@ -144,6 +148,7 @@ def build_index(
         text_col=text_col,
         key_cols=key_cols,
         stored_cols=stored_cols,
+        exact_fields=exact_fields,
     )
     summaries = ds.map_batches(
         SegmentEncoder,

@@ -31,7 +31,7 @@ from iresearch_ray.index.manifest import Manifest
 from iresearch_ray.index.segment import (
     SUCCESS_MARKER,
     SegmentReader,
-    encode_postings_table,
+    encode_field_tables,
     segment_name,
 )
 
@@ -57,61 +57,67 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
         with open(os.path.join(seg_dir, "meta.json")) as f:
             return json.load(f)
 
-    # k-way merge of byte-sorted term dictionaries
-    all_terms = np.unique(np.concatenate([r.terms for r in readers]))
-    run_doc_parts, run_tf_parts, pos_parts = [], [], []
-    term_starts = np.empty(all_terms.size, dtype=np.int64)
-    n_runs = 0
-    for i, term in enumerate(all_terms):
-        term_starts[i] = n_runs
-        for r, base in zip(readers, bases):
-            row = r.lookup(term)
-            if row < 0:
-                continue
-            pl = r.postings(row, positions=True)
-            run_doc_parts.append(pl.docs - 1 + base)  # back to 0-based ordinals
-            run_tf_parts.append(pl.tfs)
-            pos_parts.append(pl.positions)
-            n_runs += pl.docs.size
-    run_doc = np.concatenate(run_doc_parts) if run_doc_parts else np.empty(0, np.int64)
-    run_tf = np.concatenate(run_tf_parts) if run_tf_parts else np.empty(0, np.int64)
-    pos_sorted = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
-    run_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1])).astype(np.int64) \
-        if run_tf.size else np.empty(0, np.int64)
-    doc_len = np.concatenate([r.norms.astype(np.int64) for r in readers])
-
-    inv = {
-        "vocab": pa.array(all_terms.tolist(), type=pa.string()),
-        "term_starts": term_starts,
-        "run_doc": run_doc,
-        "run_tf": run_tf,
-        "pos_sorted": pos_sorted,
-        "run_starts": run_starts,
-        "doc_len": doc_len,
-    }
-    terms_table = encode_postings_table(inv)
+    # per-field k-way merge of byte-sorted term dictionaries
+    all_fields = sorted({f for r in readers for f in r.fields})
+    field_invs = []
+    for fname in all_fields:
+        all_terms = np.unique(
+            np.concatenate([r.field_terms(fname) for r in readers])
+        )
+        run_doc_parts, run_tf_parts, pos_parts = [], [], []
+        term_starts = np.empty(all_terms.size, dtype=np.int64)
+        n_runs = 0
+        for i, term in enumerate(all_terms):
+            term_starts[i] = n_runs
+            for r, base in zip(readers, bases):
+                row = r.lookup(term, fname)
+                if row < 0:
+                    continue
+                pl = r.postings(row, positions=True)
+                run_doc_parts.append(pl.docs - 1 + base)  # 0-based ordinals
+                run_tf_parts.append(pl.tfs)
+                pos_parts.append(pl.positions)
+                n_runs += pl.docs.size
+        run_doc = np.concatenate(run_doc_parts) if run_doc_parts else np.empty(0, np.int64)
+        run_tf = np.concatenate(run_tf_parts) if run_tf_parts else np.empty(0, np.int64)
+        pos_sorted = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+        run_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1])).astype(np.int64) \
+            if run_tf.size else np.empty(0, np.int64)
+        doc_len = np.concatenate(
+            [r.field_norms(fname).astype(np.int64) for r in readers]
+        )
+        field_invs.append((fname, {
+            "vocab": pa.array(all_terms.tolist(), type=pa.string()),
+            "term_starts": term_starts,
+            "run_doc": run_doc,
+            "run_tf": run_tf,
+            "pos_sorted": pos_sorted,
+            "run_starts": run_starts,
+            "doc_len": doc_len,
+        }))
+    terms_table, norms_table, fields_meta = encode_field_tables(field_invs)
 
     tmp_dir = seg_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
-    pq.write_table(
-        pa.table({"doc_len": pa.array(doc_len.astype(np.int32))}),
-        os.path.join(tmp_dir, "norms.parquet"),
-    )
+    pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
     docmap = pa.concat_tables([r.docmap for r in readers])
     pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
     elapsed = time.time() - t0
+    text_col = group[0].get("text_col", "text")
     meta = {
-        "format_version": group[0].get("format_version", 1),
+        "format_version": group[0].get("format_version", 2),
         "name": name,
         "docs_count": total_docs,
-        "docs_with_field": int(sum(r.docs_with_field for r in readers)),
-        "sum_doc_len": int(sum(r.sum_doc_len for r in readers)),
+        "docs_with_field": fields_meta[text_col]["docs_with_field"],
+        "sum_doc_len": fields_meta[text_col]["sum_doc_len"],
         "n_terms": terms_table.num_rows,
+        "fields": fields_meta,
         "first_key": list(first_key),
         "last_key": list(last_key),
-        "text_col": group[0].get("text_col", "text"),
+        "text_col": text_col,
         "key_cols": group[0].get("key_cols", ["conv_id", "turn_idx"]),
+        "exact_fields": group[0].get("exact_fields", []),
         "analyzer": group[0].get("analyzer", {"name": "segmentation", "options": {}}),
         "lineage": {
             "merged_from": [m["name"] for m in group],

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from iresearch_ray.analysis.analyzers import Analyzer
+from iresearch_ray.analysis.analyzers import Analyzer, KeywordAnalyzer
 from iresearch_ray.index.codec import (
     bitpack_many,
     BLOCK_SIZE,
@@ -44,7 +44,7 @@ from iresearch_ray.index.codec import (
     varint_encode,
 )
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: multi-field term dictionary (field column)
 SUCCESS_MARKER = "_SUCCESS"
 
 
@@ -276,6 +276,35 @@ def segment_name(first_key: tuple, docs_count: int) -> str:
     return f"seg-{h}-{docs_count}"
 
 
+def encode_field_tables(
+    field_invs: list[tuple[str, dict]]
+) -> tuple[pa.Table, pa.Table, dict]:
+    """Encode per-field inverted structures (sorted by field name) into
+    the combined terms table (with a leading ``field`` column, rows
+    sorted by (field, term)), the norms table (one ``len_<field>``
+    column per field) and the per-field meta dict."""
+    tables = []
+    norm_cols = {}
+    fields_meta = {}
+    row = 0
+    for fname, inv in sorted(field_invs, key=lambda kv: kv[0]):
+        t = encode_postings_table(inv)
+        t = t.add_column(0, "field", pa.array([fname] * t.num_rows, type=pa.string()))
+        tables.append(t)
+        doc_len = inv["doc_len"]
+        norm_cols[f"len_{fname}"] = pa.array(doc_len, type=pa.int32())
+        fields_meta[fname] = {
+            "row_start": row,
+            "row_end": row + t.num_rows,
+            "docs_with_field": int((doc_len > 0).sum()),
+            "sum_doc_len": int(doc_len.sum()),
+        }
+        row += t.num_rows
+    terms_table = pa.concat_tables(tables) if tables else None
+    norms_table = pa.table(norm_cols) if norm_cols else pa.table({})
+    return terms_table, norms_table, fields_meta
+
+
 def write_segment(
     index_dir: str,
     batch: pa.Table,
@@ -285,14 +314,16 @@ def write_segment(
     key_cols: tuple = ("conv_id", "turn_idx"),
     stored_cols: tuple | None = None,
     analyzer_spec: dict | None = None,
+    exact_fields: tuple = (),
 ) -> dict:
     """Encode one input partition into a committed segment directory.
 
-    The write is atomic (temp dir + rename) and idempotent: if a segment
-    with the same name (derived from the partition's first sort key and
-    row count) already has a ``_SUCCESS`` marker, the encode is skipped
-    and the existing meta returned — this is the per-partition
-    checkpoint that makes index builds resumable.
+    ``text_col`` is the analyzed TextField (FREQ|POS|Norm2);
+    ``exact_fields`` are indexed as single-term StringFields via the
+    keyword analyzer (the reference field-kind split,
+    ``utils/index-put.cpp:190-258``). The write is atomic (temp dir +
+    rename) and idempotent: an existing ``_SUCCESS`` marker skips the
+    encode — the per-partition checkpoint that makes builds resumable.
     """
     t0 = time.time()
     # stable in-partition doc order (primary sort, reference
@@ -310,17 +341,17 @@ def write_segment(
         with open(meta_path) as f:
             return json.load(f)
 
-    inv = invert_batch(batch.column(text_col), analyzer)
-    terms_table = encode_postings_table(inv)
-    doc_len = inv["doc_len"]
+    field_invs = [(text_col, invert_batch(batch.column(text_col), analyzer))]
+    kw = KeywordAnalyzer()
+    for col in exact_fields:
+        field_invs.append((col, invert_batch(batch.column(col), kw)))
+    terms_table, norms_table, fields_meta = encode_field_tables(field_invs)
+    doc_len = dict(field_invs)[text_col]["doc_len"]
 
     tmp_dir = seg_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
-    pq.write_table(
-        pa.table({"doc_len": pa.array(doc_len, type=pa.int32())}),
-        os.path.join(tmp_dir, "norms.parquet"),
-    )
+    pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
     stored = list(stored_cols) if stored_cols is not None else batch.column_names
     pq.write_table(batch.select(stored), os.path.join(tmp_dir, "docmap.parquet"))
     elapsed = time.time() - t0
@@ -328,13 +359,15 @@ def write_segment(
         "format_version": FORMAT_VERSION,
         "name": name,
         "docs_count": int(n),
-        "docs_with_field": int((doc_len > 0).sum()),
-        "sum_doc_len": int(doc_len.sum()),
+        "docs_with_field": fields_meta[text_col]["docs_with_field"],
+        "sum_doc_len": fields_meta[text_col]["sum_doc_len"],
         "n_terms": terms_table.num_rows,
+        "fields": fields_meta,
         "first_key": list(first_key),
         "last_key": list(last_key),
         "text_col": text_col,
         "key_cols": list(key_cols),
+        "exact_fields": list(exact_fields),
         "analyzer": analyzer_spec or {"name": "segmentation", "options": {}},
         "lineage": {
             "encode_sec": round(elapsed, 4),
@@ -377,6 +410,7 @@ class SegmentReader:
         self.dir = seg_dir
         with open(os.path.join(seg_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        self.default_field = self.meta.get("text_col", "text")
         self._dict = pq.read_table(
             os.path.join(seg_dir, "terms.parquet"),
             columns=["term", "doc_freq", "total_tf"],
@@ -384,8 +418,16 @@ class SegmentReader:
         self.terms = np.asarray(self._dict.column("term").to_pylist(), dtype=object)
         self.doc_freq = self._dict.column("doc_freq").to_numpy()
         self.total_tf = self._dict.column("total_tf").to_numpy()
+        self.fields: dict[str, dict] = self.meta.get("fields") or {
+            self.default_field: {
+                "row_start": 0,
+                "row_end": self.terms.size,
+                "docs_with_field": self.meta["docs_with_field"],
+                "sum_doc_len": self.meta["sum_doc_len"],
+            }
+        }
         self._postings: pa.Table | None = None
-        self._norms: np.ndarray | None = None
+        self._norms: dict[str, np.ndarray] = {}
         self._docmap: pa.Table | None = None
         # bounded FIFO cache of decoded posting lists (hot terms are
         # re-read across queries; the reference relies on mmap + OS page
@@ -408,11 +450,18 @@ class SegmentReader:
 
     @property
     def norms(self) -> np.ndarray:
-        """doc_len array, index = local docid - 1."""
-        if self._norms is None:
+        """doc_len array of the default (text) field, index = docid - 1."""
+        return self.field_norms(self.default_field)
+
+    def field_norms(self, field: str | None) -> np.ndarray:
+        field = field or self.default_field
+        arr = self._norms.get(field)
+        if arr is None:
             t = pq.read_table(os.path.join(self.dir, "norms.parquet"))
-            self._norms = t.column("doc_len").to_numpy().astype(np.float32)
-        return self._norms
+            col = f"len_{field}" if f"len_{field}" in t.column_names else "doc_len"
+            arr = t.column(col).to_numpy().astype(np.float32)
+            self._norms[field] = arr
+        return arr
 
     @property
     def docmap(self) -> pa.Table:
@@ -421,19 +470,34 @@ class SegmentReader:
         return self._docmap
 
     # --- term dictionary --------------------------------------------------
-    def lookup(self, term: str) -> int:
-        """Row ordinal of term, or -1 (binary search over sorted terms)."""
-        i = int(np.searchsorted(self.terms, term))
-        if i < self.terms.size and self.terms[i] == term:
+    def _field_range(self, field: str | None) -> tuple[int, int]:
+        f = self.fields.get(field or self.default_field)
+        if f is None:
+            return 0, 0
+        return f["row_start"], f["row_end"]
+
+    def lookup(self, term: str, field: str | None = None) -> int:
+        """Row ordinal of (field, term), or -1 (binary search within the
+        field's dictionary range)."""
+        lo, hi = self._field_range(field)
+        i = lo + int(np.searchsorted(self.terms[lo:hi], term))
+        if i < hi and self.terms[i] == term:
             return i
         return -1
 
+    def field_terms(self, field: str | None = None) -> np.ndarray:
+        lo, hi = self._field_range(field)
+        return self.terms[lo:hi]
+
     def term_range(self, lo: str | None, hi: str | None,
-                   inc_lo: bool = True, inc_hi: bool = True) -> np.ndarray:
-        """Row ordinals of terms in [lo, hi] (dictionary range scan)."""
-        a = 0 if lo is None else int(np.searchsorted(self.terms, lo, side="left" if inc_lo else "right"))
-        b = self.terms.size if hi is None else int(np.searchsorted(self.terms, hi, side="right" if inc_hi else "left"))
-        return np.arange(a, b, dtype=np.int64)
+                   inc_lo: bool = True, inc_hi: bool = True,
+                   field: str | None = None) -> np.ndarray:
+        """Row ordinals of terms in [lo, hi] within a field's dictionary."""
+        f0, f1 = self._field_range(field)
+        terms = self.terms[f0:f1]
+        a = 0 if lo is None else int(np.searchsorted(terms, lo, side="left" if inc_lo else "right"))
+        b = terms.size if hi is None else int(np.searchsorted(terms, hi, side="right" if inc_hi else "left"))
+        return np.arange(f0 + a, f0 + b, dtype=np.int64)
 
     def _posting_row(self, idx: int):
         if self._postings is None:

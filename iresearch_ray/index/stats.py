@@ -18,13 +18,21 @@ from ray.data.aggregate import Sum
 from iresearch_ray.index.manifest import Manifest
 
 
-def term_stats_dataset(index_dir: str) -> "ray.data.Dataset":
-    """-> Dataset(term, doc_freq, total_tf) aggregated across segments."""
+def term_stats_dataset(index_dir: str, field: str | None = None) -> "ray.data.Dataset":
+    """-> Dataset(term, doc_freq, total_tf) for one field, aggregated
+    across segments (row-group predicate pushdown on the field column)."""
+    import pyarrow.compute as _pc
+
     man = Manifest.load(index_dir)
     paths = [
         os.path.join(man.segment_dir(s), "terms.parquet") for s in man.segments
     ]
-    ds = ray.data.read_parquet(paths, columns=["term", "doc_freq", "total_tf"])
+    field = field or man.segments[0].get("text_col", "text")
+    ds = ray.data.read_parquet(
+        paths,
+        columns=["field", "term", "doc_freq", "total_tf"],
+        filter=_pc.field("field") == field,
+    ).drop_columns(["field"])
     return ds.groupby("term").aggregate(
         Sum("doc_freq", alias_name="doc_freq"),
         Sum("total_tf", alias_name="total_tf"),

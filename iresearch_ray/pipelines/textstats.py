@@ -8,6 +8,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from iresearch_ray.pipelines.dedup import _hash_strings
+
 _STOPWORDS = (
     "the a an and or of to in is it that for on with as at by be this".split()
 )
@@ -95,8 +97,6 @@ class LangId:
 def fingerprint(batch: pa.Table, text_col: str = "text",
                 out_col: str = "fingerprint") -> pa.Table:
     """64-bit rolling-hash document fingerprint (content identity)."""
-    from iresearch_ray.pipelines.dedup import _hash_strings
-
     return batch.append_column(
         out_col, pa.array(_hash_strings(batch.column(text_col)).astype(np.int64))
     )

@@ -51,17 +51,19 @@ class Filter:
 class Term(Filter):
     term: str
     boost: float = 1.0
+    field: str | None = None  # None = the index's default text field
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
-        st = searcher.resolve_term(self.term)
+        st = searcher.resolve_term(self.term, self.field)
+        fs = searcher.field_stats(self.field)
         ctx = scorer.make_ctx(
-            searcher.field_stats(),
-            scorer.idf(searcher.field_stats().docs_with_field, st.docs_with_term)
+            fs,
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
             if st.docs_with_term
             else 0.0,
             boost * self.boost,
         )
-        return PreparedTerm(searcher, st, ctx, scorer)
+        return PreparedTerm(searcher, st, ctx, scorer, self.field)
 
 
 @dataclass
@@ -72,11 +74,12 @@ class Terms(Filter):
     terms: list
     min_match: int = 1
     boost: float = 1.0
+    field: str | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         children = [
             Term(t if isinstance(t, str) else t[0],
-                 1.0 if isinstance(t, str) else t[1]).prepare(
+                 1.0 if isinstance(t, str) else t[1], field=self.field).prepare(
                 searcher, scorer, boost * self.boost
             )
             for t in self.terms
@@ -88,12 +91,13 @@ class Terms(Filter):
 class Prefix(Filter):
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         matched = searcher.scan_terms(lambda terms: [
             t for t in terms if t.startswith(self.prefix)
-        ])
-        return _multiterm(searcher, scorer, matched, boost * self.boost)
+        ], self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
 
 
 @dataclass
@@ -105,6 +109,7 @@ class Range(Filter):
     include_lo: bool = True
     include_hi: bool = True
     boost: float = 1.0
+    field: str | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         def pred(terms):
@@ -116,8 +121,8 @@ class Range(Filter):
                     continue
                 out.append(t)
             return out
-        matched = searcher.scan_terms(pred)
-        return _multiterm(searcher, scorer, matched, boost * self.boost)
+        matched = searcher.scan_terms(pred, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
 
 
 @dataclass
@@ -127,6 +132,7 @@ class Wildcard(Filter):
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
     def _like(self) -> str:
         return self.pattern.replace("*", "%").replace("?", "_")
@@ -139,8 +145,8 @@ class Wildcard(Filter):
             m = pc.match_like(arr, like).to_numpy(zero_copy_only=False)
             return [t for t, ok in zip(terms, m) if ok]
 
-        matched = searcher.scan_terms(pred)
-        return _multiterm(searcher, scorer, matched, boost * self.boost)
+        matched = searcher.scan_terms(pred, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
 
 
 @dataclass
@@ -154,6 +160,7 @@ class Fuzzy(Filter):
     max_distance: int = 1
     prefix: str = ""
     boost: float = 1.0
+    field: str | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         target = self.term
@@ -169,8 +176,8 @@ class Fuzzy(Filter):
             dist = _levenshtein_many(target, cands, d)
             return [t for t, dd in zip(cands, dist) if dd <= d]
 
-        matched = searcher.scan_terms(pred)
-        return _multiterm(searcher, scorer, matched, boost * self.boost)
+        matched = searcher.scan_terms(pred, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
 
 
 @dataclass
@@ -182,16 +189,17 @@ class Phrase(Filter):
 
     terms: list
     boost: float = 1.0
+    field: str | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
-        states = [searcher.resolve_term(t) for t in self.terms]
-        fs = searcher.field_stats()
+        states = [searcher.resolve_term(t, self.field) for t in self.terms]
+        fs = searcher.field_stats(self.field)
         idf_sum = sum(
             scorer.idf(fs.docs_with_field, st.docs_with_term)
             for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
-        return PreparedPhrase(searcher, states, ctx, scorer)
+        return PreparedPhrase(searcher, states, ctx, scorer, self.field)
 
 
 @dataclass
@@ -208,13 +216,14 @@ class NGramSimilarity(Filter):
     threshold: float = 0.7
     ngram: int = 2
     boost: float = 1.0
+    field: str | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         words = self.text.split()
         grams = [words[i : i + self.ngram] for i in range(len(words) - self.ngram + 1)]
         if not grams:
             return PreparedEmpty(scorer)
-        children = [Phrase(g).prepare(searcher, scorer, boost * self.boost)
+        children = [Phrase(g, field=self.field).prepare(searcher, scorer, boost * self.boost)
                     for g in grams]
         return PreparedNGramSimilarity(children, self.threshold, scorer)
 
@@ -313,11 +322,12 @@ class Prepared:
 
 
 class PreparedTerm(Prepared):
-    def __init__(self, searcher, state, ctx, scorer):
+    def __init__(self, searcher, state, ctx, scorer, field=None):
         super().__init__(scorer)
         self.searcher = searcher
         self.state = state  # TermState
         self.ctx = ctx
+        self.field = field
 
     def cost(self, seg_ord):
         row = self.state.rows[seg_ord]
@@ -329,7 +339,7 @@ class PreparedTerm(Prepared):
             return _empty(self.dtype)
         seg = self.searcher.segments[seg_ord]
         pl = seg.postings(int(row))
-        dls = seg.norms[pl.docs - 1]
+        dls = seg.field_norms(self.field)[pl.docs - 1]
         return pl.docs, self.scorer.score(self.ctx, pl.tfs, dls)
 
 
@@ -401,11 +411,12 @@ class PreparedConjunction(Prepared):
 
 
 class PreparedPhrase(Prepared):
-    def __init__(self, searcher, states, ctx, scorer):
+    def __init__(self, searcher, states, ctx, scorer, field=None):
         super().__init__(scorer)
         self.searcher = searcher
         self.states = states
         self.ctx = ctx
+        self.field = field
 
     def cost(self, seg_ord):
         costs = []
@@ -438,7 +449,7 @@ class PreparedPhrase(Prepared):
             return _empty(self.dtype)
         docs_all = (common >> np.int64(32)).astype(np.int64)
         docs, tfs = np.unique(docs_all, return_counts=True)
-        dls = seg.norms[docs - 1]
+        dls = seg.field_norms(self.field)[docs - 1]
         return docs, self.scorer.score(self.ctx, tfs, dls)
 
 
@@ -517,9 +528,11 @@ class PreparedColumnExistence(Prepared):
 # ---------------------------------------------------------------------------
 
 
-def _multiterm(searcher, scorer, matched_terms: list[str], boost: float):
+def _multiterm(searcher, scorer, matched_terms: list[str], boost: float,
+               field: str | None = None):
     """Scored disjunction over dictionary-matched terms."""
-    children = [Term(t).prepare(searcher, scorer, boost) for t in matched_terms]
+    children = [Term(t, field=field).prepare(searcher, scorer, boost)
+                for t in matched_terms]
     return PreparedDisjunction(children, 1, scorer)
 
 

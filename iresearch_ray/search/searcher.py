@@ -115,38 +115,43 @@ class IndexSearcher:
         self.doc_bases = np.asarray(
             [s["doc_base"] for s in self.manifest.segments], dtype=np.int64
         )
-        self._field_stats: FieldStats | None = None
-        self._term_cache: dict[str, TermState] = {}
+        self._field_stats: dict[str, FieldStats] = {}
+        self._term_cache: dict[tuple, TermState] = {}
 
     # -- stats (collector merge) ------------------------------------------
-    def field_stats(self) -> FieldStats:
-        if self._field_stats is None:
+    def field_stats(self, field: str | None = None) -> FieldStats:
+        key = field or (self.segments[0].default_field if self.segments else "text")
+        fs = self._field_stats.get(key)
+        if fs is None:
             fs = FieldStats()
             for seg in self.segments:
-                fs.add(FieldStats(seg.docs_with_field, seg.sum_doc_len))
-            self._field_stats = fs
-        return self._field_stats
+                f = seg.fields.get(key)
+                if f:
+                    fs.add(FieldStats(f["docs_with_field"], f["sum_doc_len"]))
+            self._field_stats[key] = fs
+        return fs
 
-    def resolve_term(self, term: str) -> TermState:
-        st = self._term_cache.get(term)
+    def resolve_term(self, term: str, field: str | None = None) -> TermState:
+        key = (field, term)
+        st = self._term_cache.get(key)
         if st is None:
             rows = np.full(len(self.segments), -1, dtype=np.int64)
             dwt = 0
             for i, seg in enumerate(self.segments):
-                r = seg.lookup(term)
+                r = seg.lookup(term, field)
                 rows[i] = r
                 if r >= 0:
                     dwt += int(seg.doc_freq[r])
             st = TermState(term, rows, dwt)
-            self._term_cache[term] = st
+            self._term_cache[key] = st
         return st
 
-    def scan_terms(self, pred) -> list[str]:
+    def scan_terms(self, pred, field: str | None = None) -> list[str]:
         """Union of dictionary terms selected by ``pred`` across segments
-        (multiterm candidate generation)."""
+        (multiterm candidate generation), within one field."""
         seen: set[str] = set()
         for seg in self.segments:
-            seen.update(pred(seg.terms.tolist()))
+            seen.update(pred(seg.field_terms(field).tolist()))
         return sorted(seen)
 
     # -- search ------------------------------------------------------------
@@ -200,7 +205,7 @@ class IndexSearcher:
             return
         seg = self.segments[seg_ord]
         cur = seg.cursor(int(row))
-        norms = seg.norms
+        norms = seg.field_norms(prepared.field)
         ubs = prepared.scorer.upper_bound_many(
             prepared.ctx, cur.max_tf, cur.min_dl
         )

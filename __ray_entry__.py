@@ -180,6 +180,14 @@ def _q_not(sf_dir: str):
     return match_frame(s, F.And([F.Term("customer"), F.Not(F.Term("vector"))]))
 
 
+def _q_numeric_range(sf_dir: str):
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.NumericRange("n_chars", 100, 300))
+
+
 def _q_lang_field_stats(sf_dir: str):
     from iresearch_ray.api import documents_searcher, field_term_stats
 
@@ -356,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmatch_2of3": _q_minmatch,
         "not_match": _q_not,
         "term_stats": _q_term_stats,
+        "numeric_range_match": _q_numeric_range,
         "lang_field_stats": _q_lang_field_stats,
         "field_and_text": _q_field_and_text,
         "doc_lengths": _q_doc_lengths,
@@ -439,6 +448,10 @@ SELECT doc_id FROM (
         "term_stats": _TOK_SQL + """
 SELECT term, dwt AS doc_freq, ttf_term AS total_tf
 FROM df ORDER BY term
+""",
+        "numeric_range_match": """
+SELECT doc_id FROM documents
+WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id
 """,
         "lang_field_stats": """
 SELECT lang AS term, count(*) AS doc_freq

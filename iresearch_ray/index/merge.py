@@ -46,9 +46,20 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
 
     t0 = time.time()
     group = sorted(group, key=lambda m: tuple(m["first_key"]))
-    readers = [SegmentReader(os.path.join(index_dir, m["name"])) for m in group]
-    bases = np.concatenate(([0], np.cumsum([r.docs_count for r in readers])[:-1]))
-    total_docs = int(sum(r.docs_count for r in readers))
+    readers = [SegmentReader(os.path.join(index_dir, m["name"]), meta=m)
+               for m in group]
+    # doc_id_map: deleted docs are dropped and survivors renumbered
+    # contiguously (reference merge_writer.cpp:75,151)
+    live_counts = [r.live_docs_count for r in readers]
+    bases = np.concatenate(([0], np.cumsum(live_counts)[:-1]))
+    total_docs = int(sum(live_counts))
+    idmaps = []  # per reader: (deleted_mask, old_local -> new_local) or None
+    for r in readers:
+        mask = r.deleted_mask
+        if mask is None:
+            idmaps.append(None)
+        else:
+            idmaps.append((mask, np.cumsum(~mask)))  # new ids 1..n_live
     first_key = tuple(group[0]["first_key"])
     last_key = tuple(group[-1]["last_key"])
     name = segment_name(first_key, total_docs)
@@ -69,23 +80,36 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
         n_runs = 0
         for i, term in enumerate(all_terms):
             term_starts[i] = n_runs
-            for r, base in zip(readers, bases):
+            for r, base, idmap in zip(readers, bases, idmaps):
                 row = r.lookup(term, fname)
                 if row < 0:
                     continue
                 pl = r.postings(row, positions=True)
-                run_doc_parts.append(pl.docs - 1 + base)  # 0-based ordinals
-                run_tf_parts.append(pl.tfs)
-                pos_parts.append(pl.positions)
-                n_runs += pl.docs.size
+                docs, tfs, poss = pl.docs, pl.tfs, pl.positions
+                if idmap is not None:
+                    mask, newids = idmap
+                    keep = ~mask[docs - 1]
+                    if not keep.all():
+                        poss = poss[np.repeat(keep, tfs)]
+                        docs, tfs = docs[keep], tfs[keep]
+                    docs = newids[docs - 1]  # renumbered 1-based local ids
+                if docs.size == 0:
+                    continue
+                run_doc_parts.append(docs - 1 + base)  # 0-based ordinals
+                run_tf_parts.append(tfs)
+                pos_parts.append(poss)
+                n_runs += docs.size
         run_doc = np.concatenate(run_doc_parts) if run_doc_parts else np.empty(0, np.int64)
         run_tf = np.concatenate(run_tf_parts) if run_tf_parts else np.empty(0, np.int64)
         pos_sorted = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
         run_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1])).astype(np.int64) \
             if run_tf.size else np.empty(0, np.int64)
-        doc_len = np.concatenate(
-            [r.field_norms(fname).astype(np.int64) for r in readers]
-        )
+        doc_len = np.concatenate([
+            r.field_norms(fname).astype(np.int64)
+            if idmap is None else
+            r.field_norms(fname).astype(np.int64)[~idmap[0]]
+            for r, idmap in zip(readers, idmaps)
+        ])
         field_invs.append((fname, {
             "vocab": pa.array(all_terms.tolist(), type=pa.string()),
             "term_starts": term_starts,
@@ -101,7 +125,11 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
     os.makedirs(tmp_dir, exist_ok=True)
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
-    docmap = pa.concat_tables([r.docmap for r in readers])
+    docmap = pa.concat_tables([
+        r.docmap if idmap is None
+        else r.docmap.take(pa.array(np.flatnonzero(~idmap[0])))
+        for r, idmap in zip(readers, idmaps)
+    ])
     pq.write_table(docmap, os.path.join(tmp_dir, "docmap.parquet"))
     elapsed = time.time() - t0
     text_col = group[0].get("text_col", "text")

@@ -406,10 +406,16 @@ class SegmentReader:
     row-group pruning for point lookups.
     """
 
-    def __init__(self, seg_dir: str):
+    def __init__(self, seg_dir: str, meta: dict | None = None):
+        # ``meta`` (from the manifest generation) overrides the on-disk
+        # meta.json: MVCC delete masks live in manifest entries, the
+        # segment files stay immutable
         self.dir = seg_dir
-        with open(os.path.join(seg_dir, "meta.json")) as f:
-            self.meta = json.load(f)
+        if meta is not None:
+            self.meta = meta
+        else:
+            with open(os.path.join(seg_dir, "meta.json")) as f:
+                self.meta = json.load(f)
         self.default_field = self.meta.get("text_col", "text")
         self._dict = pq.read_table(
             os.path.join(seg_dir, "terms.parquet"),
@@ -429,6 +435,8 @@ class SegmentReader:
         self._postings: pa.Table | None = None
         self._norms: dict[str, np.ndarray] = {}
         self._docmap: pa.Table | None = None
+        self._deleted: np.ndarray | None = None
+        self._deleted_loaded = False
         # bounded FIFO cache of decoded posting lists (hot terms are
         # re-read across queries; the reference relies on mmap + OS page
         # cache for the same effect, core/store/caching_directory.hpp)
@@ -468,6 +476,35 @@ class SegmentReader:
         if self._docmap is None:
             self._docmap = pq.read_table(os.path.join(self.dir, "docmap.parquet"))
         return self._docmap
+
+    @property
+    def deleted_mask(self) -> np.ndarray | None:
+        """Bool array (index = local docid - 1), True = deleted; None if
+        no deletes. The mask file is named in the manifest meta entry
+        (``deletes_file``), the ``liveDocs`` analogue."""
+        if not self._deleted_loaded:
+            self._deleted_loaded = True
+            fname = self.meta.get("deletes_file")
+            if fname:
+                t = pq.read_table(os.path.join(self.dir, fname))
+                mask = np.zeros(self.docs_count, dtype=bool)
+                mask[t.column("local_doc").to_numpy() - 1] = True
+                self._deleted = mask
+        return self._deleted
+
+    def filter_live(self, docs: np.ndarray, scores: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Drop deleted docs from a (docs, scores) result pair."""
+        mask = self.deleted_mask
+        if mask is None or docs.size == 0:
+            return docs, scores
+        keep = ~mask[docs - 1]
+        return docs[keep], scores[keep]
+
+    @property
+    def live_docs_count(self) -> int:
+        mask = self.deleted_mask
+        return self.docs_count - int(mask.sum()) if mask is not None else self.docs_count
 
     # --- term dictionary --------------------------------------------------
     def _field_range(self, field: str | None) -> tuple[int, int]:

@@ -203,6 +203,47 @@ class Phrase(Filter):
 
 
 @dataclass
+class SamePosition(Filter):
+    """All terms at the identical position
+    (``core/search/same_position_filter.hpp:46``) — the phrase kernel
+    with a zero shift for every term."""
+
+    terms: list
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        states = [searcher.resolve_term(t, self.field) for t in self.terms]
+        fs = searcher.field_stats(self.field)
+        idf_sum = sum(
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            for st in states if st.docs_with_term
+        )
+        ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
+        return PreparedPhrase(searcher, states, ctx, scorer, self.field,
+                              same_position=True)
+
+
+@dataclass
+class NumericRange(Filter):
+    """Numeric range over a stored column — the pushdown analogue of the
+    reference's numeric-trie ``by_granular_range``
+    (``core/search/granular_range_filter.hpp:40-94``; SURVEY §2.4 maps
+    it to a Parquet predicate on the numeric column). Evaluated as a
+    vectorized mask over the segment's docmap column."""
+
+    column: str
+    lo: float | int | None = None
+    hi: float | int | None = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return PreparedNumericRange(searcher, self, scorer)
+
+
+@dataclass
 class NGramSimilarity(Filter):
     """Approximate n-gram similarity (``core/search/ngram_similarity_filter.hpp``):
     docs containing >= ``threshold`` fraction of the query's word
@@ -411,12 +452,14 @@ class PreparedConjunction(Prepared):
 
 
 class PreparedPhrase(Prepared):
-    def __init__(self, searcher, states, ctx, scorer, field=None):
+    def __init__(self, searcher, states, ctx, scorer, field=None,
+                 same_position=False):
         super().__init__(scorer)
         self.searcher = searcher
         self.states = states
         self.ctx = ctx
         self.field = field
+        self.same_position = same_position
 
     def cost(self, seg_ord):
         costs = []
@@ -436,8 +479,9 @@ class PreparedPhrase(Prepared):
             doc_rep = np.repeat(pl.docs, pl.tfs)
             # shift term i's positions left by i: a phrase start p matches
             # iff every term i has a position p+i
-            ok = pl.positions >= i
-            keys = (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - i)
+            shift = 0 if self.same_position else i
+            ok = pl.positions >= shift
+            keys = (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - shift)
             keysets.append(keys)
         keysets.sort(key=len)
         common = keysets[0]
@@ -503,6 +547,27 @@ class PreparedEmpty(Prepared):
 
     def execute(self, seg_ord):
         return _empty(self.dtype)
+
+
+class PreparedNumericRange(Prepared):
+    def __init__(self, searcher, flt, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.flt = flt
+
+    def execute(self, seg_ord):
+        f = self.flt
+        seg = self.searcher.segments[seg_ord]
+        col = seg.docmap.column(f.column)
+        vals = col.to_numpy(zero_copy_only=False)
+        mask = np.ones(len(vals), dtype=bool)
+        if f.lo is not None:
+            mask &= (vals >= f.lo) if f.include_lo else (vals > f.lo)
+        if f.hi is not None:
+            mask &= (vals <= f.hi) if f.include_hi else (vals < f.hi)
+        mask &= ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+        docs = np.flatnonzero(mask).astype(np.int64) + 1
+        return docs, np.zeros(docs.size, dtype=self.dtype)
 
 
 class PreparedColumnExistence(Prepared):

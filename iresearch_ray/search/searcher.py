@@ -109,7 +109,7 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
         self.segments = [
-            SegmentReader(os.path.join(index_dir, s["name"]))
+            SegmentReader(os.path.join(index_dir, s["name"]), meta=s)
             for s in self.manifest.segments
         ]
         self.doc_bases = np.asarray(
@@ -117,6 +117,7 @@ class IndexSearcher:
         )
         self._field_stats: dict[str, FieldStats] = {}
         self._term_cache: dict[tuple, TermState] = {}
+        self._match_cache: dict[str, np.ndarray] = {}
 
     # -- stats (collector merge) ------------------------------------------
     def field_stats(self, field: str | None = None) -> FieldStats:
@@ -176,7 +177,7 @@ class IndexSearcher:
             if mode == "strict" and isinstance(prepared, PreparedTerm):
                 self._wand_term(prepared, i, base, col)
             else:
-                docs, scores = prepared.execute(i)
+                docs, scores = self.segments[i].filter_live(*prepared.execute(i))
                 col.push(docs + base, scores)
         return self._result_frame(col.docs, col.scores, columns)
 
@@ -186,12 +187,24 @@ class IndexSearcher:
         prepared = flt.prepare(self, scorer)
         out = []
         for i in range(len(self.segments)):
-            docs, _ = prepared.execute(i)
+            docs, scores = self.segments[i].filter_live(*prepared.execute(i))
             out.append(docs + int(self.doc_bases[i]))
         return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
     def count(self, flt: Filter) -> int:
         return int(self.match_docs(flt).size)
+
+    def cached_match(self, flt: Filter, scorer=None) -> np.ndarray:
+        """Memoized doc set for a filter on this snapshot — the
+        ``proxy_filter`` analogue (``core/search/proxy_filter.hpp:36-55``:
+        cache the result bitset of an expensive inner filter for replay
+        across queries on the same reader)."""
+        key = repr(flt)
+        hit = self._match_cache.get(key)
+        if hit is None:
+            hit = self.match_docs(flt, scorer)
+            self._match_cache[key] = hit
+        return hit
 
     # -- WAND --------------------------------------------------------------
     _WAND_CHUNK = 64  # blocks (8192 docs) per prune-decode-score round
@@ -219,6 +232,7 @@ class IndexSearcher:
                     continue
             docs, tfs = cur.decode_blocks(chunk)
             scores = prepared.scorer.score(prepared.ctx, tfs, norms[docs - 1])
+            docs, scores = seg.filter_live(docs, scores)
             col.push(docs + base, scores)
 
     # -- result assembly ---------------------------------------------------

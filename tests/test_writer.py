@@ -1,0 +1,133 @@
+"""IndexWriter transactional surface: add / delete / replace /
+consolidate-with-deletes; SamePosition + NumericRange filters."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.analysis.analyzers import get_analyzer
+from iresearch_ray.index.manifest import Manifest
+from iresearch_ray.index.segment import write_segment
+from iresearch_ray.index.writer import IndexWriter
+from iresearch_ray.search import filters as F
+from iresearch_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture()
+def half_index(tmp_path, small_corpus):
+    idx = str(tmp_path / "widx")
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    m = write_segment(idx, small_corpus.slice(0, n // 2), an)
+    Manifest.commit(idx, [m])
+    return idx
+
+
+def test_add_commits_new_segments(ray_session, half_index, small_corpus, searcher, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    n = small_corpus.num_rows
+    second = small_corpus.slice(n // 2)
+    p = str(tmp_path / "second.parquet")
+    pq.write_table(second, p)
+    w = IndexWriter(half_index)
+    man = w.add(p, segment_docs=1 << 20, concurrency=1)
+    assert man.total_docs == n
+    s = IndexSearcher(half_index)
+    ref_full = searcher.search(F.Term("ref"), k=20, mode="all")
+    got = s.search(F.Term("ref"), k=20, mode="all")
+    assert got["doc_id"].tolist() == ref_full["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(),
+                               ref_full["score"].to_numpy(), rtol=1e-6)
+
+
+@pytest.fixture()
+def full_index(tmp_path, small_corpus):
+    idx = str(tmp_path / "didx")
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an)
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an)
+    Manifest.commit(idx, [m1, m2])
+    return idx
+
+
+def test_delete_by_filter(full_index, searcher):
+    w = IndexWriter(full_index)
+    before_all = set(searcher.match_docs(F.Term("the")).tolist())
+    deploy_docs = set(searcher.match_docs(F.Term("deploy")).tolist())
+    man = w.delete(F.Term("deploy"))
+    assert man.generation == 2
+    s = IndexSearcher(full_index)
+    assert s.match_docs(F.Term("deploy")).size == 0
+    # other queries exclude only the deleted docs
+    got = set(s.match_docs(F.Term("the")).tolist())
+    assert got == before_all - deploy_docs
+    # WAND path also masks deletions
+    strict = s.search(F.Term("the"), k=10, mode="strict")
+    full = s.search(F.Term("the"), k=10, mode="all")
+    assert strict["doc_id"].tolist() == full["doc_id"].tolist()
+    assert not (set(strict["doc_id"]) & deploy_docs)
+
+
+def test_delete_then_consolidate_purges(full_index, searcher):
+    w = IndexWriter(full_index)
+    deploy_docs = set(searcher.match_docs(F.Term("deploy")).tolist())
+    w.delete(F.Term("deploy"))
+    man = w.consolidate(max_segments=4)
+    assert len(man.segments) == 1
+    assert man.segments[0].get("deletes_file") is None
+    s = IndexSearcher(full_index)
+    assert s.manifest.total_docs == searcher.manifest.total_docs - len(deploy_docs)
+    assert s.match_docs(F.Term("deploy")).size == 0
+    # remaining docs still query correctly (stored fields intact)
+    res = s.search(F.Term("ref"), k=5, columns=("conv_id", "turn_idx", "text"))
+    assert len(res) == 5
+    for t in res["text"]:
+        assert "ref" in t.lower()
+
+
+def test_replace(full_index, searcher, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w = IndexWriter(full_index)
+    new_docs = pa.table({
+        "conv_id": pa.array(["conv-99999990", "conv-99999990"]),
+        "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "role": pa.array(["user", "assistant"]),
+        "text": pa.array(["replacement deploy text", "deploy again here"]),
+        "tool": pa.array(["", ""]),
+        "ts": pa.array([0, 1], type=pa.timestamp("us")),
+    })
+    p = str(tmp_path / "new.parquet")
+    pq.write_table(new_docs, p)
+    w.replace(F.Term("deploy"), p, segment_docs=1 << 20, concurrency=1)
+    s = IndexSearcher(full_index)
+    got = s.search(F.Term("deploy"), k=500, mode="all",
+                   columns=("conv_id",))
+    # only the two replacement docs match now
+    assert sorted(set(got["conv_id"])) == ["conv-99999990"]
+    assert len(got) == 2
+
+
+def test_same_position(searcher):
+    ref_docs = sorted(searcher.match_docs(F.Term("ref")).tolist())
+    assert sorted(searcher.match_docs(F.SamePosition(["ref"])).tolist()) == ref_docs
+    # two distinct terms can never share a position with this analyzer
+    assert searcher.match_docs(F.SamePosition(["ref", "the"])).size == 0
+
+
+def test_numeric_range(searcher, small_corpus):
+    ordered = small_corpus.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    tix = ordered.column("turn_idx").to_numpy()
+    exp = sorted((np.flatnonzero((tix >= 3) & (tix <= 7)) + 1).tolist())
+    got = sorted(searcher.match_docs(F.NumericRange("turn_idx", 3, 7)).tolist())
+    assert got == exp
+
+
+def test_cached_match_proxy(searcher):
+    a = searcher.cached_match(F.Prefix("sec"))
+    b = searcher.cached_match(F.Prefix("sec"))
+    assert a is b  # memoized, not recomputed
+    np.testing.assert_array_equal(a, searcher.match_docs(F.Prefix("sec")))

@@ -260,6 +260,84 @@ class NgramAnalyzer(Analyzer):
         )
 
 
+@dataclass
+class PipelineAnalyzer(Analyzer):
+    """Chain analyzers: the first stage tokenizes the text, every later
+    stage transforms/expands the token stream (reference
+    ``pipeline_token_stream``, ``core/analysis/pipeline_token_stream.hpp:36-42``).
+    Expansions produced by later stages inherit the source token's
+    position (offset/increment composition)."""
+
+    stages: list = field(default_factory=list)
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if not self.stages:
+            raise ValueError("pipeline needs at least one stage")
+        d, t, p = self.stages[0].tokenize(texts)
+        for st in self.stages[1:]:
+            # each current token is treated as one input of the next stage
+            d2, t2, _ = st.tokenize(t)
+            d, t, p = d[d2], t2, p[d2]
+        return d, t, p
+
+
+@dataclass
+class NormalizingAnalyzer(Analyzer):
+    """Whole-input case/accent normalization, single output term
+    (reference `norm` analyzer, ``text_token_normalizing_stream``)."""
+
+    case: str = "lower"
+    accent: bool = False  # False = strip accents (reference default keeps)
+
+    def _norm(self, s: str) -> str:
+        import unicodedata
+
+        if self.case == "lower":
+            s = s.lower()
+        elif self.case == "upper":
+            s = s.upper()
+        if not self.accent:
+            s = "".join(
+                ch for ch in unicodedata.normalize("NFKD", s)
+                if not unicodedata.combining(ch)
+            )
+        return unicodedata.normalize("NFC", s)
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        py = texts.to_pylist()
+        out_d, out_t = [], []
+        for i, s in enumerate(py):
+            if s is None:
+                continue
+            out_d.append(i)
+            out_t.append(self._norm(s))
+        return (
+            np.asarray(out_d, dtype=np.int64),
+            pa.array(out_t, type=pa.string()),
+            np.zeros(len(out_d), dtype=np.int64),
+        )
+
+
+@dataclass
+class CollationAnalyzer(NormalizingAnalyzer):
+    """Locale-insensitive collation key as a single term (reference
+    ``collation_token_stream``; ICU collation replaced by casefold +
+    accent-stripped NFKD — a documented approximation: no locale
+    tailoring rules in this environment)."""
+
+    def _norm(self, s: str) -> str:
+        import unicodedata
+
+        s = s.casefold()
+        s = "".join(
+            ch for ch in unicodedata.normalize("NFKD", s)
+            if not unicodedata.combining(ch)
+        )
+        return unicodedata.normalize("NFC", s)
+
+
 _REGISTRY: dict[str, type] = {}
 
 
@@ -285,3 +363,13 @@ register_analyzer("text", TextAnalyzer)
 register_analyzer("delimiter", DelimiterAnalyzer)
 register_analyzer("keyword", KeywordAnalyzer)
 register_analyzer("ngram", NgramAnalyzer)
+register_analyzer("norm", NormalizingAnalyzer)
+register_analyzer("collation", CollationAnalyzer)
+
+
+def make_pipeline(stage_specs: list) -> PipelineAnalyzer:
+    """Build a pipeline from [{"name": ..., "options": {...}}, ...]
+    (JSON shape of the reference pipeline analyzer options)."""
+    return PipelineAnalyzer(
+        [get_analyzer(s["name"], s.get("options")) for s in stage_specs]
+    )

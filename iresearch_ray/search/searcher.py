@@ -194,6 +194,33 @@ class IndexSearcher:
     def count(self, flt: Filter) -> int:
         return int(self.match_docs(flt).size)
 
+    def conv_match(self, child: Filter, group_col: str = "conv_id",
+                   min_match: int = 1, scorer=None) -> np.ndarray:
+        """Parent/child block-join analogue (``ByNestedFilter``,
+        ``core/search/nested_filter.hpp:58-94``, match type Any/Min):
+        global doc ids of every turn belonging to a conversation in
+        which at least ``min_match`` turns match ``child``. Groups are
+        resolved through the stored ``group_col`` column, so a
+        conversation spanning segment boundaries is still counted
+        globally."""
+        import pandas as pd
+
+        matched = self.match_docs(child, scorer)
+        if matched.size == 0:
+            return matched
+        groups = self.fetch_stored(matched, (group_col,))[group_col]
+        counts = groups.value_counts()
+        wanted = set(counts[counts >= min_match].index)
+        out = []
+        for i, seg in enumerate(self.segments):
+            vals = seg.docmap.column(group_col).to_pylist()
+            docs = np.asarray(
+                [j + 1 for j, v in enumerate(vals) if v in wanted], dtype=np.int64
+            )
+            docs, _ = seg.filter_live(docs, np.zeros(docs.size, dtype=np.float32))
+            out.append(docs + int(self.doc_bases[i]))
+        return np.concatenate(out)
+
     def cached_match(self, flt: Filter, scorer=None) -> np.ndarray:
         """Memoized doc set for a filter on this snapshot — the
         ``proxy_filter`` analogue (``core/search/proxy_filter.hpp:36-55``:

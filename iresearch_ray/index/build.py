@@ -51,7 +51,8 @@ class SegmentEncoder:
                  analyzer_options: dict | None = None, text_col: str = "text",
                  key_cols: tuple = ("conv_id", "turn_idx"),
                  stored_cols: tuple | None = None,
-                 exact_fields: tuple = ()):
+                 exact_fields: tuple = (),
+                 numeric_fields: tuple = ()):
         # each actor reserves 1 CPU — pin Arrow's internal pools to it,
         # otherwise every actor spawns a machine-wide thread pool and the
         # node oversubscribes (regex split / sorts / parquet writes)
@@ -64,6 +65,7 @@ class SegmentEncoder:
         self.key_cols = key_cols
         self.stored_cols = stored_cols
         self.exact_fields = exact_fields
+        self.numeric_fields = numeric_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -80,6 +82,7 @@ class SegmentEncoder:
             stored_cols=self.stored_cols,
             analyzer_spec=self.analyzer_spec,
             exact_fields=self.exact_fields,
+            numeric_fields=self.numeric_fields,
         )
         return pa.table({
             "name": pa.array([meta["name"]]),
@@ -101,6 +104,7 @@ def build_index(
     sort: bool = False,
     columns: list | None = None,
     exact_fields: tuple = (),
+    numeric_fields: tuple = (),
 ) -> Manifest:
     """Build a committed index under ``index_dir``.
 
@@ -117,7 +121,8 @@ def build_index(
         cols = columns
         if cols is None:
             cols = None if stored_cols is None else sorted(
-                {text_col, *key_cols, *(stored_cols or ()), *exact_fields}
+                {text_col, *key_cols, *(stored_cols or ()), *exact_fields,
+                 *numeric_fields}
             )
         ds = ray.data.read_parquet(source, columns=cols)
     else:
@@ -149,6 +154,7 @@ def build_index(
         key_cols=key_cols,
         stored_cols=stored_cols,
         exact_fields=exact_fields,
+        numeric_fields=numeric_fields,
     )
     summaries = ds.map_batches(
         SegmentEncoder,

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from iresearch_ray.analysis.analyzers import Analyzer, KeywordAnalyzer
+from iresearch_ray.index.numeric import numeric_terms
 from iresearch_ray.index.codec import (
     bitpack_many,
     BLOCK_SIZE,
@@ -69,6 +70,14 @@ def invert_batch(
     """
     n_docs = len(texts)
     doc_idx, terms, pos = analyzer.tokenize(texts)
+    return invert_tokens(doc_idx, terms, pos, n_docs)
+
+
+def invert_tokens(
+    doc_idx: np.ndarray, terms: pa.Array, pos: np.ndarray, n_docs: int
+) -> dict:
+    """Invert an exploded (doc_idx, term, pos) token table (the shared
+    core of text fields, keyword fields and numeric-trie fields)."""
     doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     if doc_idx.size == 0:
         return {
@@ -315,6 +324,7 @@ def write_segment(
     stored_cols: tuple | None = None,
     analyzer_spec: dict | None = None,
     exact_fields: tuple = (),
+    numeric_fields: tuple = (),
 ) -> dict:
     """Encode one input partition into a committed segment directory.
 
@@ -345,6 +355,16 @@ def write_segment(
     kw = KeywordAnalyzer()
     for col in exact_fields:
         field_invs.append((col, invert_batch(batch.column(col), kw)))
+    for col in numeric_fields:
+        vals = batch.column(col)
+        if pa.types.is_timestamp(vals.type):
+            vals = vals.cast(pa.int64())
+        arr = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        d_idx, terms = numeric_terms(arr)
+        field_invs.append((col, invert_tokens(
+            d_idx, pa.array(terms, type=pa.string()),
+            np.zeros(d_idx.size, dtype=np.int64), n,
+        )))
     terms_table, norms_table, fields_meta = encode_field_tables(field_invs)
     doc_len = dict(field_invs)[text_col]["doc_len"]
 
@@ -368,6 +388,7 @@ def write_segment(
         "text_col": text_col,
         "key_cols": list(key_cols),
         "exact_fields": list(exact_fields),
+        "numeric_fields": list(numeric_fields),
         "analyzer": analyzer_spec or {"name": "segmentation", "options": {}},
         "lineage": {
             "encode_sec": round(elapsed, 4),

@@ -244,6 +244,45 @@ class NumericRange(Filter):
 
 
 @dataclass
+class GranularRange(Filter):
+    """Numeric range over numeric-trie terms
+    (``core/search/granular_range_filter.hpp:40-94``): the range is
+    decomposed into O(levels x step) per-level dictionary ranges, so it
+    touches exponentially fewer terms than a raw term range. Requires
+    the column indexed via ``build_index(numeric_fields=(col,))``.
+    Matching is unscored (constant 0, filter semantics)."""
+
+    field: str = ""
+    lo: int | None = None
+    hi: int | None = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        from iresearch_ray.index.numeric import (
+            split_range,
+            term_at,
+            to_sortable,
+        )
+
+        lo = self.lo if self.lo is not None else -(1 << 63)
+        hi = self.hi if self.hi is not None else (1 << 63) - 1
+        if not self.include_lo:
+            lo += 1
+        if not self.include_hi:
+            hi -= 1
+        if lo > hi:
+            return PreparedEmpty(scorer)
+        ulo = int(to_sortable(np.asarray([lo]))[0])
+        uhi = int(to_sortable(np.asarray([hi]))[0])
+        ranges = [
+            (term_at(s, a), term_at(s, b)) for s, a, b in split_range(ulo, uhi)
+        ]
+        return PreparedGranularRange(searcher, self.field, ranges, scorer)
+
+
+@dataclass
 class NGramSimilarity(Filter):
     """Approximate n-gram similarity (``core/search/ngram_similarity_filter.hpp``):
     docs containing >= ``threshold`` fraction of the query's word
@@ -361,6 +400,13 @@ class Prepared:
         """Upper bound on matched docs (``core/search/cost.hpp``)."""
         return 1 << 62
 
+    def max_score(self, seg_ord: int) -> float:
+        """Upper bound on any doc's score in this segment (score.max
+        analogue, ``core/search/score.hpp:82-95``); +inf when unknown.
+        Lets the searcher skip whole segments below the top-k
+        threshold."""
+        return float("inf")
+
 
 class PreparedTerm(Prepared):
     def __init__(self, searcher, state, ctx, scorer, field=None):
@@ -373,6 +419,26 @@ class PreparedTerm(Prepared):
     def cost(self, seg_ord):
         row = self.state.rows[seg_ord]
         return 0 if row < 0 else int(self.searcher.segments[seg_ord].doc_freq[row])
+
+    def cursor(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        if row < 0:
+            return None
+        if not hasattr(self, "_cursors"):
+            self._cursors = {}
+        cur = self._cursors.get(seg_ord)
+        if cur is None:
+            cur = self.searcher.segments[seg_ord].cursor(int(row))
+            self._cursors[seg_ord] = cur
+        return cur
+
+    def max_score(self, seg_ord):
+        cur = self.cursor(seg_ord)
+        if cur is None:
+            return float("-inf")
+        return float(
+            self.scorer.upper_bound_many(self.ctx, cur.max_tf, cur.min_dl).max()
+        )
 
     def execute(self, seg_ord):
         row = self.state.rows[seg_ord]
@@ -393,23 +459,36 @@ class PreparedDisjunction(Prepared):
     def cost(self, seg_ord):
         return sum(c.cost(seg_ord) for c in self.children)
 
+    def max_score(self, seg_ord):
+        vals = [c.max_score(seg_ord) for c in self.children]
+        if not vals or all(v == float("-inf") for v in vals):
+            return float("-inf")
+        # a child absent from the segment contributes nothing (scores >= 0)
+        return sum(v for v in vals if v != float("-inf"))
+
     def execute(self, seg_ord):
+        # union + per-child sequential accumulation in child order —
+        # float32 sum order matches the reference SumMerger (and the
+        # MAXSCORE pruned path bit-for-bit; numpy reduceat would sum
+        # pairwise and drift by 1 ulp)
         parts = [c.execute(seg_ord) for c in self.children]
         parts = [(d, s) for d, s in parts if d.size]
         if not parts:
             return _empty(self.dtype)
-        docs = np.concatenate([d for d, _ in parts])
-        scores = np.concatenate([s for _, s in parts])
-        order = np.argsort(docs, kind="stable")
-        docs, scores = docs[order], scores[order]
-        starts = np.flatnonzero(np.diff(docs, prepend=-1))
-        out_docs = docs[starts]
-        out_scores = np.add.reduceat(scores, starts).astype(self.dtype)
+        docs = np.unique(np.concatenate([d for d, _ in parts]))
+        scores = np.zeros(docs.size, dtype=self.dtype)
+        counts = np.zeros(docs.size, dtype=np.int32)
+        for d, s in parts:
+            idx = np.searchsorted(d, docs)
+            valid = idx < d.size
+            hit = np.zeros(docs.size, dtype=bool)
+            hit[valid] = d[idx[valid]] == docs[valid]
+            scores[hit] += s[idx[hit]]
+            counts[hit] += 1
         if self.min_match > 1:
-            counts = np.diff(np.append(starts, docs.size))
             keep = counts >= self.min_match
-            out_docs, out_scores = out_docs[keep], out_scores[keep]
-        return out_docs, out_scores
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
 
 
 class PreparedConjunction(Prepared):
@@ -420,6 +499,12 @@ class PreparedConjunction(Prepared):
 
     def cost(self, seg_ord):
         return min(p.cost(seg_ord) for p in self.positives)
+
+    def max_score(self, seg_ord):
+        vals = [p.max_score(seg_ord) for p in self.positives]
+        if any(v == float("-inf") for v in vals):
+            return float("-inf")  # a required child is absent
+        return sum(vals)
 
     def execute(self, seg_ord):
         # cost-sorted leapfrog: start from the cheapest child
@@ -533,6 +618,9 @@ class PreparedAll(Prepared):
     def cost(self, seg_ord):
         return self.searcher.segments[seg_ord].docs_count
 
+    def max_score(self, seg_ord):
+        return 0.0
+
     def execute(self, seg_ord):
         # BM25/TFIDF score an `all` match as 0 unless boost_as_score is
         # set (``core/search/bm25.cpp:420-430``) — we mirror the default.
@@ -545,8 +633,36 @@ class PreparedEmpty(Prepared):
     def cost(self, seg_ord):
         return 0
 
+    def max_score(self, seg_ord):
+        return float("-inf")
+
     def execute(self, seg_ord):
         return _empty(self.dtype)
+
+
+class PreparedGranularRange(Prepared):
+    def __init__(self, searcher, field, term_ranges, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.field = field
+        self.term_ranges = term_ranges  # [(term_lo, term_hi) inclusive]
+
+    def execute(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        doc_parts = []
+        for t_lo, t_hi in self.term_ranges:
+            rows = seg.term_range(t_lo, t_hi, field=self.field)
+            for row in rows:
+                doc_parts.append(seg.postings(int(row)).docs)
+        if not doc_parts:
+            return _empty(self.dtype)
+        # per-level ranges are disjoint value sets, but one doc holds a
+        # term at EVERY level — however only one decomposed range can
+        # contain its value, so the union needs no dedup... except a doc
+        # appears once per matching (term,level); levels are disjoint by
+        # construction -> simple concat + sort
+        docs = np.unique(np.concatenate(doc_parts))
+        return docs, np.zeros(docs.size, dtype=self.dtype)
 
 
 class PreparedNumericRange(Prepared):

@@ -174,12 +174,32 @@ class IndexSearcher:
         col = TopK(k, dtype=scorer.dtype)
         for i in range(len(self.segments)):
             base = int(self.doc_bases[i])
-            if mode == "strict" and isinstance(prepared, PreparedTerm):
-                self._wand_term(prepared, i, base, col)
-            else:
-                docs, scores = self.segments[i].filter_live(*prepared.execute(i))
-                col.push(docs + base, scores)
+            if mode == "strict":
+                thr = col.threshold
+                # cross-segment pruning: skip a whole segment whose
+                # score upper bound cannot beat the running threshold
+                if np.isfinite(thr) and prepared.max_score(i) <= thr:
+                    continue
+                if isinstance(prepared, PreparedTerm):
+                    self._wand_term(prepared, i, base, col)
+                    continue
+                if self._is_term_disjunction(prepared):
+                    self._maxscore_or(prepared, i, base, col)
+                    continue
+            docs, scores = self.segments[i].filter_live(*prepared.execute(i))
+            col.push(docs + base, scores)
         return self._result_frame(col.docs, col.scores, columns)
+
+    @staticmethod
+    def _is_term_disjunction(prepared) -> bool:
+        from iresearch_ray.search.filters import PreparedDisjunction
+
+        return (
+            isinstance(prepared, PreparedDisjunction)
+            and prepared.min_match == 1
+            and len(prepared.children) > 1
+            and all(isinstance(c, PreparedTerm) for c in prepared.children)
+        )
 
     def match_docs(self, flt: Filter, scorer=None) -> np.ndarray:
         """All matching global doc ids (unscored path)."""
@@ -261,6 +281,57 @@ class IndexSearcher:
             scores = prepared.scorer.score(prepared.ctx, tfs, norms[docs - 1])
             docs, scores = seg.filter_live(docs, scores)
             col.push(docs + base, scores)
+
+    def _maxscore_or(self, prepared, seg_ord: int, base: int, col: TopK):
+        """MAXSCORE evaluation of a pure-term disjunction: split terms
+        into essential/non-essential by per-segment score upper bounds
+        (WAND threshold distribution to children, reference
+        ``disjunction.hpp:1128-1168``). Docs appearing only in
+        non-essential lists are bounded by the non-essential ub sum and
+        cannot beat the threshold; candidate docs come from essential
+        lists only, then ALL children contribute scores (summed in
+        child-list order, bit-identical to the exhaustive path)."""
+        children = prepared.children
+        seg = self.segments[seg_ord]
+        ubs = np.asarray([c.max_score(seg_ord) for c in children])
+        present = np.isfinite(ubs)
+        thr = col.threshold
+        if np.isfinite(thr):
+            order = np.argsort(ubs)  # ascending ub
+            cum = np.cumsum(np.where(present[order], ubs[order], 0.0))
+            non_essential = set(
+                int(order[j]) for j in range(len(children)) if cum[j] <= thr
+            )
+        else:
+            non_essential = set()
+        plists = {}
+        cand_parts = []
+        for ci, c in enumerate(children):
+            row = c.state.rows[seg_ord]
+            if row < 0:
+                continue
+            pl = seg.postings(int(row))
+            plists[ci] = pl
+            if ci not in non_essential:
+                cand_parts.append(pl.docs)
+        if not cand_parts:
+            return
+        docs = np.unique(np.concatenate(cand_parts))
+        scores = np.zeros(docs.size, dtype=prepared.dtype)
+        for ci, c in enumerate(children):
+            pl = plists.get(ci)
+            if pl is None:
+                continue
+            idx = np.searchsorted(pl.docs, docs)
+            valid = idx < pl.docs.size
+            hit = np.zeros(docs.size, dtype=bool)
+            hit[valid] = pl.docs[idx[valid]] == docs[valid]
+            if not hit.any():
+                continue
+            dls = seg.field_norms(c.field)[docs[hit] - 1]
+            scores[hit] += c.scorer.score(c.ctx, pl.tfs[idx[hit]], dls)
+        docs, scores = seg.filter_live(docs, scores)
+        col.push(docs + base, scores)
 
     # -- result assembly ---------------------------------------------------
     def _scorer(self, scorer):

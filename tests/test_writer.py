@@ -131,3 +131,35 @@ def test_cached_match_proxy(searcher):
     b = searcher.cached_match(F.Prefix("sec"))
     assert a is b  # memoized, not recomputed
     np.testing.assert_array_equal(a, searcher.match_docs(F.Prefix("sec")))
+
+
+def test_granular_range(tmp_path, small_corpus):
+    """Numeric-trie range == brute-force column scan (ts column)."""
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    idx = str(tmp_path / "gidx")
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an,
+                       numeric_fields=("ts", "turn_idx"))
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an,
+                       numeric_fields=("ts", "turn_idx"))
+    Manifest.commit(idx, [m1, m2])
+    s = IndexSearcher(idx)
+    ordered = small_corpus.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    ts = ordered.column("ts").cast("int64").to_numpy()
+    lo, hi = int(np.percentile(ts, 20)), int(np.percentile(ts, 70))
+    exp = sorted((np.flatnonzero((ts >= lo) & (ts <= hi)) + 1).tolist())
+    got = sorted(s.match_docs(F.GranularRange("ts", lo, hi)).tolist())
+    assert got == exp
+    # exclusive bounds
+    exp2 = sorted((np.flatnonzero((ts > lo) & (ts < hi)) + 1).tolist())
+    got2 = sorted(s.match_docs(
+        F.GranularRange("ts", lo, hi, include_lo=False, include_hi=False)
+    ).tolist())
+    assert got2 == exp2
+    # small-int column too
+    tix = ordered.column("turn_idx").to_numpy()
+    exp3 = sorted((np.flatnonzero((tix >= 2) & (tix <= 5)) + 1).tolist())
+    got3 = sorted(s.match_docs(F.GranularRange("turn_idx", 2, 5)).tolist())
+    assert got3 == exp3

@@ -331,6 +331,37 @@ def _q_langid(sf_dir: str):
     return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_multimodal_decode(sf_dir: str):
+    """Actor-pool media decode (stubbed kernel, real plumbing) over a
+    deterministic fake media table; non-SQL (binary payloads)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import decode_features, make_fake_media
+
+    ds = ray.data.from_arrow(make_fake_media(256, seed=1))
+    pdf = decode_features(ds, concurrency=2, batch_size=32).to_pandas()
+    pdf["dim"] = pdf["embedding"].map(len)
+    return pdf[["media_id", "kind", "dim"]].sort_values("media_id").reset_index(drop=True)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import embedding_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    import pandas as pd
+
+    pdf = embedding_near_dups(ds, threshold=0.8, bits=4).to_pandas()
+    if "rep_id" not in pdf.columns:  # no candidate pairs at all
+        pdf = pd.DataFrame({"rep_id": pd.Series([], dtype="int64"),
+                            "dup_id": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
+    pdf["cosine"] = pdf["cosine"].round(5)
+    return pdf.sort_values(["rep_id", "dup_id"]).reset_index(drop=True)
+
+
 def _q_transcripts_flagship(sf_dir: str):
     """Full transcript pipeline on the synthetic corpus (schema =
     BASELINE.json input hint); non-SQL (uses generated data, not sf
@@ -375,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_buckets": _q_minhash,
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
+        "multimodal_decode": _q_multimodal_decode,
+        "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
     }
 

@@ -242,6 +242,55 @@ def simhash_fingerprints(ds, text_col="text", id_col="doc_id", concurrency=4):
     )
 
 
+def embedding_near_dups(ds, threshold: float = 0.95, bits: int = 12,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        concurrency: int = 4):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket the
+    vectors (cosine-similar vectors collide with high probability), then
+    verify cosine >= threshold inside each bucket with one matmul per
+    group. -> Dataset(rep_id, dup_id, cosine).
+
+    Scale: the shuffle key is the LSH bucket (uniform for random
+    hyperplanes); in-bucket verification is O(bucket^2) — shrink
+    buckets by raising ``bits``.
+    """
+    import pandas as pd
+
+    from iresearch_ray.pipelines.ann import HyperplaneLSH, _to_matrix
+
+    import pyarrow.parquet  # noqa: F401  (keep worker imports warm)
+
+    # probe the vector dimension from the first block
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        lsh = HyperplaneLSH(dim=dim, bits=bits, id_col=id_col, vec_col=vec_col)
+        b = lsh(batch)
+        return batch.append_column("bucket", b.column("bucket"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"rep_id": pd.Series([], dtype="int64"),
+                                 "dup_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        m = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        ids = g[id_col].to_numpy()
+        ii, jj = np.triu_indices(len(g), k=1)
+        hit = sims[ii, jj] >= threshold
+        return pd.DataFrame({
+            "rep_id": np.minimum(ids[ii[hit]], ids[jj[hit]]),
+            "dup_id": np.maximum(ids[ii[hit]], ids[jj[hit]]),
+            "cosine": sims[ii, jj][hit],
+        })
+
+    bucketed = ds.map_batches(with_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Character n-gram Jaccard similarity (verification kernel for
     near-dup candidates)."""

@@ -1,0 +1,92 @@
+"""Multimodal plumbing (stubbed decode kernels, real Ray stages) +
+embedding near-dup pipeline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from iresearch_ray.pipelines.multimodal import (
+    MEDIA_SCHEMA,
+    FrameSampler,
+    ImageResizer,
+    MediaDecoder,
+    decode_features,
+    make_fake_media,
+    sample_frames,
+)
+
+
+def test_fake_media_deterministic():
+    a = make_fake_media(10, seed=3)
+    b = make_fake_media(10, seed=3)
+    assert a.equals(b)
+    assert a.schema.equals(MEDIA_SCHEMA)
+
+
+def test_decoder_features_shape_and_determinism():
+    t = make_fake_media(8)
+    out = MediaDecoder()(t)
+    emb = out.column("embedding").to_pylist()
+    assert len(emb) == 8 and all(len(e) == MediaDecoder.FEATURE_DIM for e in emb)
+    out2 = MediaDecoder()(t)
+    assert out.equals(out2)
+
+
+def test_real_backends_clearly_stubbed():
+    with pytest.raises(NotImplementedError, match="not.*installed|codec"):
+        MediaDecoder(backend="pil")
+    with pytest.raises(NotImplementedError):
+        FrameSampler(backend="ffmpeg") if False else ImageResizer(backend="pil")
+
+
+def test_resizer_caps_dimensions():
+    t = make_fake_media(6)
+    out = ImageResizer(max_side=32)(t)
+    assert out.num_rows == 6
+    assert max(out.column("width").to_pylist()) <= 32
+    assert max(out.column("height").to_pylist()) <= 32
+    # payload stays binary and parseable
+    b = out.column("payload")[0].as_py()
+    assert int.from_bytes(b[0:4], "little") == out.column("width")[0].as_py()
+
+
+def test_frame_sampler_flatmap_shape():
+    t = make_fake_media(4, kind="video")
+    out = FrameSampler(every_ms=500)(t)
+    assert out.num_rows >= 4
+    durs = t.column("duration_ms").to_pylist()
+    exp = sum(max(1, d // 500) for d in durs)
+    assert out.num_rows == exp
+    assert (np.diff(out.column("frame_idx").to_numpy()) != 0).any()
+
+
+def test_decode_features_via_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(make_fake_media(32))
+    out = decode_features(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert set(out.columns) == {"media_id", "kind", "embedding"}
+    ds2 = ray.data.from_arrow(make_fake_media(5, kind="video"))
+    frames = sample_frames(ds2, every_ms=1000, concurrency=2).to_pandas()
+    assert len(frames) >= 5
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((60, 16))
+    vecs[41] = vecs[7] * 1.5 + rng.standard_normal(16) * 1e-4  # near-dup pair
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+    })
+    out = embedding_near_dups(ray.data.from_arrow(t), threshold=0.99,
+                              bits=6).to_pandas()
+    pairs = set(zip(out["rep_id"], out["dup_id"]))
+    assert (7, 41) in pairs
+    # random vectors should almost never be 0.99-cosine-similar
+    assert len(pairs) <= 3

@@ -92,12 +92,14 @@ class Prefix(Filter):
     prefix: str
     boost: float = 1.0
     field: str | None = None
+    scored_terms_limit: int | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         matched = searcher.scan_terms(lambda terms: [
             t for t in terms if t.startswith(self.prefix)
         ], self.field)
-        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost,
+                          self.field, self.scored_terms_limit)
 
 
 @dataclass
@@ -110,6 +112,7 @@ class Range(Filter):
     include_hi: bool = True
     boost: float = 1.0
     field: str | None = None
+    scored_terms_limit: int | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         def pred(terms):
@@ -122,7 +125,8 @@ class Range(Filter):
                 out.append(t)
             return out
         matched = searcher.scan_terms(pred, self.field)
-        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost,
+                          self.field, self.scored_terms_limit)
 
 
 @dataclass
@@ -133,6 +137,7 @@ class Wildcard(Filter):
     pattern: str
     boost: float = 1.0
     field: str | None = None
+    scored_terms_limit: int | None = None
 
     def _like(self) -> str:
         return self.pattern.replace("*", "%").replace("?", "_")
@@ -146,7 +151,8 @@ class Wildcard(Filter):
             return [t for t, ok in zip(terms, m) if ok]
 
         matched = searcher.scan_terms(pred, self.field)
-        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost,
+                          self.field, self.scored_terms_limit)
 
 
 @dataclass
@@ -161,6 +167,7 @@ class Fuzzy(Filter):
     prefix: str = ""
     boost: float = 1.0
     field: str | None = None
+    scored_terms_limit: int | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         target = self.term
@@ -177,29 +184,70 @@ class Fuzzy(Filter):
             return [t for t, dd in zip(cands, dist) if dd <= d]
 
         matched = searcher.scan_terms(pred, self.field)
-        return _multiterm(searcher, scorer, matched, boost * self.boost, self.field)
+        return _multiterm(searcher, scorer, matched, boost * self.boost,
+                          self.field, self.scored_terms_limit)
 
 
 @dataclass
 class Phrase(Filter):
-    """Fixed-term phrase over positions (``core/search/phrase_filter.hpp``).
-    Phrase frequency (count of matching start positions) is the tf fed
-    to the scorer; per-term idfs are summed into one stats group, like
-    the reference collecting every phrase term into one stats buffer."""
+    """Phrase over positions (``core/search/phrase_filter.hpp``): fixed
+    (all simple terms) or *variadic* — a slot may be a dict
+    ``{"wildcard": pat} | {"prefix": p} | {"fuzzy": t, "distance": d} |
+    {"any_of": [t1, t2]}``, expanded against the dictionary like the
+    reference's wildcard/levenshtein phrase parts. Phrase frequency
+    (count of matching start positions) is the tf fed to the scorer;
+    per-term idfs sum into one stats group."""
 
     terms: list
     boost: float = 1.0
     field: str | None = None
 
+    def _slot_terms(self, searcher, slot) -> list[str]:
+        if isinstance(slot, str):
+            return [slot]
+        if "any_of" in slot:
+            return list(slot["any_of"])
+        if "prefix" in slot:
+            return searcher.scan_terms(
+                lambda ts: [t for t in ts if t.startswith(slot["prefix"])],
+                self.field)
+        if "wildcard" in slot:
+            like = slot["wildcard"].replace("*", "%").replace("?", "_")
+
+            def pred(ts):
+                arr = pa.array(list(ts), type=pa.string())
+                m = pc.match_like(arr, like).to_numpy(zero_copy_only=False)
+                return [t for t, ok in zip(ts, m) if ok]
+
+            return searcher.scan_terms(pred, self.field)
+        if "fuzzy" in slot:
+            target = slot["fuzzy"]
+            d = int(slot.get("distance", 1))
+
+            def pred(ts):
+                cands = [t for t in ts if abs(len(t) - len(target)) <= d]
+                if not cands:
+                    return []
+                dist = _levenshtein_many(target, cands, d)
+                return [t for t, dd in zip(cands, dist) if dd <= d]
+
+            return searcher.scan_terms(pred, self.field)
+        raise ValueError(f"bad phrase slot: {slot!r}")
+
     def prepare(self, searcher, scorer, boost: float = 1.0):
-        states = [searcher.resolve_term(t, self.field) for t in self.terms]
+        slot_states = []
+        for slot in self.terms:
+            terms = self._slot_terms(searcher, slot)
+            slot_states.append(
+                [searcher.resolve_term(t, self.field) for t in terms]
+            )
         fs = searcher.field_stats(self.field)
         idf_sum = sum(
             scorer.idf(fs.docs_with_field, st.docs_with_term)
-            for st in states if st.docs_with_term
+            for states in slot_states for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
-        return PreparedPhrase(searcher, states, ctx, scorer, self.field)
+        return PreparedPhrase(searcher, slot_states, ctx, scorer, self.field)
 
 
 @dataclass
@@ -220,8 +268,8 @@ class SamePosition(Filter):
             for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
-        return PreparedPhrase(searcher, states, ctx, scorer, self.field,
-                              same_position=True)
+        return PreparedPhrase(searcher, [[st] for st in states], ctx, scorer,
+                              self.field, same_position=True)
 
 
 @dataclass
@@ -328,13 +376,14 @@ class Or(Filter):
     filters: list = dc_field(default_factory=list)
     min_match: int = 1
     boost: float = 1.0
+    score_merge: str = "sum"  # ScoreMergeType: "sum" (default) | "max"
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         pos = [f.prepare(searcher, scorer, boost * self.boost)
                for f in self.filters if not isinstance(f, Not)]
         neg = [f.filter.prepare(searcher, scorer, boost * self.boost)
                for f in self.filters if isinstance(f, Not)]
-        dis = PreparedDisjunction(pos, self.min_match, scorer)
+        dis = PreparedDisjunction(pos, self.min_match, scorer, self.score_merge)
         if neg:
             return PreparedConjunction([dis], neg, scorer)
         return dis
@@ -451,10 +500,11 @@ class PreparedTerm(Prepared):
 
 
 class PreparedDisjunction(Prepared):
-    def __init__(self, children, min_match, scorer):
+    def __init__(self, children, min_match, scorer, score_merge="sum"):
         super().__init__(scorer)
         self.children = children
         self.min_match = max(1, int(min_match))
+        self.score_merge = score_merge
 
     def cost(self, seg_ord):
         return sum(c.cost(seg_ord) for c in self.children)
@@ -483,7 +533,10 @@ class PreparedDisjunction(Prepared):
             valid = idx < d.size
             hit = np.zeros(docs.size, dtype=bool)
             hit[valid] = d[idx[valid]] == docs[valid]
-            scores[hit] += s[idx[hit]]
+            if self.score_merge == "max":
+                scores[hit] = np.maximum(scores[hit], s[idx[hit]])
+            else:
+                scores[hit] += s[idx[hit]]
             counts[hit] += 1
         if self.min_match > 1:
             keep = counts >= self.min_match
@@ -537,36 +590,53 @@ class PreparedConjunction(Prepared):
 
 
 class PreparedPhrase(Prepared):
-    def __init__(self, searcher, states, ctx, scorer, field=None,
+    def __init__(self, searcher, slot_states, ctx, scorer, field=None,
                  same_position=False):
         super().__init__(scorer)
         self.searcher = searcher
-        self.states = states
+        # list per phrase slot of TermStates (1 for simple slots, many
+        # for wildcard/fuzzy/prefix/set slots — the variadic phrase)
+        self.slot_states = slot_states
         self.ctx = ctx
         self.field = field
         self.same_position = same_position
 
     def cost(self, seg_ord):
         costs = []
-        for st in self.states:
-            row = st.rows[seg_ord]
-            costs.append(0 if row < 0 else int(self.searcher.segments[seg_ord].doc_freq[row]))
+        for states in self.slot_states:
+            c = 0
+            for st in states:
+                row = st.rows[seg_ord]
+                if row >= 0:
+                    c += int(self.searcher.segments[seg_ord].doc_freq[row])
+            costs.append(c)
         return min(costs) if costs else 0
 
     def execute(self, seg_ord):
         seg = self.searcher.segments[seg_ord]
         keysets = []
-        for i, st in enumerate(self.states):
-            row = st.rows[seg_ord]
-            if row < 0:
-                return _empty(self.dtype)
-            pl = seg.postings(int(row), positions=True)
-            doc_rep = np.repeat(pl.docs, pl.tfs)
-            # shift term i's positions left by i: a phrase start p matches
-            # iff every term i has a position p+i
+        for i, states in enumerate(self.slot_states):
             shift = 0 if self.same_position else i
-            ok = pl.positions >= shift
-            keys = (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - shift)
+            key_parts = []
+            for st in states:
+                row = st.rows[seg_ord]
+                if row < 0:
+                    continue
+                pl = seg.postings(int(row), positions=True)
+                doc_rep = np.repeat(pl.docs, pl.tfs)
+                # shift slot i's positions left by i: a phrase start p
+                # matches iff every slot i has a position p+i
+                ok = pl.positions >= shift
+                key_parts.append(
+                    (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - shift)
+                )
+            if not key_parts:
+                return _empty(self.dtype)
+            keys = np.concatenate(key_parts)
+            if len(key_parts) > 1:
+                keys = np.unique(keys)
+            else:
+                keys.sort()
             keysets.append(keys)
         keysets.sort(key=len)
         common = keysets[0]
@@ -710,11 +780,58 @@ class PreparedColumnExistence(Prepared):
 
 
 def _multiterm(searcher, scorer, matched_terms: list[str], boost: float,
-               field: str | None = None):
-    """Scored disjunction over dictionary-matched terms."""
+               field: str | None = None,
+               scored_terms_limit: int | None = None):
+    """Multiterm execution (``multiterm_query.hpp:32-60``): scored
+    disjunction over matched terms. With ``scored_terms_limit`` the
+    two-tier limited-sample strategy applies: the top-T terms by
+    docs_with_term are scored exactly, the rest become an unscored doc
+    union (``limited_sample_collector.hpp:45-105`` / ``bit_union``)."""
+    if scored_terms_limit is not None and len(matched_terms) > scored_terms_limit:
+        ranked = sorted(
+            matched_terms,
+            key=lambda t: (-searcher.resolve_term(t, field).docs_with_term, t),
+        )
+        scored = ranked[:scored_terms_limit]
+        rest = [searcher.resolve_term(t, field) for t in ranked[scored_terms_limit:]]
+        children = [Term(t, field=field).prepare(searcher, scorer, boost)
+                    for t in scored]
+        children.append(PreparedUnscoredUnion(searcher, rest, scorer))
+        return PreparedDisjunction(children, 1, scorer)
     children = [Term(t, field=field).prepare(searcher, scorer, boost)
                 for t in matched_terms]
     return PreparedDisjunction(children, 1, scorer)
+
+
+class PreparedUnscoredUnion(Prepared):
+    """Unscored doc-id union of many terms (bit_union analogue)."""
+
+    def __init__(self, searcher, states, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.states = states
+
+    def max_score(self, seg_ord):
+        return 0.0
+
+    def cost(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        return int(sum(
+            seg.doc_freq[st.rows[seg_ord]]
+            for st in self.states if st.rows[seg_ord] >= 0
+        ))
+
+    def execute(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        parts = []
+        for st in self.states:
+            row = st.rows[seg_ord]
+            if row >= 0:
+                parts.append(seg.postings(int(row)).docs)
+        if not parts:
+            return _empty(self.dtype)
+        docs = np.unique(np.concatenate(parts))
+        return docs, np.zeros(docs.size, dtype=self.dtype)
 
 
 def _levenshtein_many(target: str, cands: list[str], dmax: int) -> np.ndarray:

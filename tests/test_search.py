@@ -188,3 +188,45 @@ def test_tfidf_scores(searcher, oracle):
     top = OracleIndex.topk(exp, 10)
     assert res["doc_id"].tolist() == [d for d, _ in top]
     np.testing.assert_allclose(res["score"].to_numpy(), [s for _, s in top], rtol=1e-6)
+
+
+def test_variadic_phrase(searcher, oracle):
+    """Wildcard/prefix slots inside a phrase (reference variadic phrase)."""
+    import re
+
+    # phrase: any dep*-prefixed term followed by "target"
+    got = ids(searcher.match_docs(F.Phrase([{"prefix": "deploy"}, "target"])))
+    exp = set()
+    for d, poss in oracle.postings.get("target", {}).items():
+        for t, pd in oracle.postings.items():
+            if t.startswith("deploy") and d in pd:
+                if any(p - 1 in pd[d] for p in poss):
+                    exp.add(d)
+    assert got == sorted(exp)
+    # any_of slot
+    got2 = ids(searcher.match_docs(F.Phrase([{"any_of": ["ref", "deploy"]},
+                                             {"any_of": ["name", "target"]}])))
+    exp2 = set(oracle.score_phrase(["ref", "name"])) | set(
+        oracle.score_phrase(["deploy", "target"])) | set(
+        oracle.score_phrase(["ref", "target"])) | set(
+        oracle.score_phrase(["deploy", "name"]))
+    assert got2 == sorted(exp2)
+
+
+def test_scored_terms_limit_two_tier(searcher):
+    """Two-tier multiterm: same matched docs, top-T terms scored."""
+    full = searcher.search(F.Prefix("sec"), k=300, mode="all")
+    limited = searcher.search(F.Prefix("sec", scored_terms_limit=1), k=300, mode="all")
+    assert set(limited["doc_id"]) == set(full["doc_id"])  # matching identical
+    # scores differ (only the top-df term contributes)
+    assert (limited["score"].to_numpy() <= full["score"].to_numpy().max() + 1e-6).all()
+
+
+def test_or_max_merger(searcher, oracle):
+    res = searcher.search(F.Or([F.Term("deploy"), F.Term("second")],
+                               score_merge="max"), k=10, mode="all")
+    a, b = oracle.score_term("deploy"), oracle.score_term("second")
+    exp_scores = {d: max(a.get(d, 0.0), b.get(d, 0.0)) for d in set(a) | set(b)}
+    exp = OracleIndex.topk(exp_scores, 10)
+    assert res["doc_id"].tolist() == [d for d, _ in exp]
+    np.testing.assert_allclose(res["score"].to_numpy(), [s for _, s in exp], rtol=1e-6)

@@ -105,23 +105,36 @@ class TopK:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, segment_subset: set | None = None,
+                 stats_override: dict | None = None):
+        """``segment_subset``: open only these segment names but keep
+        GLOBAL doc bases (a shard view of the index).
+        ``stats_override``: {"fields": {field: (dwf, ttf)},
+        "terms": {(field, term): docs_with_term}} — index-wide collector
+        results injected by a sharded/distributed searcher so per-shard
+        scoring uses global IDF (collector semantics are associative)."""
         self.index_dir = index_dir
         self.manifest = Manifest.load(index_dir)
+        metas = [
+            s for s in self.manifest.segments
+            if segment_subset is None or s["name"] in segment_subset
+        ]
         self.segments = [
             SegmentReader(os.path.join(index_dir, s["name"]), meta=s)
-            for s in self.manifest.segments
+            for s in metas
         ]
-        self.doc_bases = np.asarray(
-            [s["doc_base"] for s in self.manifest.segments], dtype=np.int64
-        )
+        self.doc_bases = np.asarray([s["doc_base"] for s in metas], dtype=np.int64)
         self._field_stats: dict[str, FieldStats] = {}
         self._term_cache: dict[tuple, TermState] = {}
         self._match_cache: dict[str, np.ndarray] = {}
+        self._stats_override = stats_override or {}
 
     # -- stats (collector merge) ------------------------------------------
     def field_stats(self, field: str | None = None) -> FieldStats:
         key = field or (self.segments[0].default_field if self.segments else "text")
+        ov = self._stats_override.get("fields", {}).get(key)
+        if ov is not None:
+            return FieldStats(*ov)
         fs = self._field_stats.get(key)
         if fs is None:
             fs = FieldStats()
@@ -143,6 +156,9 @@ class IndexSearcher:
                 rows[i] = r
                 if r >= 0:
                     dwt += int(seg.doc_freq[r])
+            ov = self._stats_override.get("terms", {}).get((field, term))
+            if ov is not None:
+                dwt = ov  # index-wide docs_with_term from the coordinator
             st = TermState(term, rows, dwt)
             self._term_cache[key] = st
         return st

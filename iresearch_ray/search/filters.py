@@ -517,31 +517,11 @@ class PreparedDisjunction(Prepared):
         return sum(v for v in vals if v != float("-inf"))
 
     def execute(self, seg_ord):
-        # union + per-child sequential accumulation in child order —
-        # float32 sum order matches the reference SumMerger (and the
-        # MAXSCORE pruned path bit-for-bit; numpy reduceat would sum
-        # pairwise and drift by 1 ulp)
         parts = [c.execute(seg_ord) for c in self.children]
-        parts = [(d, s) for d, s in parts if d.size]
-        if not parts:
-            return _empty(self.dtype)
-        docs = np.unique(np.concatenate([d for d, _ in parts]))
-        scores = np.zeros(docs.size, dtype=self.dtype)
-        counts = np.zeros(docs.size, dtype=np.int32)
-        for d, s in parts:
-            idx = np.searchsorted(d, docs)
-            valid = idx < d.size
-            hit = np.zeros(docs.size, dtype=bool)
-            hit[valid] = d[idx[valid]] == docs[valid]
-            if self.score_merge == "max":
-                scores[hit] = np.maximum(scores[hit], s[idx[hit]])
-            else:
-                scores[hit] += s[idx[hit]]
-            counts[hit] += 1
-        if self.min_match > 1:
-            keep = counts >= self.min_match
-            docs, scores = docs[keep], scores[keep]
-        return docs, scores
+        return _merge_disjunction(
+            [(d, s) for d, s in parts if d.size],
+            self.min_match, self.score_merge, self.dtype,
+        )
 
 
 class PreparedConjunction(Prepared):
@@ -777,6 +757,30 @@ class PreparedColumnExistence(Prepared):
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _merge_disjunction(parts, min_match, score_merge, dtype):
+    """Shared disjunction merge kernel: concat children in child order,
+    stable sort by doc, reduceat per doc run. NOTE: numpy reduceat uses
+    pairwise summation — any alternative scored path (e.g. the MAXSCORE
+    pruned evaluation) must reuse THIS kernel or drift by 1 float32 ulp."""
+    if not parts:
+        return _empty(dtype)
+    docs = np.concatenate([d for d, _ in parts])
+    scores = np.concatenate([s for _, s in parts])
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    starts = np.flatnonzero(np.diff(docs, prepend=-1))
+    out_docs = docs[starts]
+    if score_merge == "max":
+        out_scores = np.maximum.reduceat(scores, starts).astype(dtype)
+    else:
+        out_scores = np.add.reduceat(scores, starts).astype(dtype)
+    if min_match > 1:
+        counts = np.diff(np.append(starts, docs.size))
+        keep = counts >= min_match
+        out_docs, out_scores = out_docs[keep], out_scores[keep]
+    return out_docs, out_scores
 
 
 def _multiterm(searcher, scorer, matched_terms: list[str], boost: float,

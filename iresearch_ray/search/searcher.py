@@ -333,7 +333,12 @@ class IndexSearcher:
         if not cand_parts:
             return
         docs = np.unique(np.concatenate(cand_parts))
-        scores = np.zeros(docs.size, dtype=prepared.dtype)
+        # assemble per-child (candidate docs, scores) pairs and run the
+        # SAME merge kernel as the exhaustive disjunction so both paths
+        # are bit-identical (reduceat pairwise-sum discipline)
+        from iresearch_ray.search.filters import _merge_disjunction
+
+        parts = []
         for ci, c in enumerate(children):
             pl = plists.get(ci)
             if pl is None:
@@ -345,7 +350,9 @@ class IndexSearcher:
             if not hit.any():
                 continue
             dls = seg.field_norms(c.field)[docs[hit] - 1]
-            scores[hit] += c.scorer.score(c.ctx, pl.tfs[idx[hit]], dls)
+            parts.append((docs[hit],
+                          c.scorer.score(c.ctx, pl.tfs[idx[hit]], dls)))
+        docs, scores = _merge_disjunction(parts, 1, "sum", prepared.dtype)
         docs, scores = seg.filter_live(docs, scores)
         col.push(docs + base, scores)
 

@@ -29,15 +29,30 @@ def to_sortable(values: np.ndarray) -> np.ndarray:
     return (values.astype(np.int64).view(np.uint64) ^ np.uint64(_SIGN))
 
 
+def float_to_sortable(values: np.ndarray) -> np.ndarray:
+    """float64 -> uint64 preserving numeric order (IEEE-754 trick:
+    negative floats flip all bits, positives flip the sign bit —
+    the reference's double numeric stream encoding)."""
+    bits = np.asarray(values, dtype=np.float64).view(np.uint64)
+    neg = (bits >> np.uint64(63)) != 0
+    out = np.where(neg, ~bits, bits ^ np.uint64(_SIGN))
+    return out.astype(np.uint64)
+
+
+def float_sortable_scalar(v: float) -> int:
+    return int(float_to_sortable(np.asarray([v]))[0])
+
+
 def term_at(shift: int, shifted_value: int) -> str:
     return f"{shift:02d}x{shifted_value:016x}"
 
 
-def numeric_terms(values: np.ndarray, step: int = PRECISION_STEP
-                  ) -> tuple[np.ndarray, list[str]]:
+def numeric_terms(values: np.ndarray, step: int = PRECISION_STEP,
+                  float_values: bool = False) -> tuple[np.ndarray, list[str]]:
     """All trie terms for a value column -> (doc_idx, terms) exploded.
     One term per precision level per doc (BITS/step levels)."""
-    u = to_sortable(np.asarray(values))
+    arr = np.asarray(values)
+    u = float_to_sortable(arr) if float_values else to_sortable(arr)
     shifts = list(range(0, BITS, step))
     doc_idx = np.repeat(np.arange(u.size, dtype=np.int64), len(shifts))
     terms: list[str] = []

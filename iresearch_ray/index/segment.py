@@ -359,8 +359,10 @@ def write_segment(
         vals = batch.column(col)
         if pa.types.is_timestamp(vals.type):
             vals = vals.cast(pa.int64())
-        arr = vals.to_numpy(zero_copy_only=False).astype(np.int64)
-        d_idx, terms = numeric_terms(arr)
+        is_float = pa.types.is_floating(vals.type)
+        arr = vals.to_numpy(zero_copy_only=False)
+        arr = arr.astype(np.float64) if is_float else arr.astype(np.int64)
+        d_idx, terms = numeric_terms(arr, float_values=is_float)
         field_invs.append((col, invert_tokens(
             d_idx, pa.array(terms, type=pa.string()),
             np.zeros(d_idx.size, dtype=np.int64), n,

@@ -301,29 +301,47 @@ class GranularRange(Filter):
     Matching is unscored (constant 0, filter semantics)."""
 
     field: str = ""
-    lo: int | None = None
-    hi: int | None = None
+    lo: int | float | None = None
+    hi: int | float | None = None
     include_lo: bool = True
     include_hi: bool = True
     boost: float = 1.0
+    as_float: bool | None = None  # None = infer from bound types
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         from iresearch_ray.index.numeric import (
+            float_sortable_scalar,
             split_range,
             term_at,
             to_sortable,
         )
 
-        lo = self.lo if self.lo is not None else -(1 << 63)
-        hi = self.hi if self.hi is not None else (1 << 63) - 1
-        if not self.include_lo:
-            lo += 1
-        if not self.include_hi:
-            hi -= 1
-        if lo > hi:
+        is_float = self.as_float
+        if is_float is None:
+            is_float = isinstance(self.lo, float) or isinstance(self.hi, float)
+        if is_float:
+            ulo = float_sortable_scalar(
+                self.lo if self.lo is not None else -np.inf)
+            uhi = float_sortable_scalar(
+                self.hi if self.hi is not None else np.inf)
+            # exclusive float bounds step one representable value
+            if not self.include_lo:
+                ulo += 1
+            if not self.include_hi:
+                uhi -= 1
+        else:
+            lo = self.lo if self.lo is not None else -(1 << 63)
+            hi = self.hi if self.hi is not None else (1 << 63) - 1
+            if not self.include_lo:
+                lo += 1
+            if not self.include_hi:
+                hi -= 1
+            if lo > hi:
+                return PreparedEmpty(scorer)
+            ulo = int(to_sortable(np.asarray([lo]))[0])
+            uhi = int(to_sortable(np.asarray([hi]))[0])
+        if ulo > uhi:
             return PreparedEmpty(scorer)
-        ulo = int(to_sortable(np.asarray([lo]))[0])
-        uhi = int(to_sortable(np.asarray([hi]))[0])
         ranges = [
             (term_at(s, a), term_at(s, b)) for s, a, b in split_range(ulo, uhi)
         ]
@@ -332,13 +350,11 @@ class GranularRange(Filter):
 
 @dataclass
 class NGramSimilarity(Filter):
-    """Approximate n-gram similarity (``core/search/ngram_similarity_filter.hpp``):
-    docs containing >= ``threshold`` fraction of the query's word
-    n-grams match; the match ratio scales the score (filter_boost
-    semantics). Divergence: the reference requires the common n-grams
-    to appear in order (longest common chain); this implementation
-    counts unordered presence — same candidates for threshold<=0.5
-    n-gram workloads, noted for parity review."""
+    """N-gram similarity (``core/search/ngram_similarity_filter.hpp``):
+    docs where the longest chain of query word-n-grams appearing *in
+    order* (strictly increasing positions) reaches >= ``threshold``
+    fraction of the query's n-grams; the chain ratio scales the score
+    (filter_boost semantics, ``ngram_similarity_query.cpp:455``)."""
 
     text: str
     threshold: float = 0.7
@@ -592,7 +608,18 @@ class PreparedPhrase(Prepared):
             costs.append(c)
         return min(costs) if costs else 0
 
+    def match_keys(self, seg_ord) -> np.ndarray:
+        """Sorted ``(doc << 32) + start_pos`` keys of every phrase match
+        in the segment (used by the phrase path itself and by the
+        ordered-chain n-gram similarity DP)."""
+        docs, scores, common = self._execute_impl(seg_ord)
+        return common
+
     def execute(self, seg_ord):
+        docs, scores, _ = self._execute_impl(seg_ord)
+        return docs, scores
+
+    def _execute_impl(self, seg_ord):
         seg = self.searcher.segments[seg_ord]
         keysets = []
         for i, states in enumerate(self.slot_states):
@@ -611,28 +638,41 @@ class PreparedPhrase(Prepared):
                     (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - shift)
                 )
             if not key_parts:
-                return _empty(self.dtype)
+                return (*_empty(self.dtype), _EMPTY_I)
             keys = np.concatenate(key_parts)
             if len(key_parts) > 1:
                 keys = np.unique(keys)
             else:
                 keys.sort()
             keysets.append(keys)
-        keysets.sort(key=len)
-        common = keysets[0]
-        for ks in keysets[1:]:
+        shortest = min(range(len(keysets)), key=lambda j: keysets[j].size)
+        common = keysets[shortest]
+        for j, ks in enumerate(keysets):
+            if j == shortest:
+                continue
             if common.size == 0:
-                return _empty(self.dtype)
+                return (*_empty(self.dtype), _EMPTY_I)
             common = common[np.isin(common, ks, assume_unique=True)]
         if common.size == 0:
-            return _empty(self.dtype)
+            return (*_empty(self.dtype), _EMPTY_I)
+        common.sort()
         docs_all = (common >> np.int64(32)).astype(np.int64)
         docs, tfs = np.unique(docs_all, return_counts=True)
         dls = seg.field_norms(self.field)[docs - 1]
-        return docs, self.scorer.score(self.ctx, tfs, dls)
+        return docs, self.scorer.score(self.ctx, tfs, dls), common
 
 
 class PreparedNGramSimilarity(Prepared):
+    """Ordered-chain n-gram similarity: the longest chain of query
+    n-grams appearing IN ORDER (strictly increasing positions) divided
+    by |query n-grams| must reach ``threshold``
+    (``ngram_similarity_query.cpp:455`` chain DP). The DP is vectorized
+    across candidate docs: for each gram in query order and chain length
+    L (descending), best[L] = min(best[L], smallest gram position >
+    best[L-1]) via one searchsorted on the gram's (doc<<32|pos) keys."""
+
+    _POS_MASK = np.int64((1 << 32) - 1)
+
     def __init__(self, children, threshold, scorer):
         super().__init__(scorer)
         self.children = children
@@ -641,22 +681,33 @@ class PreparedNGramSimilarity(Prepared):
     def execute(self, seg_ord):
         m = len(self.children)
         parts = [c.execute(seg_ord) for c in self.children]
-        parts = [(d, s) for d, s in parts if d.size]
-        if not parts:
+        sdocs, ssum = _merge_disjunction(
+            [(d, s) for d, s in parts if d.size], 1, "sum", self.dtype
+        )
+        if sdocs.size == 0:
             return _empty(self.dtype)
-        docs = np.concatenate([d for d, _ in parts])
-        scores = np.concatenate([s for _, s in parts])
-        order = np.argsort(docs, kind="stable")
-        docs, scores = docs[order], scores[order]
-        starts = np.flatnonzero(np.diff(docs, prepend=-1))
-        counts = np.diff(np.append(starts, docs.size))
-        ratio = counts / m
+        keys_per_gram = [c.match_keys(seg_ord) for c in self.children]
+        INF = np.int64(1) << np.int64(40)
+        docs = sdocs
+        best = np.full((m + 1, docs.size), INF, dtype=np.int64)
+        best[0, :] = -1
+        for K in keys_per_gram:
+            if K.size == 0:
+                continue
+            for L in range(m, 0, -1):
+                prev = best[L - 1]
+                q = (docs << np.int64(32)) + np.minimum(prev + 1, self._POS_MASK)
+                idx = np.searchsorted(K, q)
+                ok = (prev < INF) & (idx < K.size)
+                kk = K[np.minimum(idx, K.size - 1)]
+                same_doc = (kk >> np.int64(32)) == docs
+                pos = kk & self._POS_MASK
+                cand = np.where(ok & same_doc, pos, INF)
+                best[L] = np.minimum(best[L], cand)
+        chain = (best[1:] < INF).sum(axis=0)
+        ratio = chain / m
         keep = ratio >= self.threshold
-        out_docs = docs[starts][keep]
-        out_scores = (
-            np.add.reduceat(scores, starts)[keep] * ratio[keep]
-        ).astype(self.dtype)
-        return out_docs, out_scores
+        return docs[keep], (ssum[keep] * ratio[keep]).astype(self.dtype)
 
 
 class PreparedAll(Prepared):

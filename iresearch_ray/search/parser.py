@@ -22,15 +22,22 @@ _FUZZY = re.compile(r"^(?P<t>[^~]+)~(?P<d>[12])$")
 _MINMATCH = re.compile(r"^(?P<n>\d+)\s+(?P<rest>.+)$")
 
 
+_FIELD = re.compile(r"^(?P<f>[A-Za-z_][A-Za-z0-9_]*):(?P<rest>.+)$")
+
+
 def _leaf(tok: str) -> F.Filter:
-    m = _FUZZY.match(tok)
+    field = None
+    m = _FIELD.match(tok)
     if m:
-        return F.Fuzzy(m.group("t"), int(m.group("d")))
+        field, tok = m.group("f"), m.group("rest")
+    fz = _FUZZY.match(tok)
+    if fz:
+        return F.Fuzzy(fz.group("t"), int(fz.group("d")), field=field)
     if tok.endswith("*") and not any(c in tok[:-1] for c in "*?%_"):
-        return F.Prefix(tok[:-1])
+        return F.Prefix(tok[:-1], field=field)
     if any(c in tok for c in "*?%_"):
-        return F.Wildcard(tok)
-    return F.Term(tok)
+        return F.Wildcard(tok, field=field)
+    return F.Term(tok, field=field)
 
 
 def parse_query(text: str) -> F.Filter:

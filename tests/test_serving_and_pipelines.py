@@ -149,3 +149,37 @@ def test_ngram_similarity_filter(searcher):
     res = searcher.match_docs(F.NGramSimilarity("ref name", threshold=1.0))
     exp = searcher.match_docs(F.Phrase(["ref", "name"]))
     assert sorted(res.tolist()) == sorted(exp.tolist())
+
+
+def test_ngram_similarity_ordered_chain(searcher, small_corpus):
+    """Chain must respect gram ORDER: brute-force DP oracle comparison."""
+    import re
+
+    ordered = small_corpus.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    texts = [re.findall(r"[^\W_]+", t.lower()) for t in ordered.column("text").to_pylist()]
+    query = ["the", "ref", "ok"]
+    grams = [tuple(query[i:i+2]) for i in range(len(query)-1)]
+
+    def chain_len(toks):
+        # positions of each gram
+        pos = [
+            [i for i in range(len(toks)-1) if (toks[i], toks[i+1]) == g]
+            for g in grams
+        ]
+        best = {0: -1}
+        for gi, ps in enumerate(pos):
+            for L in range(len(grams), 0, -1):
+                if L-1 in best:
+                    nxt = [p for p in ps if p > best[L-1]]
+                    if nxt:
+                        best[L] = min(best.get(L, 1 << 30), min(nxt))
+        return max((L for L in best if L > 0), default=0)
+
+    thr = 0.5
+    exp = sorted(
+        i + 1 for i, toks in enumerate(texts)
+        if chain_len(toks) / len(grams) >= thr
+    )
+    got = sorted(searcher.match_docs(
+        F.NGramSimilarity("the ref ok", threshold=thr)).tolist())
+    assert got == exp

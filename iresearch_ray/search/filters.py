@@ -612,12 +612,22 @@ class PreparedPhrase(Prepared):
         """Sorted ``(doc << 32) + start_pos`` keys of every phrase match
         in the segment (used by the phrase path itself and by the
         ordered-chain n-gram similarity DP)."""
-        docs, scores, common = self._execute_impl(seg_ord)
-        return common
+        return self._cached(seg_ord)[2]
 
     def execute(self, seg_ord):
-        docs, scores, _ = self._execute_impl(seg_ord)
+        docs, scores, _ = self._cached(seg_ord)
         return docs, scores
+
+    def _cached(self, seg_ord):
+        # execute + match_keys are both needed by the n-gram DP; memoize
+        # per segment so the phrase evaluates once
+        if not hasattr(self, "_memo"):
+            self._memo = {}
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            hit = self._execute_impl(seg_ord)
+            self._memo[seg_ord] = hit
+        return hit
 
     def _execute_impl(self, seg_ord):
         seg = self.searcher.segments[seg_ord]

@@ -124,7 +124,22 @@ def build_index(
                 {text_col, *key_cols, *(stored_cols or ()), *exact_fields,
                  *numeric_fields}
             )
-        ds = ray.data.read_parquet(source, columns=cols)
+        # size read blocks to the segment size (metadata-only row count):
+        # otherwise many small input files yield ~2k-row blocks and
+        # map_batches caps batches well below segment_docs, producing
+        # far more (smaller) segments than asked for
+        n_blocks = None
+        try:
+            import pyarrow.dataset as pads
+
+            total = sum(
+                f.count_rows() for f in pads.dataset(source).get_fragments()
+            )
+            n_blocks = max(1, -(-total // segment_docs))
+        except Exception:
+            pass
+        ds = ray.data.read_parquet(source, columns=cols,
+                                   override_num_blocks=n_blocks)
     else:
         ds = source
     if sort:

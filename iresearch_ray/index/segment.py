@@ -610,7 +610,20 @@ class SegmentReader:
                            run_tfs=tfs.astype(np.int64) if positions else None)
 
     def cursor(self, idx: int) -> "BlockCursor":
-        """Block-at-a-time cursor with skip + block-max metadata (WAND)."""
+        """Block-at-a-time cursor with skip + block-max metadata (WAND).
+        Cached per term row (block-meta list conversion is not free)."""
+        if not hasattr(self, "_cursor_cache"):
+            self._cursor_cache: dict[int, BlockCursor] = {}
+        hit = self._cursor_cache.get(idx)
+        if hit is not None:
+            return hit
+        cur = self._make_cursor(idx)
+        if len(self._cursor_cache) >= 256:
+            self._cursor_cache.pop(next(iter(self._cursor_cache)))
+        self._cursor_cache[idx] = cur
+        return cur
+
+    def _make_cursor(self, idx: int) -> "BlockCursor":
         row = self._posting_row(idx)
         return BlockCursor(
             df=int(self.doc_freq[idx]),
@@ -658,9 +671,12 @@ def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray) -> np.ndarray:
         bits = np.unpackbits(
             blob[gather].reshape(g.size, nb), axis=1,
             count=BLOCK_SIZE * int(w), bitorder="little",
-        ).reshape(g.size, BLOCK_SIZE, int(w))
-        shifts = np.arange(int(w), dtype=np.uint64)
-        out[g] = (bits.astype(np.uint64) << shifts).sum(axis=2).astype(np.int64)
+        ).reshape(-1, int(w))
+        # bit recomposition as a BLAS matmul in float64 — exact for
+        # widths < 52 bits and ~5x faster than shift+sum
+        powers = 2.0 ** np.arange(int(w))
+        out[g] = (bits.astype(np.float64) @ powers).reshape(
+            g.size, BLOCK_SIZE).astype(np.int64)
     return out
 
 

@@ -280,23 +280,50 @@ class IndexSearcher:
         if row < 0:
             return
         seg = self.segments[seg_ord]
-        cur = seg.cursor(int(row))
         norms = seg.field_norms(prepared.field)
+        # a fully decoded posting list in the cache beats re-decoding
+        # blocks (WAND pruning saves nothing once decode is free)
+        pl = seg._pl_cache.get((int(row), False)) or seg._pl_cache.get((int(row), True))
+        if pl is not None:
+            scores = prepared.scorer.score(prepared.ctx, pl.tfs,
+                                           norms[pl.docs - 1])
+            docs, scores = seg.filter_live(pl.docs, scores)
+            col.push(docs + base, scores)
+            return
+        cur = seg.cursor(int(row))
         ubs = prepared.scorer.upper_bound_many(
             prepared.ctx, cur.max_tf, cur.min_dl
         )
         C = self._WAND_CHUNK
+        decoded_all = True
+        all_docs, all_tfs = [], []
         for start in range(0, cur.n_blocks, C):
             chunk = np.arange(start, min(start + C, cur.n_blocks))
             thr = col.threshold
             if np.isfinite(thr):
-                chunk = chunk[ubs[chunk] > thr]
+                kept = chunk[ubs[chunk] > thr]
+                if kept.size < chunk.size:
+                    decoded_all = False
+                chunk = kept
                 if chunk.size == 0:
                     continue
             docs, tfs = cur.decode_blocks(chunk)
+            if decoded_all:
+                all_docs.append(docs)
+                all_tfs.append(tfs)
             scores = prepared.scorer.score(prepared.ctx, tfs, norms[docs - 1])
             docs, scores = seg.filter_live(docs, scores)
             col.push(docs + base, scores)
+        if decoded_all and all_docs:
+            # nothing was pruned: the full decode is free to keep — later
+            # queries on this term short-circuit the block loop entirely
+            from iresearch_ray.index.segment import PostingList
+
+            key = (int(row), False)
+            if key not in seg._pl_cache and len(seg._pl_cache) < seg._pl_cache_max:
+                seg._pl_cache[key] = PostingList(
+                    np.concatenate(all_docs), np.concatenate(all_tfs)
+                )
 
     def _maxscore_or(self, prepared, seg_ord: int, base: int, col: TopK):
         """MAXSCORE evaluation of a pure-term disjunction: split terms

@@ -609,6 +609,23 @@ class SegmentReader:
         return PostingList(docs=docs, tfs=tfs.astype(np.int64), positions=pos,
                            run_tfs=tfs.astype(np.int64) if positions else None)
 
+    def phrase_keys(self, idx: int) -> np.ndarray:
+        """Sorted ``(doc << 32) + position`` keys of every occurrence of
+        term ``idx`` (cached; the phrase/same-position/n-gram kernels
+        derive shifted slot keys from this one array)."""
+        if not hasattr(self, "_pk_cache"):
+            self._pk_cache: dict[int, np.ndarray] = {}
+        hit = self._pk_cache.get(idx)
+        if hit is None:
+            pl = self.postings(idx, positions=True)
+            doc_rep = np.repeat(pl.docs, pl.tfs)
+            hit = (doc_rep << np.int64(32)) + pl.positions
+            # grouped (doc asc, pos asc) -> already globally sorted
+            if len(self._pk_cache) >= 64:
+                self._pk_cache.pop(next(iter(self._pk_cache)))
+            self._pk_cache[idx] = hit
+        return hit
+
     def cursor(self, idx: int) -> "BlockCursor":
         """Block-at-a-time cursor with skip + block-max metadata (WAND).
         Cached per term row (block-meta list conversion is not free)."""

@@ -632,40 +632,45 @@ class PreparedPhrase(Prepared):
     def _execute_impl(self, seg_ord):
         seg = self.searcher.segments[seg_ord]
         keysets = []
+        POSM = np.int64((1 << 32) - 1)
         for i, states in enumerate(self.slot_states):
-            shift = 0 if self.same_position else i
+            shift = np.int64(0 if self.same_position else i)
             key_parts = []
             for st in states:
                 row = st.rows[seg_ord]
                 if row < 0:
                     continue
-                pl = seg.postings(int(row), positions=True)
-                doc_rep = np.repeat(pl.docs, pl.tfs)
                 # shift slot i's positions left by i: a phrase start p
-                # matches iff every slot i has a position p+i
-                ok = pl.positions >= shift
-                key_parts.append(
-                    (doc_rep[ok] << np.int64(32)) + (pl.positions[ok] - shift)
-                )
+                # matches iff every slot i has a position p+i. Keys
+                # derive from the cached per-term (doc<<32|pos) array —
+                # subtracting the shift preserves sort order once
+                # positions < shift are dropped.
+                k0 = seg.phrase_keys(int(row))
+                if shift:
+                    k0 = k0[(k0 & POSM) >= shift] - shift
+                key_parts.append(k0)
             if not key_parts:
                 return (*_empty(self.dtype), _EMPTY_I)
-            keys = np.concatenate(key_parts)
             if len(key_parts) > 1:
-                keys = np.unique(keys)
+                keys = np.unique(np.concatenate(key_parts))
             else:
-                keys.sort()
+                keys = key_parts[0]  # already sorted
             keysets.append(keys)
-        shortest = min(range(len(keysets)), key=lambda j: keysets[j].size)
-        common = keysets[shortest]
-        for j, ks in enumerate(keysets):
-            if j == shortest:
-                continue
+        order = sorted(range(len(keysets)), key=lambda j: keysets[j].size)
+        common = keysets[order[0]]
+        for j in order[1:]:
             if common.size == 0:
                 return (*_empty(self.dtype), _EMPTY_I)
-            common = common[np.isin(common, ks, assume_unique=True)]
+            # sorted-array intersection (both sides sorted & unique) —
+            # np.isin would re-sort the big side on every call
+            ks = keysets[j]
+            idx = np.searchsorted(ks, common)
+            valid = idx < ks.size
+            hit = np.zeros(common.size, dtype=bool)
+            hit[valid] = ks[idx[valid]] == common[valid]
+            common = common[hit]
         if common.size == 0:
             return (*_empty(self.dtype), _EMPTY_I)
-        common.sort()
         docs_all = (common >> np.int64(32)).astype(np.int64)
         docs, tfs = np.unique(docs_all, return_counts=True)
         dls = seg.field_norms(self.field)[docs - 1]

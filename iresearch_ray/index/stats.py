@@ -33,6 +33,16 @@ def term_stats_dataset(index_dir: str, field: str | None = None) -> "ray.data.Da
         columns=["field", "term", "doc_freq", "total_tf"],
         filter=_pc.field("field") == field,
     ).drop_columns(["field"])
+
+    def combine(batch):
+        # partial aggregation before the shuffle (combiner): a hot term
+        # otherwise ships one row per segment into a single group — at
+        # 10^6+ segments that is the classic skewed-key straggler
+        return batch.group_by("term").aggregate(
+            [("doc_freq", "sum"), ("total_tf", "sum")]
+        ).rename_columns(["term", "doc_freq", "total_tf"])
+
+    ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=262144)
     return ds.groupby("term").aggregate(
         Sum("doc_freq", alias_name="doc_freq"),
         Sum("total_tf", alias_name="total_tf"),

@@ -1,0 +1,80 @@
+"""Literal kill/restart resumability: a build process killed mid-flight
+leaves valid per-partition checkpoints; the rerun completes the index
+and matches a clean build (BASELINE.md resumability criterion)."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+
+BUILD_SNIPPET = """
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, {repo!r})
+from iresearch_ray.index.build import build_index
+build_index({corpus!r}, {idx!r}, segment_docs=256, concurrency=1)
+ray.shutdown()
+"""
+
+
+def test_kill_restart_resumes(tmp_path, ray_session):
+    from iresearch_ray.data.transcripts import write_transcripts
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = str(tmp_path / "corpus")
+    write_transcripts(corpus, n_parts=4, convs_per_part=64)
+    idx_killed = str(tmp_path / "killed")
+    idx_clean = str(tmp_path / "clean")
+
+    # run a build in a subprocess and kill it once some segments exist
+    code = BUILD_SNIPPET.format(repo=repo, corpus=corpus, idx=idx_killed)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 120
+    killed_mid_flight = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — resume is then a no-op
+        done = [d for d in os.listdir(idx_killed)
+                if d.startswith("seg-") and
+                os.path.exists(os.path.join(idx_killed, d, "_SUCCESS"))] \
+            if os.path.isdir(idx_killed) else []
+        if len(done) >= 2:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed_mid_flight = True
+            break
+        time.sleep(0.1)
+    else:
+        proc.kill()
+        proc.wait()
+
+    pre = {d for d in os.listdir(idx_killed) if d.startswith("seg-")} \
+        if os.path.isdir(idx_killed) else set()
+
+    # restart (same session is fine — build_index skips finished segments)
+    man = build_index(corpus, idx_killed, segment_docs=256, concurrency=1)
+    build_index(corpus, idx_clean, segment_docs=256, concurrency=1)
+
+    s_resumed = IndexSearcher(idx_killed)
+    s_clean = IndexSearcher(idx_clean)
+    assert s_resumed.manifest.total_docs == s_clean.manifest.total_docs
+    for flt in [F.Term("ref"), F.Phrase(["deploy", "target"]), F.Prefix("sec")]:
+        a = s_resumed.search(flt, k=20, mode="all")
+        b = s_clean.search(flt, k=20, mode="all")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   b["score"].to_numpy(), rtol=1e-6)
+    if killed_mid_flight and pre:
+        # checkpointed segments were reused, not rebuilt
+        final = {m["name"] for m in man.segments}
+        assert pre & final

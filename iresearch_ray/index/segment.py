@@ -490,7 +490,12 @@ class SegmentReader:
         if arr is None:
             t = pq.read_table(os.path.join(self.dir, "norms.parquet"))
             col = f"len_{field}" if f"len_{field}" in t.column_names else "doc_len"
-            arr = t.column(col).to_numpy().astype(np.float32)
+            if col in t.column_names:
+                arr = t.column(col).to_numpy().astype(np.float32)
+            else:
+                # field absent from this segment (e.g. merging segments
+                # built with different field sets): zero doc lengths
+                arr = np.zeros(self.docs_count, dtype=np.float32)
             self._norms[field] = arr
         return arr
 

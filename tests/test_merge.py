@@ -102,3 +102,45 @@ def test_consolidate_round(ray_session, tmp_path, small_corpus):
 
     dirs = [d for d in os.listdir(idx) if d.startswith("seg-")]
     assert dirs == [man2.segments[0]["name"]]
+
+
+def test_merge_segments_with_differing_fields(tmp_path, small_corpus):
+    """A group mixing segments built with different exact_fields must
+    merge (missing fields behave as empty in those segments)."""
+    from iresearch_ray.index.merge import merge_segments
+
+    an = get_analyzer("segmentation", {})
+    idx = str(tmp_path / "mixidx")
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an,
+                       exact_fields=("role",))
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an)  # no role field
+    Manifest.commit(idx, [m1, m2])
+    merged = merge_segments(idx, Manifest.load(idx).segments)
+    merged.pop("doc_base", None)
+    Manifest.commit(idx, [merged])
+    s = IndexSearcher(idx)
+    # role terms only exist for the first half's docs
+    got = sorted(s.match_docs(F.Term("user", field="role")).tolist())
+    assert got and max(got) <= n // 2
+    # text queries span everything
+    assert s.match_docs(F.Term("the")).size > 0
+
+
+def test_empty_text_segment(tmp_path):
+    """All-empty text still produces a valid, queryable segment."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c2"]),
+        "turn_idx": pa.array([0, 0], type=pa.int32()),
+        "text": pa.array(["", None]),
+    })
+    idx = str(tmp_path / "eidx")
+    an = get_analyzer("segmentation", {})
+    m = write_segment(idx, t, an)
+    Manifest.commit(idx, [m])
+    s = IndexSearcher(idx)
+    assert s.manifest.total_docs == 2
+    assert s.match_docs(F.Term("anything")).size == 0
+    assert sorted(s.match_docs(F.All()).tolist()) == [1, 2]

@@ -331,6 +331,27 @@ def _q_langid(sf_dir: str):
     return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """All doc pairs with char-3-gram Jaccard >= 0.5 (broadcast block-
+    pairwise; oracle = the same similarity in SQL)."""
+    import pandas as pd
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    if "id_a" not in pdf.columns:
+        pdf = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "jaccard_r": pd.Series([], dtype="float64")})
+        return pdf
+    pdf["jaccard_r"] = np.floor(pdf["jaccard"] * 1e5 + 0.5) / 1e5
+    return pdf[["id_a", "id_b", "jaccard_r"]].sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_multimodal_decode(sf_dir: str):
     """Actor-pool media decode (stubbed kernel, real plumbing) over a
     deterministic fake media table; non-SQL (binary payloads)."""
@@ -403,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
         "events_hourly": _q_events_hourly,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
@@ -527,6 +549,25 @@ WHERE e.vec_id <> 7
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
          vec_id
 LIMIT 10
+""",
+        "ngram_jaccard_pairs": """
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(text) < 3 THEN [text]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(text) - 2),
+                     i -> substr(text, i, 3)))
+         END AS g
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(a.g || b.g)) * 100000 + 0.5) / 100000
+         AS jaccard_r
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / len(list_distinct(a.g || b.g)) >= 0.5
+ORDER BY id_a, id_b
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour,

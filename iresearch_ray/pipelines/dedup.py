@@ -291,11 +291,94 @@ def embedding_near_dups(ds, threshold: float = 0.95, bits: int = 12,
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
 
 
+def ngram_grams(s: str, n: int = 3) -> set:
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Character n-gram Jaccard similarity (verification kernel for
     near-dup candidates)."""
-    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
-    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    sa, sb = ngram_grams(a, n), ngram_grams(b, n)
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+class NgramJaccardPairs:
+    """map_batches actor: each batch's docs vs the broadcast full corpus
+    -> (id_a < id_b, jaccard) pairs over threshold.
+
+    This is the exhaustive O(n^2/P) block-pairwise layout (right side
+    broadcast once via ray.put) used here as the oracle-checkable
+    pipeline; at scale the candidate pairs come from MinHash-LSH buckets
+    and this kernel only verifies them."""
+
+    def __init__(self, corpus_ref, threshold: float = 0.8, n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        ids, texts = ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
+        self.n = n
+        self.threshold = threshold
+        self.text_col = text_col
+        self.id_col = id_col
+        self.all_ids = np.asarray(ids, dtype=np.int64)
+        # gram vocabulary + binary incidence matrix of the broadcast side
+        grams = [ngram_grams(t or "", n) for t in texts]
+        self.vocab = {g: k for k, g in enumerate(
+            sorted(set().union(*grams)) if grams else [])}
+        self.B = np.zeros((len(texts), len(self.vocab)), dtype=np.float32)
+        for r, gs in enumerate(grams):
+            for g in gs:
+                self.B[r, self.vocab[g]] = 1.0
+        self.b_sizes = self.B.sum(axis=1)
+
+    def _matrix(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        A = np.zeros((len(texts), len(self.vocab)), dtype=np.float32)
+        extra = np.zeros(len(texts), dtype=np.float64)  # grams not in vocab
+        for r, t in enumerate(texts):
+            gs = ngram_grams(t or "", self.n)
+            for g in gs:
+                k = self.vocab.get(g)
+                if k is None:
+                    extra[r] += 1.0
+                else:
+                    A[r, k] = 1.0
+        return A, extra
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        A, extra = self._matrix(texts)
+        inter = A @ self.B.T  # (batch, corpus) shared-gram counts
+        a_sizes = A.sum(axis=1) + extra
+        union = a_sizes[:, None] + self.b_sizes[None, :] - inter
+        union[union == 0] = 1.0
+        sim = inter / union
+        ii, jj = np.nonzero(sim >= self.threshold)
+        keep = ids[ii] < self.all_ids[jj]  # each unordered pair once
+        ii, jj = ii[keep], jj[keep]
+        return pa.table({
+            "id_a": pa.array(ids[ii], type=pa.int64()),
+            "id_b": pa.array(self.all_ids[jj], type=pa.int64()),
+            "jaccard": pa.array(sim[ii, jj].astype(np.float64)),
+        })
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        concurrency: int = 2):
+    """All unordered doc pairs with char-n-gram Jaccard >= threshold."""
+    import ray
+
+    pdf = ds.to_pandas()  # the broadcast side; callers keep this small
+    ref = ray.put((pdf[id_col].tolist(), pdf[text_col].tolist()))
+    return ds.map_batches(
+        NgramJaccardPairs,
+        fn_constructor_kwargs=dict(corpus_ref=ref, threshold=threshold, n=n,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -183,3 +183,20 @@ def test_ngram_similarity_ordered_chain(searcher, small_corpus):
     got = sorted(searcher.match_docs(
         F.NGramSimilarity("the ref ok", threshold=thr)).tolist())
     assert got == exp
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import ngram_grams, ngram_jaccard_pairs
+
+    texts = ["abcdefgh", "abcdefgx", "zzzzyyyy", "ab"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = ngram_jaccard_pairs(ray.data.from_arrow(t), threshold=0.3).to_pandas()
+    pairs = {(a, b): j for a, b, j in
+             zip(out["id_a"], out["id_b"], out["jaccard"])}
+    g1, g2 = ngram_grams(texts[0]), ngram_grams(texts[1])
+    exp = len(g1 & g2) / len(g1 | g2)
+    assert (1, 2) in pairs and abs(pairs[(1, 2)] - exp) < 1e-12
+    assert not any(3 in p for p in pairs)

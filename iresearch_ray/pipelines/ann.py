@@ -111,3 +111,57 @@ def lsh_buckets(ds, dim: int, bits: int = 16, id_col="vec_id",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def lsh_cosine_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 12,
+                    hamming_radius: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 11,
+                    concurrency: int = 4):
+    """Approximate cosine top-k: scan only vectors whose hyperplane
+    signature is within ``hamming_radius`` of the query's signature —
+    the bucketed scale path (brute-force ``cosine_topk`` is the exact
+    baseline; recall grows with the radius and shrinks with ``bits``).
+
+    The bucket filter runs inside ``map_batches`` (signature matmul +
+    popcount per batch), so only candidate rows reach the scoring
+    matmul — at 10^9+ vectors the non-candidates never leave the read
+    stage.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    q_sig_bits = (q @ planes) > 0  # (Q, bits)
+
+    class FilteredTopK(CosineTopK):
+        def __init__(self, queries_ref):
+            super().__init__(queries_ref, k=k, id_col=id_col, vec_col=vec_col)
+            self.planes = planes
+            self.q_sig = q_sig_bits
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch.column(vec_col))
+            sig = (m @ self.planes) > 0  # (N, bits)
+            # hamming distance to every query signature
+            ham = (sig[:, None, :] != self.q_sig[None, :, :]).sum(axis=2)
+            cand = (ham <= hamming_radius).any(axis=1)
+            if not cand.any():
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 id_col: pa.array([], type=pa.int64()),
+                                 "cosine": pa.array([], type=pa.float64())})
+            idx = np.flatnonzero(cand)
+            return super().__call__(batch.take(pa.array(idx)))
+
+    import ray as _ray
+
+    ref = _ray.put(q)
+    local = ds.map_batches(
+        FilteredTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pdf = local.to_pandas()
+    pdf = pdf.sort_values(["query_id", "cosine", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    return pdf.groupby("query_id", as_index=False).head(k).reset_index(drop=True)

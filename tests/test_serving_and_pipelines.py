@@ -200,3 +200,27 @@ def test_ngram_jaccard_pairs(ray_session):
     exp = len(g1 & g2) / len(g1 | g2)
     assert (1, 2) in pairs and abs(pairs[(1, 2)] - exp) < 1e-12
     assert not any(3 in p for p in pairs)
+
+
+def test_lsh_cosine_topk_recall(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((400, 32))
+    # plant 12 true near neighbors of vector 5 (cosine ~0.97) — LSH only
+    # has recall for actually-similar vectors, not random near-orthogonal
+    for j in range(12):
+        vecs[50 + j] = vecs[5] + rng.standard_normal(32) * 0.15
+    t = pa.table({"vec_id": pa.array(np.arange(400), type=pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    q = vecs[5:6]
+    exact = cosine_topk(ds, q, k=10)
+    approx = lsh_cosine_topk(ds, q, k=10, bits=10, hamming_radius=3)
+    # recall of the approximate search vs brute force
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.8
+    # the query vector itself always survives the bucket filter
+    assert approx["vec_id"].iloc[0] == 5

@@ -111,6 +111,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         qtimes[name] = round(statistics.median(samples), 4)
         p99s[name] = round(max(samples), 4)
 
+    # distributed serving sample: the same queries through segment-shard
+    # actors (two-phase global-stats protocol)
+    from iresearch_ray.search.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(index_dir, n_shards=4)
+    sharded_times = {}
+    for name in ("HighTerm", "OrHighHigh", "HighPhrase"):
+        sh.search(cats[name], k=100)  # warm
+        t0 = time.time()
+        sh.search(cats[name], k=100)
+        sharded_times[name] = round(time.time() - t0, 4)
+    sh.shutdown()
+
     query_total = sum(qtimes.values())
     result = {
         "metric": "index_build_sec",
@@ -124,6 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "segments": len(man.segments),
         "query_total_sec": round(query_total, 4),
         "query_p99_sec": p99s,
+        "sharded_query_sec": sharded_times,
     }
     ray.shutdown()
     return result

@@ -361,6 +361,7 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
 register_analyzer("segmentation", SegmentationAnalyzer)
 register_analyzer("text", TextAnalyzer)
 register_analyzer("delimiter", DelimiterAnalyzer)
+register_analyzer("multi_delimiter", DelimiterAnalyzer)
 register_analyzer("keyword", KeywordAnalyzer)
 register_analyzer("ngram", NgramAnalyzer)
 register_analyzer("norm", NormalizingAnalyzer)

@@ -113,6 +113,14 @@ def cmd_dump(args) -> None:
             print(json.dumps(out))
 
 
+def cmd_convert(args) -> None:
+    from iresearch_ray.index.merge import convert_index
+
+    man = convert_index(args.index, args.out)
+    print(json.dumps({"segments": len(man.segments),
+                      "total_docs": man.total_docs, "out": args.out}))
+
+
 def cmd_consolidate(args) -> None:
     ray = _ensure_ray()
     from iresearch_ray.index.merge import consolidate
@@ -155,6 +163,11 @@ def main(argv=None) -> None:
     du.add_argument("--positions", action="store_true")
     du.add_argument("--limit", type=int, default=20)
     du.set_defaults(fn=cmd_dump)
+
+    cv = sub.add_parser("convert", help="re-encode an index through the current format")
+    cv.add_argument("--index", required=True)
+    cv.add_argument("--out", required=True)
+    cv.set_defaults(fn=cmd_convert)
 
     co = sub.add_parser("consolidate", help="merge segments (tier policy)")
     co.add_argument("--index", required=True)

@@ -36,8 +36,12 @@ from iresearch_ray.index.segment import (
 )
 
 
-def merge_segments(index_dir: str, group: list[dict]) -> dict:
-    """Merge an ordered group of segment metas into one new segment.
+def merge_segments(index_dir: str, group: list[dict],
+                   out_dir: str | None = None) -> dict:
+    """Merge an ordered group of segment metas into one new segment
+    (written under ``out_dir``, default the same index — passing a
+    different directory re-encodes segments through the current format,
+    which is what the ``index-convert`` CLI does).
 
     Pure function of its inputs (idempotent via _SUCCESS marker), so a
     failed consolidation round can simply be re-run.
@@ -45,6 +49,7 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
     import time
 
     t0 = time.time()
+    out_dir = out_dir or index_dir
     group = sorted(group, key=lambda m: tuple(m["first_key"]))
     readers = [SegmentReader(os.path.join(index_dir, m["name"]), meta=m)
                for m in group]
@@ -63,7 +68,7 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
     first_key = tuple(group[0]["first_key"])
     last_key = tuple(group[-1]["last_key"])
     name = segment_name(first_key, total_docs)
-    seg_dir = os.path.join(index_dir, name)
+    seg_dir = os.path.join(out_dir, name)
     if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
         with open(os.path.join(seg_dir, "meta.json")) as f:
             return json.load(f)
@@ -167,6 +172,20 @@ def merge_segments(index_dir: str, group: list[dict]) -> dict:
         else:
             raise
     return meta
+
+
+def convert_index(src_dir: str, dst_dir: str) -> Manifest:
+    """Re-encode every segment of ``src_dir`` through the current format
+    into ``dst_dir`` (the ``index-convert`` analogue,
+    ``utils/index-convert.cpp``). Deleted docs are purged on the way."""
+    os.makedirs(dst_dir, exist_ok=True)
+    man = Manifest.load(src_dir)
+    metas = []
+    for seg in man.segments:
+        m = merge_segments(src_dir, [dict(seg)], out_dir=dst_dir)
+        m.pop("doc_base", None)
+        metas.append(m)
+    return Manifest.commit(dst_dir, metas)
 
 
 def plan_tier(segments: list[dict], min_segments: int = 2,

@@ -144,3 +144,24 @@ def test_empty_text_segment(tmp_path):
     assert s.manifest.total_docs == 2
     assert s.match_docs(F.Term("anything")).size == 0
     assert sorted(s.match_docs(F.All()).tolist()) == [1, 2]
+
+
+def test_convert_index(tmp_path, small_corpus, searcher):
+    from iresearch_ray.index.merge import convert_index
+
+    an = get_analyzer("segmentation", {})
+    src = str(tmp_path / "src")
+    n = small_corpus.num_rows
+    m1 = write_segment(src, small_corpus.slice(0, n // 2), an)
+    m2 = write_segment(src, small_corpus.slice(n // 2), an)
+    Manifest.commit(src, [m1, m2])
+    dst = str(tmp_path / "dst")
+    man = convert_index(src, dst)
+    assert len(man.segments) == 2
+    s2 = IndexSearcher(dst)
+    for flt in (F.Term("ref"), F.Phrase(["deploy", "target"])):
+        a = s2.search(flt, k=15, mode="all")
+        b = searcher.search(flt, k=15, mode="all")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   b["score"].to_numpy(), rtol=1e-6)

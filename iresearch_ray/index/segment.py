@@ -101,7 +101,10 @@ def invert_tokens(
     rank[sort_idx] = np.arange(len(vocab), dtype=np.int64)
     codes = rank[codes]
     vocab_sorted = vocab.take(pa.array(sort_idx))
-    order = np.lexsort((pos, doc_idx, codes))
+    # tokens arrive doc-major with ascending positions, so ONE stable
+    # sort by term code yields (code, doc, pos) order — a 3-key lexsort
+    # would redo work the tokenizer already guarantees
+    order = np.argsort(codes, kind="stable")
     c, d, p = codes[order], doc_idx[order], pos[order]
     new_run = np.empty(c.size, dtype=bool)
     new_run[0] = True
@@ -354,7 +357,12 @@ def write_segment(
     field_invs = [(text_col, invert_batch(batch.column(text_col), analyzer))]
     kw = KeywordAnalyzer()
     for col in exact_fields:
-        field_invs.append((col, invert_batch(batch.column(col), kw)))
+        vals = batch.column(col)
+        if not pa.types.is_string(vals.type):
+            # bool/int exact fields index as their string form (the
+            # reference's boolean/string single-term streams)
+            vals = vals.cast(pa.string())
+        field_invs.append((col, invert_batch(vals, kw)))
     for col in numeric_fields:
         vals = batch.column(col)
         if pa.types.is_timestamp(vals.type):

@@ -154,7 +154,10 @@ def build_index(
             cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             cpus = 4
-        concurrency = max(1, cpus - 4) if cpus >= 16 else max(1, cpus // 2)
+        # ~5/8 of the CPUs for encoders measured fastest at 32 cpus
+        # (20 actors: ~17s for 8M turns vs ~21s with 28 — beyond ~0.6x
+        # the string-heavy encode contends with itself and the reads)
+        concurrency = max(1, (cpus * 5) // 8) if cpus >= 16 else max(1, cpus // 2)
     # spread work across the whole pool: with the default
     # max_tasks_in_flight(4) + locality preference, early actors hoard
     # queued batches while late actors never see work

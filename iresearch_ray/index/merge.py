@@ -82,6 +82,7 @@ def merge_segments(index_dir: str, group: list[dict],
         )
         run_doc_parts, run_tf_parts, pos_parts = [], [], []
         term_starts = np.empty(all_terms.size, dtype=np.int64)
+        term_runs = np.zeros(all_terms.size, dtype=np.int64)
         n_runs = 0
         for i, term in enumerate(all_terms):
             term_starts[i] = n_runs
@@ -104,6 +105,12 @@ def merge_segments(index_dir: str, group: list[dict],
                 run_tf_parts.append(tfs)
                 pos_parts.append(poss)
                 n_runs += docs.size
+                term_runs[i] += docs.size
+        # drop terms whose postings were entirely deleted (zero runs)
+        alive = term_runs > 0
+        if not alive.all():
+            all_terms = all_terms[alive]
+            term_starts = term_starts[alive]
         run_doc = np.concatenate(run_doc_parts) if run_doc_parts else np.empty(0, np.int64)
         run_tf = np.concatenate(run_tf_parts) if run_tf_parts else np.empty(0, np.int64)
         pos_sorted = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
@@ -206,14 +213,44 @@ def plan_tier(segments: list[dict], min_segments: int = 2,
     return groups
 
 
+def plan_count(segments: list[dict], max_segments: int = 10) -> list[list[dict]]:
+    """ConsolidateCount analogue: merge everything in fixed-size groups."""
+    ordered = sorted(segments, key=lambda m: tuple(m["first_key"]))
+    return [ordered[i:i + max_segments]
+            for i in range(0, len(ordered), max_segments)
+            if len(ordered[i:i + max_segments]) >= 2]
+
+
+def plan_docs_live(segments: list[dict], min_deleted_ratio: float = 0.1
+                   ) -> list[list[dict]]:
+    """ConsolidateDocsLive analogue: rewrite (as singleton merges) every
+    segment whose deleted fraction exceeds the threshold — purges masks
+    without touching healthy segments."""
+    out = []
+    for m in sorted(segments, key=lambda s: tuple(s["first_key"])):
+        deleted = m.get("deleted_count", 0)
+        if m["docs_count"] and deleted / m["docs_count"] >= min_deleted_ratio:
+            out.append([m])
+    return out
+
+
+POLICIES = {"tier": None, "count": None, "docs_live": None}  # names only
+
+
 def consolidate(index_dir: str, min_segments: int = 2, max_segments: int = 10,
-                max_docs: int = 10_000_000, cleanup: bool = True) -> Manifest:
+                max_docs: int = 10_000_000, cleanup: bool = True,
+                policy: str = "tier", min_deleted_ratio: float = 0.1) -> Manifest:
     """One consolidation round as a Ray Data job (one task per group);
     commits a new manifest generation referencing merged segments."""
     import ray.data
 
     man = Manifest.load(index_dir)
-    groups = plan_tier(man.segments, min_segments, max_segments, max_docs)
+    if policy == "count":
+        groups = plan_count(man.segments, max_segments)
+    elif policy == "docs_live":
+        groups = plan_docs_live(man.segments, min_deleted_ratio)
+    else:
+        groups = plan_tier(man.segments, min_segments, max_segments, max_docs)
     if not groups:
         return man
     grouped_names = {m["name"] for g in groups for m in g}

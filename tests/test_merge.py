@@ -165,3 +165,25 @@ def test_convert_index(tmp_path, small_corpus, searcher):
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         np.testing.assert_allclose(a["score"].to_numpy(),
                                    b["score"].to_numpy(), rtol=1e-6)
+
+
+def test_docs_live_policy(tmp_path, small_corpus, ray_session):
+    """docs_live consolidation rewrites only segments with enough
+    deletions, purging masks."""
+    from iresearch_ray.index.merge import consolidate
+    from iresearch_ray.index.writer import IndexWriter
+
+    an = get_analyzer("segmentation", {})
+    idx = str(tmp_path / "dl")
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an)
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an)
+    Manifest.commit(idx, [m1, m2])
+    w = IndexWriter(idx)
+    w.delete(F.Term("the"))  # ~high df: both segments get masks
+    man = consolidate(idx, policy="docs_live", min_deleted_ratio=0.05)
+    assert len(man.segments) == 2  # rewritten singletons, not merged
+    assert all(s.get("deletes_file") is None for s in man.segments)
+    s = IndexSearcher(idx)
+    assert s.match_docs(F.Term("the")).size == 0
+    assert s.match_docs(F.Term("ref")).size > 0

@@ -46,6 +46,9 @@ def parse_query(text: str) -> F.Filter:
         return F.Empty()
     if text.startswith('"') and text.endswith('"') and len(text) > 1:
         return F.Phrase(text[1:-1].split())
+    m = re.match(r'^(?P<f>[A-Za-z_][A-Za-z0-9_]*):"(?P<p>[^"]+)"$', text)
+    if m:  # field-scoped phrase: field:"a b"
+        return F.Phrase(m.group("p").split(), field=m.group("f"))
     m = _MINMATCH.match(text)
     if m and not any(t.startswith(("+", "-")) for t in m.group("rest").split()):
         terms = m.group("rest").split()

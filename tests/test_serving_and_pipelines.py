@@ -224,3 +224,12 @@ def test_lsh_cosine_topk_recall(ray_session):
     assert recall >= 0.8
     # the query vector itself always survives the bucket filter
     assert approx["vec_id"].iloc[0] == 5
+
+
+def test_parser_field_syntax(searcher):
+    a = searcher.search(parse_query('role:user'), k=8, mode="all")
+    b = searcher.search(F.Term("user", field="role"), k=8, mode="all")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # field-scoped phrase parses to a Phrase with the field set
+    q = parse_query('text:"deploy target"')
+    assert isinstance(q, F.Phrase) and q.field == "text"

@@ -67,11 +67,21 @@ def test_kill_restart_resumes(tmp_path, ray_session):
 
     s_resumed = IndexSearcher(idx_killed)
     s_clean = IndexSearcher(idx_clean)
-    assert s_resumed.manifest.total_docs == s_clean.manifest.total_docs
+    layout = {
+        "resumed": [(m["name"], m["doc_base"], m["docs_count"],
+                     tuple(m["first_key"]), tuple(m["last_key"]))
+                    for m in s_resumed.manifest.segments],
+        "clean": [(m["name"], m["doc_base"], m["docs_count"],
+                   tuple(m["first_key"]), tuple(m["last_key"]))
+                  for m in s_clean.manifest.segments],
+        "killed_mid_flight": killed_mid_flight,
+        "pre_kill_segments": sorted(pre),
+    }
+    assert s_resumed.manifest.total_docs == s_clean.manifest.total_docs, layout
     for flt in [F.Term("ref"), F.Phrase(["deploy", "target"]), F.Prefix("sec")]:
         a = s_resumed.search(flt, k=20, mode="all")
         b = s_clean.search(flt, k=20, mode="all")
-        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), (flt, layout)
         np.testing.assert_allclose(a["score"].to_numpy(),
                                    b["score"].to_numpy(), rtol=1e-6)
     if killed_mid_flight and pre:

@@ -105,6 +105,8 @@ def build_index(
     columns: list | None = None,
     exact_fields: tuple = (),
     numeric_fields: tuple = (),
+    base_segments: list | None = None,
+    commit_every: int | None = None,
 ) -> Manifest:
     """Build a committed index under ``index_dir``.
 
@@ -112,6 +114,17 @@ def build_index(
     partitions must be key-range-disjoint on ``key_cols`` for global doc
     ids to equal the global sort rank (pass ``sort=True`` otherwise —
     one explicit all-to-all, the only shuffle in the build).
+
+    ``base_segments`` — pre-existing segment metas to include in every
+    manifest commit (the ``IndexWriter.add`` path): the combined commit
+    is the ONLY publish step, so a crash mid-build never leaves a
+    manifest that drops the pre-existing segments.
+
+    ``commit_every`` — commit an intermediate (fully consistent)
+    manifest generation every N completed segments, so a long build is
+    queryable/resumable before it finishes (the reference's rolling
+    ``commit-period``, ``utils/index-put.cpp:513-560``). Summaries are
+    consumed streaming either way.
     """
     import json
     import os
@@ -183,5 +196,24 @@ def build_index(
         concurrency=concurrency,
         num_cpus=1,
     )
-    metas = [json.loads(r["meta_json"]) for r in summaries.take_all()]  # tiny: 1 row/segment
-    return Manifest.commit(index_dir, metas)
+    base = [dict(s) for s in (base_segments or [])]
+
+    def _combined(metas):
+        # dedup by name (content-digest names: re-ingesting identical
+        # data reuses the checkpointed segment, which may already be in
+        # base); new metas win
+        by_name = {m["name"]: m for m in base}
+        by_name.update((m["name"], m) for m in metas)
+        return [dict(m) for m in by_name.values()]
+
+    # stream summaries (1 tiny row per segment) so rolling commits can
+    # publish consistent intermediate generations while encoders run
+    metas: list[dict] = []
+    since_commit = 0
+    for r in summaries.iter_rows():
+        metas.append(json.loads(r["meta_json"]))
+        since_commit += 1
+        if commit_every and since_commit >= commit_every:
+            Manifest.commit(index_dir, _combined(metas))
+            since_commit = 0
+    return Manifest.commit(index_dir, _combined(metas))

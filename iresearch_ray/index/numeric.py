@@ -15,7 +15,10 @@ is a dictionary range scan.
 
 from __future__ import annotations
 
+import binascii
+
 import numpy as np
+import pyarrow as pa
 
 PRECISION_STEP = 16
 BITS = 64
@@ -47,19 +50,36 @@ def term_at(shift: int, shifted_value: int) -> str:
     return f"{shift:02d}x{shifted_value:016x}"
 
 
+def _hex16(u: np.ndarray) -> np.ndarray:
+    """uint64 array -> |S16| lowercase-hex array, fully vectorized
+    (big-endian byte view -> one hexlify -> reinterpret as 16-byte
+    strings)."""
+    raw = np.ascontiguousarray(u, dtype=">u8").tobytes()
+    return np.frombuffer(binascii.hexlify(raw), dtype="S16")
+
+
 def numeric_terms(values: np.ndarray, step: int = PRECISION_STEP,
-                  float_values: bool = False) -> tuple[np.ndarray, list[str]]:
+                  float_values: bool = False) -> tuple[np.ndarray, pa.Array]:
     """All trie terms for a value column -> (doc_idx, terms) exploded.
-    One term per precision level per doc (BITS/step levels)."""
+    One term per precision level per doc (BITS/step levels).
+
+    Vectorized: per level, shift the whole column, hexlify in one pass,
+    and prepend the 3-byte ``{shift:02d}x`` prefix with np.char — no
+    per-value Python formatting.
+    """
     arr = np.asarray(values)
     u = float_to_sortable(arr) if float_values else to_sortable(arr)
     shifts = list(range(0, BITS, step))
+    # doc-major order (all levels of doc 0, then doc 1, ...) to match
+    # the tokenizer contract invert_tokens relies on
     doc_idx = np.repeat(np.arange(u.size, dtype=np.int64), len(shifts))
-    terms: list[str] = []
-    for v in u.tolist():
-        for s in shifts:
-            terms.append(term_at(s, v >> s))
-    return doc_idx, terms
+    per_level = np.empty((len(shifts), u.size), dtype="S19")
+    for li, s in enumerate(shifts):
+        prefixed = np.char.add(f"{s:02d}x".encode(),
+                               _hex16(u >> np.uint64(s)))
+        per_level[li] = prefixed
+    terms_np = per_level.T.reshape(-1)  # doc-major
+    return doc_idx, pa.array(terms_np).cast(pa.string())
 
 
 def split_range(lo: int, hi: int, step: int = PRECISION_STEP

@@ -283,9 +283,37 @@ def encode_postings_table(inv: dict) -> pa.Table:
     )
 
 
-def segment_name(first_key: tuple, docs_count: int) -> str:
+def segment_name(first_key: tuple, docs_count: int,
+                 content_digest: str | None = None) -> str:
     h = hashlib.sha1(repr(first_key).encode()).hexdigest()[:12]
+    if content_digest:
+        return f"seg-{h}-{docs_count}-{content_digest}"
     return f"seg-{h}-{docs_count}"
+
+
+def content_digest(batch: pa.Table, cols: tuple) -> str:
+    """Deterministic digest over the raw Arrow buffers of ``cols``.
+
+    Folded into the segment name so the ``_SUCCESS`` checkpoint is keyed
+    by *content*, not just (first_key, row_count): re-ingesting changed
+    data that happens to share a partition's first key and row count gets
+    a fresh segment instead of silently reusing the stale one. Buffer
+    hashing is memcpy-speed (no per-row work); the batch must already be
+    sorted/combined so buffer layout is deterministic.
+    """
+    h = hashlib.sha1()
+    for col in cols:
+        if col not in batch.column_names:
+            continue
+        arr = batch.column(col)
+        chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+        for chunk in chunks:
+            if chunk.offset:  # re-materialize sliced arrays for stable buffers
+                chunk = pa.concat_arrays([chunk])
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    return h.hexdigest()[:10]
 
 
 def encode_field_tables(
@@ -347,7 +375,8 @@ def write_segment(
     n = batch.num_rows
     first_key = tuple(batch.column(k)[0].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
     last_key = tuple(batch.column(k)[n - 1].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
-    name = segment_name(first_key, n)
+    digest_cols = tuple(k for k, _ in sort_keys) + (text_col,)
+    name = segment_name(first_key, n, content_digest(batch, digest_cols))
     seg_dir = os.path.join(index_dir, name)
     meta_path = os.path.join(seg_dir, "meta.json")
     if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
@@ -368,11 +397,25 @@ def write_segment(
         if pa.types.is_timestamp(vals.type):
             vals = vals.cast(pa.int64())
         is_float = pa.types.is_floating(vals.type)
+        # null docs are simply absent from the numeric field (matching
+        # the keyword path's is_valid handling): without the mask,
+        # to_numpy turns int nulls into NaN and astype(int64) into
+        # INT64_MIN, which would match open-ended GranularRange queries
+        valid = np.flatnonzero(
+            np.asarray(pc.is_valid(vals).combine_chunks()
+                       if isinstance(vals, pa.ChunkedArray)
+                       else pc.is_valid(vals))
+        ).astype(np.int64)
+        if valid.size < n:
+            vals = vals.take(pa.array(valid))
         arr = vals.to_numpy(zero_copy_only=False)
         arr = arr.astype(np.float64) if is_float else arr.astype(np.int64)
+        if is_float and np.isnan(arr).any():
+            keep = ~np.isnan(arr)
+            arr, valid = arr[keep], valid[keep]
         d_idx, terms = numeric_terms(arr, float_values=is_float)
         field_invs.append((col, invert_tokens(
-            d_idx, pa.array(terms, type=pa.string()),
+            valid[d_idx], terms,
             np.zeros(d_idx.size, dtype=np.int64), n,
         )))
     terms_table, norms_table, fields_meta = encode_field_tables(field_invs)

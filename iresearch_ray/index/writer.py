@@ -47,14 +47,11 @@ class IndexWriter:
         """
         man = Manifest.load(self.index_dir) if Manifest.exists(self.index_dir) else None
         old = [dict(s) for s in man.segments] if man else []
-        build_index(source, self.index_dir, **build_kwargs)
-        # build_index committed only the new segments; recommit with both
-        new_man = Manifest.load(self.index_dir)
-        new_names = {s["name"] for s in new_man.segments}
-        combined = [s for s in old if s["name"] not in new_names] + list(new_man.segments)
-        for s in combined:
-            s.pop("doc_base", None)
-        return Manifest.commit(self.index_dir, combined)
+        # single combined publish: build_index's commit (including any
+        # rolling commit_every generations) always lists old + new, so no
+        # generation ever drops the pre-existing segments
+        return build_index(source, self.index_dir, base_segments=old,
+                           **build_kwargs)
 
     # -- remove -----------------------------------------------------------
     def delete(self, flt, scorer=None) -> Manifest:

@@ -163,3 +163,81 @@ def test_granular_range(tmp_path, small_corpus):
     exp3 = sorted((np.flatnonzero((tix >= 2) & (tix <= 5)) + 1).tolist())
     got3 = sorted(s.match_docs(F.GranularRange("turn_idx", 2, 5)).tolist())
     assert got3 == exp3
+
+
+def test_add_rolling_commits_never_drop_base(ray_session, half_index,
+                                             small_corpus, tmp_path):
+    """ADVICE r1 (high): every manifest generation committed during an
+    add() — including rolling commit_every generations — must list the
+    pre-existing segments, so a crash mid-build never truncates the
+    index."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    base_names = {s["name"] for s in Manifest.load(half_index).segments}
+    n = small_corpus.num_rows
+    second = small_corpus.slice(n // 2)
+    p = str(tmp_path / "second.parquet")
+    pq.write_table(second, p)
+    w = IndexWriter(half_index)
+    man = w.add(p, segment_docs=16, concurrency=1, commit_every=1)
+    assert man.total_docs == n
+    gens = sorted(glob.glob(f"{half_index}/manifest-*.json"))
+    assert len(gens) > 2  # rolling commits actually happened
+    for g in gens[1:]:  # every generation after the base one
+        with open(g) as f:
+            names = {s["name"] for s in json.load(f)["segments"]}
+        assert base_names <= names, f"{g} dropped base segments"
+
+
+def test_segment_name_tracks_content(tmp_path, small_corpus):
+    """ADVICE r1 (medium): same (first_key, docs_count) but different
+    content must produce a different segment name, so the _SUCCESS
+    checkpoint can't silently resurrect stale data."""
+    import pyarrow as pa
+
+    an = get_analyzer("segmentation", {})
+    idx1, idx2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = write_segment(idx1, small_corpus, an)
+    changed = small_corpus.set_column(
+        small_corpus.column_names.index("text"), "text",
+        pa.array(["MUTATED " + t for t in
+                  small_corpus.column("text").to_pylist()]))
+    m2 = write_segment(idx2, changed, an)
+    assert m1["docs_count"] == m2["docs_count"]
+    assert m1["first_key"] == m2["first_key"]
+    assert m1["name"] != m2["name"]
+
+
+def test_numeric_nulls_not_indexed(tmp_path):
+    """ADVICE r1 (medium): null numeric values must be absent from the
+    numeric field — not indexed as INT64_MIN garbage that matches
+    open-ended ranges."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "conv_id": ["c0", "c0", "c1", "c1"],
+        "turn_idx": pa.array([0, 1, 0, 1], type=pa.int32()),
+        "text": ["alpha", "beta", "gamma", "delta"],
+        "score_num": pa.array([5, None, -3, None], type=pa.int64()),
+    })
+    idx = str(tmp_path / "nidx")
+    an = get_analyzer("segmentation", {})
+    m = write_segment(idx, t, an, numeric_fields=("score_num",))
+    Manifest.commit(idx, [m])
+    s = IndexSearcher(idx)
+    # open-ended range: only the two non-null docs may match
+    got = sorted(s.match_docs(
+        F.GranularRange("score_num", lo=None, hi=None)).tolist())
+    docs = s.segments[0].docmap
+    valid = sorted(
+        d + 1 for d, v in enumerate(docs.column("score_num").to_pylist())
+        if v is not None)
+    assert got == valid
+    # and a bounded range still behaves
+    got_lo = s.match_docs(F.GranularRange("score_num", lo=0, hi=None)).tolist()
+    assert sorted(got_lo) == [
+        d + 1 for d, v in enumerate(docs.column("score_num").to_pylist())
+        if v is not None and v >= 0]

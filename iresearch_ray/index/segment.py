@@ -665,6 +665,86 @@ class SegmentReader:
         return PostingList(docs=docs, tfs=tfs.astype(np.int64), positions=pos,
                            run_tfs=tfs.astype(np.int64) if positions else None)
 
+    def bulk_postings(self, field: str | None = None) -> dict:
+        """Decode ALL of a field's postings in a few vectorized passes
+        (the merge/consolidation fast path — per-term ``postings()``
+        calls would cost O(V) Python round-trips).
+
+        Strategy: a binary Arrow column's value buffer already holds the
+        per-term blobs contiguously, so every df<128 term (pure varint)
+        decodes in ONE ``varint_decode`` over a single gathered stream,
+        positions decode in ONE pass over the whole pos buffer, and only
+        the rare df>=128 terms (bitpacked blocks) loop per term.
+
+        Returns dict(df, term_starts, docs, tfs, positions): docs/tfs
+        concatenated in dictionary order (local 1-based ids), positions
+        flat grouped per (term, doc) run.
+        """
+        lo, hi = self._field_range(field)
+        nt = hi - lo
+        df = self.doc_freq[lo:hi].astype(np.int64)
+        term_starts = np.concatenate(([0], np.cumsum(df)[:-1])).astype(np.int64) \
+            if nt else np.empty(0, np.int64)
+        total = int(df.sum()) if nt else 0
+        out = {
+            "df": df, "term_starts": term_starts,
+            "docs": np.empty(total, np.int64),
+            "tfs": np.empty(total, np.int64),
+            "positions": np.empty(0, np.int64),
+        }
+        if nt == 0 or total == 0:
+            return out
+        if self._postings is None:
+            self._posting_row(lo)  # triggers the lazy column load
+        t = self._postings.slice(lo, nt)
+
+        def col_view(name):
+            arr = t.column(name).combine_chunks()
+            off0 = arr.offset
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                off0 : off0 + nt + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            return offs, data
+
+        def gather(offs, data, mask):
+            starts, lens = offs[:-1][mask], (offs[1:] - offs[:-1])[mask]
+            tot = int(lens.sum())
+            out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = np.repeat(starts - out_starts, lens) + np.arange(tot)
+            return data[idx]
+
+        def reset_cumsum(deltas, starts, counts):
+            cum = np.cumsum(deltas)
+            base = np.repeat(cum[starts] - deltas[starts], counts)
+            return cum - base
+
+        small = df < BLOCK_SIZE
+        d_offs, d_data = col_view("doc_blob")
+        f_offs, f_data = col_view("freq_blob")
+        if small.any():
+            s_df = df[small]
+            s_starts = np.concatenate(([0], np.cumsum(s_df)[:-1]))
+            s_deltas = varint_decode(gather(d_offs, d_data, small)).astype(np.int64)
+            s_tfs = varint_decode(gather(f_offs, f_data, small)).astype(np.int64)
+            s_docs = reset_cumsum(s_deltas, s_starts, s_df)
+            out_idx = np.repeat(term_starts[small] - s_starts, s_df) \
+                + np.arange(s_docs.size)
+            out["docs"][out_idx] = s_docs
+            out["tfs"][out_idx] = s_tfs
+        for k in np.flatnonzero(~small):
+            pl = self._decode_postings(lo + int(k), positions=False)
+            a, b = term_starts[k], term_starts[k] + df[k]
+            out["docs"][a:b] = pl.docs
+            out["tfs"][a:b] = pl.tfs
+        # positions: every pos blob is plain varint -> one decode over the
+        # field's whole contiguous pos buffer
+        p_offs, p_data = col_view("pos_blob")
+        pos_deltas = varint_decode(
+            p_data[p_offs[0] : p_offs[-1]]).astype(np.int64)
+        run_starts = np.concatenate(([0], np.cumsum(out["tfs"])[:-1]))
+        out["positions"] = reset_cumsum(pos_deltas, run_starts, out["tfs"])
+        return out
+
     def phrase_keys(self, idx: int) -> np.ndarray:
         """Sorted ``(doc << 32) + position`` keys of every occurrence of
         term ``idx`` (cached; the phrase/same-position/n-gram kernels

@@ -13,10 +13,12 @@ All kernels are vectorized:
 - exclusion    = sorted-membership difference (``exclusion.hpp:33``)
 - phrase       = (doc<<32|pos-i) key-set intersection over positions
   (``phrase_iterator.hpp:75-158``); phrase frequency feeds the scorer
-- multiterm (prefix/wildcard/range/fuzzy) = dictionary scan -> scored
-  disjunction over matched terms (``multiterm_query.hpp:32-60``;
-  we score *all* matched terms, i.e. scored_terms_limit=inf —
-  documented divergence from the two-tier limited-sample collector)
+- multiterm (prefix/wildcard/range/fuzzy) = dictionary range scan ->
+  scored disjunction over matched terms (``multiterm_query.hpp:32-60``)
+  with the reference's two-tier limited-sample default: the top
+  ``DEFAULT_SCORED_TERMS_LIMIT`` (16) terms by docs_with_term are
+  scored, the rest union unscored (pass scored_terms_limit=0 to score
+  every term)
 
 Scores use SumMerger semantics (the reference default ScoreMergeType).
 """
@@ -87,6 +89,20 @@ class Terms(Filter):
         return PreparedDisjunction(children, self.min_match, scorer)
 
 
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p`` (the
+    exclusive upper bound of the prefix's dictionary range); None when
+    unbounded. Skips the surrogate gap so Python/UTF-8 orders agree."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return p[:i] + chr(nxt)
+    return None
+
+
 @dataclass
 class Prefix(Filter):
     prefix: str
@@ -95,11 +111,15 @@ class Prefix(Filter):
     scored_terms_limit: int | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
-        matched = searcher.scan_terms(lambda terms: [
-            t for t in terms if t.startswith(self.prefix)
-        ], self.field)
+        # the prefix's matches are exactly one dictionary range — two
+        # binary searches per segment, no predicate scan (the reference
+        # walks the FST range the same way, core/search/prefix_filter.cpp)
+        hi = _prefix_successor(self.prefix)
+        matched = searcher.scan_terms_range(
+            self.prefix, hi, inc_lo=True, inc_hi=False, field=self.field)
         return _multiterm(searcher, scorer, matched, boost * self.boost,
-                          self.field, self.scored_terms_limit)
+                          self.field, self.scored_terms_limit,
+                          node_key=("prefix", self.field, self.prefix))
 
 
 @dataclass
@@ -115,24 +135,45 @@ class Range(Filter):
     scored_terms_limit: int | None = None
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
-        def pred(terms):
-            out = []
-            for t in terms:
-                if self.lo is not None and (t < self.lo or (t == self.lo and not self.include_lo)):
-                    continue
-                if self.hi is not None and (t > self.hi or (t == self.hi and not self.include_hi)):
-                    continue
-                out.append(t)
-            return out
-        matched = searcher.scan_terms(pred, self.field)
+        matched = searcher.scan_terms_range(
+            self.lo, self.hi, self.include_lo, self.include_hi, self.field)
         return _multiterm(searcher, scorer, matched, boost * self.boost,
-                          self.field, self.scored_terms_limit)
+                          self.field, self.scored_terms_limit,
+                          node_key=("range", self.field, self.lo, self.hi,
+                                    self.include_lo, self.include_hi))
+
+
+def _like_literal_prefix(like: str) -> str:
+    """Literal prefix of a LIKE pattern (up to the first metachar)."""
+    out = []
+    i = 0
+    while i < len(like):
+        c = like[i]
+        if c in "%_":
+            break
+        if c == "\\" and i + 1 < len(like):
+            out.append(like[i + 1])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _wildcard_pred(like: str):
+    def pred(terms: np.ndarray):
+        arr = pa.array(terms, type=pa.string())
+        m = pc.match_like(arr, like).to_numpy(zero_copy_only=False)
+        return terms[m].tolist()
+    return pred
 
 
 @dataclass
 class Wildcard(Filter):
     """`%`/`_` (or `*`/`?`) pattern over the term dictionary
-    (``core/search/wildcard_filter.hpp:56``)."""
+    (``core/search/wildcard_filter.hpp:56``). A literal prefix before
+    the first metachar narrows the dictionary scan to one range (the
+    reference's automaton walks the FST the same way)."""
 
     pattern: str
     boost: float = 1.0
@@ -144,15 +185,16 @@ class Wildcard(Filter):
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         like = self._like()
-
-        def pred(terms):
-            arr = pa.array(list(terms), type=pa.string())
-            m = pc.match_like(arr, like).to_numpy(zero_copy_only=False)
-            return [t for t, ok in zip(terms, m) if ok]
-
-        matched = searcher.scan_terms(pred, self.field)
+        lit = _like_literal_prefix(like)
+        if lit == like:  # no metachars: exact term
+            return Term(lit, self.boost, self.field).prepare(searcher, scorer, boost)
+        matched = searcher.scan_terms(
+            _wildcard_pred(like), self.field,
+            lo=lit or None, hi=_prefix_successor(lit) if lit else None,
+            inc_hi=False)
         return _multiterm(searcher, scorer, matched, boost * self.boost,
-                          self.field, self.scored_terms_limit)
+                          self.field, self.scored_terms_limit,
+                          node_key=("wildcard", self.field, like))
 
 
 @dataclass
@@ -173,19 +215,26 @@ class Fuzzy(Filter):
         target = self.term
         d = self.max_distance
 
-        def pred(terms):
-            cands = [
-                t for t in terms
-                if abs(len(t) - len(target)) <= d and t.startswith(self.prefix)
-            ]
+        def pred(terms: np.ndarray):
+            # vectorized length band (the candidate filter the
+            # parametric DFA gives the reference for free)
+            lens = pc.utf8_length(pa.array(terms, type=pa.string()))
+            keep = np.abs(lens.to_numpy(zero_copy_only=False)
+                          - len(target)) <= d
+            cands = terms[keep].tolist()
             if not cands:
                 return []
             dist = _levenshtein_many(target, cands, d)
             return [t for t, dd in zip(cands, dist) if dd <= d]
 
-        matched = searcher.scan_terms(pred, self.field)
+        matched = searcher.scan_terms(
+            pred, self.field,
+            lo=self.prefix or None,
+            hi=_prefix_successor(self.prefix) if self.prefix else None,
+            inc_hi=False)
         return _multiterm(searcher, scorer, matched, boost * self.boost,
-                          self.field, self.scored_terms_limit)
+                          self.field, self.scored_terms_limit,
+                          node_key=("fuzzy", self.field, target, d, self.prefix))
 
 
 @dataclass
@@ -208,24 +257,25 @@ class Phrase(Filter):
         if "any_of" in slot:
             return list(slot["any_of"])
         if "prefix" in slot:
-            return searcher.scan_terms(
-                lambda ts: [t for t in ts if t.startswith(slot["prefix"])],
-                self.field)
+            p = slot["prefix"]
+            return searcher.scan_terms_range(
+                p, _prefix_successor(p), inc_hi=False, field=self.field)
         if "wildcard" in slot:
             like = slot["wildcard"].replace("*", "%").replace("?", "_")
-
-            def pred(ts):
-                arr = pa.array(list(ts), type=pa.string())
-                m = pc.match_like(arr, like).to_numpy(zero_copy_only=False)
-                return [t for t, ok in zip(ts, m) if ok]
-
-            return searcher.scan_terms(pred, self.field)
+            lit = _like_literal_prefix(like)
+            return searcher.scan_terms(
+                _wildcard_pred(like), self.field,
+                lo=lit or None, hi=_prefix_successor(lit) if lit else None,
+                inc_hi=False)
         if "fuzzy" in slot:
             target = slot["fuzzy"]
             d = int(slot.get("distance", 1))
 
-            def pred(ts):
-                cands = [t for t in ts if abs(len(t) - len(target)) <= d]
+            def pred(ts: np.ndarray):
+                lens = pc.utf8_length(pa.array(ts, type=pa.string()))
+                keep = np.abs(lens.to_numpy(zero_copy_only=False)
+                              - len(target)) <= d
+                cands = ts[keep].tolist()
                 if not cands:
                     return []
                 dist = _levenshtein_many(target, cands, d)
@@ -849,21 +899,53 @@ def _merge_disjunction(parts, min_match, score_merge, dtype):
     return out_docs, out_scores
 
 
+# reference default: --scored-terms-limit=16 with a per-term top
+# collector (limited_sample_collector.hpp:45-105; search-benchmark.sh:14).
+# Filters pass scored_terms_limit=None to use this; 0/negative = score
+# every matched term (round-1 behavior).
+DEFAULT_SCORED_TERMS_LIMIT = 16
+
+
 def _multiterm(searcher, scorer, matched_terms: list[str], boost: float,
                field: str | None = None,
-               scored_terms_limit: int | None = None):
+               scored_terms_limit: int | None = None,
+               node_key: tuple | None = None):
     """Multiterm execution (``multiterm_query.hpp:32-60``): scored
-    disjunction over matched terms. With ``scored_terms_limit`` the
+    disjunction over matched terms. Above ``scored_terms_limit`` the
     two-tier limited-sample strategy applies: the top-T terms by
     docs_with_term are scored exactly, the rest become an unscored doc
-    union (``limited_sample_collector.hpp:45-105`` / ``bit_union``)."""
-    if scored_terms_limit is not None and len(matched_terms) > scored_terms_limit:
+    union (``limited_sample_collector.hpp:45-105`` / ``bit_union``).
+
+    ``node_key`` identifies the filter node across shards: the matched
+    set is recorded on the searcher so a distributed coordinator can
+    merge the per-shard candidate unions and broadcast ONE globally
+    ranked scored set (``scored_sets`` stats override) — otherwise each
+    shard would pick its own top-T and diverge from the single-process
+    ranking."""
+    limit = DEFAULT_SCORED_TERMS_LIMIT if scored_terms_limit is None \
+        else scored_terms_limit
+    if node_key is not None:
+        rec = getattr(searcher, "_multiterm_matched", None)
+        if rec is not None:
+            rec[node_key] = (limit, list(matched_terms))
+    chosen = getattr(searcher, "_stats_override", {}) \
+        .get("scored_sets", {}).get(node_key) if node_key is not None else None
+    if chosen is not None:
+        # coordinator-selected global scored set: applies even when this
+        # shard's local matched count is under the limit
+        scored = [t for t in matched_terms if t in chosen]
+        rest_terms = [t for t in matched_terms if t not in chosen]
+    elif limit and limit > 0 and len(matched_terms) > limit:
         ranked = sorted(
             matched_terms,
             key=lambda t: (-searcher.resolve_term(t, field).docs_with_term, t),
         )
-        scored = ranked[:scored_terms_limit]
-        rest = [searcher.resolve_term(t, field) for t in ranked[scored_terms_limit:]]
+        scored = ranked[:limit]
+        rest_terms = ranked[limit:]
+    else:
+        scored, rest_terms = matched_terms, []
+    if rest_terms:
+        rest = [searcher.resolve_term(t, field) for t in rest_terms]
         children = [Term(t, field=field).prepare(searcher, scorer, boost)
                     for t in scored]
         children.append(PreparedUnscoredUnion(searcher, rest, scorer))

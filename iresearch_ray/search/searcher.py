@@ -128,6 +128,10 @@ class IndexSearcher:
         self._term_cache: dict[tuple, TermState] = {}
         self._match_cache: dict[str, np.ndarray] = {}
         self._stats_override = stats_override or {}
+        # multiterm nodes record (limit, matched terms) here during
+        # prepare so a distributed coordinator can build global
+        # scored_sets overrides (see filters._multiterm)
+        self._multiterm_matched: dict = {}
 
     # -- stats (collector merge) ------------------------------------------
     def field_stats(self, field: str | None = None) -> FieldStats:
@@ -163,13 +167,39 @@ class IndexSearcher:
             self._term_cache[key] = st
         return st
 
-    def scan_terms(self, pred, field: str | None = None) -> list[str]:
+    def scan_terms(self, pred, field: str | None = None,
+                   lo: str | None = None, hi: str | None = None,
+                   inc_lo: bool = True, inc_hi: bool = True) -> list[str]:
         """Union of dictionary terms selected by ``pred`` across segments
-        (multiterm candidate generation), within one field."""
+        (multiterm candidate generation), within one field. ``pred``
+        receives a numpy array of candidate terms. An optional [lo, hi]
+        bound narrows each segment's dictionary with two binary searches
+        before ``pred`` runs (the FST range-walk analogue)."""
         seen: set[str] = set()
         for seg in self.segments:
-            seen.update(pred(seg.field_terms(field).tolist()))
+            if lo is None and hi is None:
+                cands = seg.field_terms(field)
+            else:
+                rows = seg.term_range(lo, hi, inc_lo, inc_hi, field)
+                cands = seg.terms[rows]
+            if cands.size:
+                seen.update(pred(cands))
         return sorted(seen)
+
+    def scan_terms_range(self, lo: str | None, hi: str | None,
+                         inc_lo: bool = True, inc_hi: bool = True,
+                         field: str | None = None) -> list[str]:
+        """All dictionary terms in [lo, hi] — two ``searchsorted`` per
+        segment over the byte-sorted dictionary, no predicate scan
+        (SURVEY §2.4: prefix/range are dictionary range scans)."""
+        parts = []
+        for seg in self.segments:
+            rows = seg.term_range(lo, hi, inc_lo, inc_hi, field)
+            if rows.size:
+                parts.append(seg.terms[rows])
+        if not parts:
+            return []
+        return np.unique(np.concatenate(parts)).tolist()
 
     # -- search ------------------------------------------------------------
     def search(

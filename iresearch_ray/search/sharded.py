@@ -47,9 +47,12 @@ class _ShardWorker:
         self.searcher = IndexSearcher(index_dir, segment_subset=self.seg_names)
 
     def collect(self, flt, scorer_name: str) -> dict:
-        """Phase 1: local collector run -> per-term dfs + field stats."""
+        """Phase 1: local collector run -> per-term dfs + field stats +
+        per-multiterm-node matched candidate sets (for the global
+        two-tier scored-term selection)."""
         s = self.searcher
         s._term_cache.clear()
+        s._multiterm_matched.clear()
         flt.prepare(s, get_scorer(scorer_name))
         terms = {
             key: st.docs_with_term for key, st in s._term_cache.items()
@@ -60,7 +63,8 @@ class _ShardWorker:
                 dwf, ttf = fields.get(fname, (0, 0))
                 fields[fname] = (dwf + f["docs_with_field"],
                                  ttf + f["sum_doc_len"])
-        return {"terms": terms, "fields": fields}
+        return {"terms": terms, "fields": fields,
+                "multiterm": dict(s._multiterm_matched)}
 
     def search(self, flt, k: int, scorer_name: str, mode: str,
                overrides: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -104,13 +108,28 @@ class ShardedSearcher:
         parts = ray.get([a.collect.remote(flt, self.scorer) for a in self.actors])
         terms: dict = {}
         fields: dict = {}
+        multiterm: dict = {}
         for p in parts:
             for key, dwt in p["terms"].items():
                 terms[key] = terms.get(key, 0) + dwt
             for fname, (dwf, ttf) in p["fields"].items():
                 a, b = fields.get(fname, (0, 0))
                 fields[fname] = (a + dwf, b + ttf)
-        overrides = {"terms": terms, "fields": fields}
+            for node_key, (limit, matched) in p.get("multiterm", {}).items():
+                lim, seen = multiterm.get(node_key, (limit, set()))
+                seen.update(matched)
+                multiterm[node_key] = (limit, seen)
+        # globally ranked two-tier selection: every shard scores exactly
+        # the terms a single-process searcher would (rank identity)
+        scored_sets = {}
+        for node_key, (limit, matched) in multiterm.items():
+            if limit and limit > 0 and len(matched) > limit:
+                fld = node_key[1]
+                ranked = sorted(
+                    matched, key=lambda t: (-terms.get((fld, t), 0), t))
+                scored_sets[node_key] = set(ranked[:limit])
+        overrides = {"terms": terms, "fields": fields,
+                     "scored_sets": scored_sets}
         # phase 2: broadcast stats, gather local top-k, global merge
         outs = ray.get([
             a.search.remote(flt, k, self.scorer, mode, overrides)

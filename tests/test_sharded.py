@@ -22,6 +22,9 @@ FILTERS = [
     F.And([F.Term("the"), F.Term("ref")]),
     F.Phrase(["deploy", "target"]),
     F.Prefix("sec"),
+    # >16 matched terms: exercises the coordinator's global two-tier
+    # scored_sets selection (shards must score the same term set)
+    F.Prefix("rare0"),
     F.Fuzzy("deploy", 1),
     F.Or([F.Term("the"), F.Term("ref"), F.Term("second"), F.Term("deploy")],
          min_match=2),

@@ -668,6 +668,53 @@ class PreparedPhrase(Prepared):
         docs, scores, _ = self._cached(seg_ord)
         return docs, scores
 
+    def execute_restricted(self, seg_ord, cand: np.ndarray):
+        """(docs, scores, match_keys) evaluated only over candidate docs
+        ``cand`` (sorted) — per-doc results identical to the full
+        evaluation for docs in ``cand`` (the n-gram DP's prefilter
+        path). Not memoized: each n-gram query hits it once."""
+        return self._execute_impl(seg_ord, cand=cand)
+
+    def doc_candidates(self, seg_ord) -> np.ndarray:
+        """Doc-level conjunction prefilter (sorted local ids): docs
+        containing at least one term of EVERY slot, positions ignored —
+        a superset of phrase matches computed from doc lists only, so
+        the expensive position intersection runs over far fewer keys
+        (reference conjunction-before-position shape,
+        ``core/search/phrase_iterator.hpp:75-158``)."""
+        if not hasattr(self, "_cand_memo"):
+            self._cand_memo = {}
+        hit = self._cand_memo.get(seg_ord)
+        if hit is not None:
+            return hit
+        seg = self.searcher.segments[seg_ord]
+        slot_docs = []
+        for states in self.slot_states:
+            parts = [
+                seg.postings(int(st.rows[seg_ord])).docs
+                for st in states if st.rows[seg_ord] >= 0
+            ]
+            if not parts:
+                slot_docs = []
+                break
+            slot_docs.append(parts[0] if len(parts) == 1
+                             else np.unique(np.concatenate(parts)))
+        if not slot_docs:
+            common = _EMPTY_I
+        else:
+            slot_docs.sort(key=lambda d: d.size)
+            common = slot_docs[0]
+            for d in slot_docs[1:]:
+                if common.size == 0:
+                    break
+                idx = np.searchsorted(d, common)
+                valid = idx < d.size
+                hitm = np.zeros(common.size, dtype=bool)
+                hitm[valid] = d[idx[valid]] == common[valid]
+                common = common[hitm]
+        self._cand_memo[seg_ord] = common
+        return common
+
     def _cached(self, seg_ord):
         # execute + match_keys are both needed by the n-gram DP; memoize
         # per segment so the phrase evaluates once
@@ -679,8 +726,15 @@ class PreparedPhrase(Prepared):
             self._memo[seg_ord] = hit
         return hit
 
-    def _execute_impl(self, seg_ord):
+    def _execute_impl(self, seg_ord, cand: np.ndarray | None = None):
         seg = self.searcher.segments[seg_ord]
+        if cand is None:
+            cand = self.doc_candidates(seg_ord)
+        else:
+            own = self.doc_candidates(seg_ord)
+            cand = _intersect_sorted(own, cand)
+        if cand.size == 0:
+            return (*_empty(self.dtype), _EMPTY_I)
         keysets = []
         POSM = np.int64((1 << 32) - 1)
         for i, states in enumerate(self.slot_states):
@@ -695,7 +749,7 @@ class PreparedPhrase(Prepared):
                 # derive from the cached per-term (doc<<32|pos) array —
                 # subtracting the shift preserves sort order once
                 # positions < shift are dropped.
-                k0 = seg.phrase_keys(int(row))
+                k0 = _keys_in_docs(seg.phrase_keys(int(row)), cand)
                 if shift:
                     k0 = k0[(k0 & POSM) >= shift] - shift
                 key_parts.append(k0)
@@ -745,13 +799,29 @@ class PreparedNGramSimilarity(Prepared):
 
     def execute(self, seg_ord):
         m = len(self.children)
-        parts = [c.execute(seg_ord) for c in self.children]
+        # min-match prefilter (VERDICT r1 #4): a doc can only reach
+        # chain/m >= threshold if >= ceil(threshold*m) grams match it,
+        # and a positional gram match implies a doc-level conjunction
+        # match of the gram's terms — so count doc-level gram support
+        # first (no position work) and run the phrase evaluation + DP
+        # over the surviving candidates only.
+        need = max(1, int(np.ceil(self.threshold * m - 1e-9)))
+        support = [c.doc_candidates(seg_ord) for c in self.children]
+        nonempty = [d for d in support if d.size]
+        if len(nonempty) < need:
+            return _empty(self.dtype)
+        cand, cnt = np.unique(np.concatenate(nonempty), return_counts=True)
+        cand = cand[cnt >= need]
+        if cand.size == 0:
+            return _empty(self.dtype)
+        results = [c.execute_restricted(seg_ord, cand) for c in self.children]
+        parts = [(d, s) for d, s, _ in results]
         sdocs, ssum = _merge_disjunction(
             [(d, s) for d, s in parts if d.size], 1, "sum", self.dtype
         )
         if sdocs.size == 0:
             return _empty(self.dtype)
-        keys_per_gram = [c.match_keys(seg_ord) for c in self.children]
+        keys_per_gram = [keys for _, _, keys in results]
         INF = np.int64(1) << np.int64(40)
         docs = sdocs
         best = np.full((m + 1, docs.size), INF, dtype=np.int64)
@@ -873,6 +943,35 @@ class PreparedColumnExistence(Prepared):
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique int arrays."""
+    if a.size == 0 or b.size == 0:
+        return _EMPTY_I
+    if b.size < a.size:
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    valid = idx < b.size
+    hit = np.zeros(a.size, dtype=bool)
+    hit[valid] = b[idx[valid]] == a[valid]
+    return a[hit]
+
+
+def _keys_in_docs(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Restrict a sorted ``(doc<<32|pos)`` key array to a sorted doc
+    set (vectorized per-doc range gather)."""
+    if keys.size == 0 or docs.size == 0:
+        return keys[:0]
+    lo = np.searchsorted(keys, docs << np.int64(32))
+    hi = np.searchsorted(keys, (docs + np.int64(1)) << np.int64(32))
+    lens = hi - lo
+    tot = int(lens.sum())
+    if tot == keys.size:
+        return keys
+    out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.repeat(lo - out_starts, lens) + np.arange(tot)
+    return keys[idx]
 
 
 def _merge_disjunction(parts, min_match, score_merge, dtype):

@@ -232,6 +232,9 @@ class IndexSearcher:
                 if self._is_term_disjunction(prepared):
                     self._maxscore_or(prepared, i, base, col)
                     continue
+                if self._is_term_conjunction(prepared):
+                    self._wand_and(prepared, i, base, col)
+                    continue
             docs, scores = self.segments[i].filter_live(*prepared.execute(i))
             col.push(docs + base, scores)
         return self._result_frame(col.docs, col.scores, columns)
@@ -245,6 +248,17 @@ class IndexSearcher:
             and prepared.min_match == 1
             and len(prepared.children) > 1
             and all(isinstance(c, PreparedTerm) for c in prepared.children)
+        )
+
+    @staticmethod
+    def _is_term_conjunction(prepared) -> bool:
+        from iresearch_ray.search.filters import PreparedConjunction
+
+        return (
+            isinstance(prepared, PreparedConjunction)
+            and not prepared.negatives
+            and len(prepared.positives) > 1
+            and all(isinstance(c, PreparedTerm) for c in prepared.positives)
         )
 
     def match_docs(self, flt: Filter, scorer=None) -> np.ndarray:
@@ -354,6 +368,78 @@ class IndexSearcher:
                 seg._pl_cache[key] = PostingList(
                     np.concatenate(all_docs), np.concatenate(all_tfs)
                 )
+
+    def _wand_and(self, prepared, seg_ord: int, base: int, col: TopK):
+        """Block-max conjunction (reference leapfrog,
+        ``core/search/conjunction.hpp:81-120`` + wanderator block skip):
+
+        - the cheapest (smallest-df) term drives; with a live threshold
+          its blocks are pruned by per-block upper bound + the other
+          terms' segment upper bounds before decode
+        - every other term decodes ONLY the blocks that contain a
+          surviving candidate doc (skip-list leapfrog, batched)
+        - per-child scores fold in ascending-df order, the same add
+          order as the exhaustive path — bit-identical results."""
+        from iresearch_ray.index.segment import BLOCK_SIZE
+
+        children = prepared.positives
+        seg = self.segments[seg_ord]
+        costs = [c.cost(seg_ord) for c in children]
+        if min(costs) == 0:
+            return  # a required term is absent from this segment
+        order = np.argsort(np.asarray(costs), kind="stable")
+        docs = None
+        tf_by_child: dict[int, np.ndarray] = {}
+        for oi in order:
+            c = children[int(oi)]
+            row = int(c.state.rows[seg_ord])
+            pl = seg._pl_cache.get((row, False)) or seg._pl_cache.get((row, True))
+            if docs is None:
+                # driving list: block-max prune against the threshold
+                thr = col.threshold
+                if pl is not None or not np.isfinite(thr):
+                    pl = seg.postings(row)
+                    d, t = pl.docs, pl.tfs
+                else:
+                    cur = seg.cursor(row)
+                    ub_rest = sum(
+                        children[int(oj)].max_score(seg_ord) for oj in order[1:]
+                    )
+                    ubs = c.scorer.upper_bound_many(c.ctx, cur.max_tf, cur.min_dl)
+                    keep = np.flatnonzero(ubs + ub_rest > thr)
+                    if keep.size == 0:
+                        return
+                    d, t = cur.decode_blocks(keep)
+                docs = d
+                tf_by_child[int(oi)] = t
+                continue
+            if pl is not None or costs[int(oi)] <= 2 * BLOCK_SIZE:
+                pl = seg.postings(row)
+                d, t = pl.docs, pl.tfs
+            else:
+                # leapfrog: decode only blocks containing candidates
+                cur = seg.cursor(row)
+                blocks = np.unique(np.searchsorted(cur.last_doc, docs, side="left"))
+                blocks = blocks[blocks < cur.n_blocks]
+                d, t = cur.decode_blocks(blocks)
+            idx = np.searchsorted(d, docs)
+            valid = idx < d.size
+            match = np.zeros(docs.size, dtype=bool)
+            match[valid] = d[idx[valid]] == docs[valid]
+            docs = docs[match]
+            if docs.size == 0:
+                return
+            for k in tf_by_child:
+                tf_by_child[k] = tf_by_child[k][match]
+            tf_by_child[int(oi)] = t[idx[match]]
+        scores = None
+        for oi in order:
+            c = children[int(oi)]
+            dls = seg.field_norms(c.field)[docs - 1]
+            s = c.scorer.score(c.ctx, tf_by_child[int(oi)], dls)
+            scores = s if scores is None else scores + s
+        docs, scores = seg.filter_live(docs, scores.astype(prepared.dtype))
+        col.push(docs + base, scores)
 
     def _maxscore_or(self, prepared, seg_ord: int, base: int, col: TopK):
         """MAXSCORE evaluation of a pure-term disjunction: split terms

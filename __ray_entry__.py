@@ -332,8 +332,10 @@ def _q_langid(sf_dir: str):
 
 
 def _q_ngram_jaccard(sf_dir: str):
-    """All doc pairs with char-3-gram Jaccard >= 0.5 (broadcast block-
-    pairwise; oracle = the same similarity in SQL)."""
+    """All doc pairs with char-3-gram Jaccard >= 0.5 — exact
+    prefix-filtering similarity join (PPJoin-style: rarity-ordered
+    prefix grams -> bucket -> verify candidates only); oracle = the
+    same similarity as an O(n^2) SQL join."""
     import pandas as pd
     import ray.data
 

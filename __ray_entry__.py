@@ -331,6 +331,39 @@ def _q_langid(sf_dir: str):
     return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_nested_group_min(sf_dir: str):
+    """Nested block-join, Match::Min: every doc whose source group has
+    >= 2 docs matching (a AND dup) (ByNestedFilter analogue over the
+    stored group column)."""
+    import pandas as pd
+
+    from iresearch_ray.api import documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    docs = s.conv_match(F.And([F.Term("a"), F.Term("dup")]),
+                        group_col="source", min_match=2)
+    stored = s.fetch_stored(docs, ("doc_id",))
+    return pd.DataFrame({"doc_id": stored["doc_id"].astype("int64")}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_nested_group_none(sf_dir: str):
+    """Nested block-join, Match::None: docs whose source group contains
+    NO doc matching (a AND dup)."""
+    import pandas as pd
+
+    from iresearch_ray.api import documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    docs = s.conv_match(F.And([F.Term("a"), F.Term("dup")]),
+                        group_col="source", match="none")
+    stored = s.fetch_stored(docs, ("doc_id",))
+    return pd.DataFrame({"doc_id": stored["doc_id"].astype("int64")}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """All doc pairs with char-3-gram Jaccard >= 0.5 — exact
     prefix-filtering similarity join (PPJoin-style: rarity-ordered
@@ -426,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
         "events_hourly": _q_events_hourly,
+        "nested_group_min": _q_nested_group_min,
+        "nested_group_none": _q_nested_group_none,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "simhash_fingerprints": _q_simhash,
@@ -526,6 +561,35 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM dl ORDER BY doc_id
         "exact_dedup": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "nested_group_min": _TOK_SQL + """
+, hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM term_pos t
+  WHERE t.term = 'a'
+    AND EXISTS (SELECT 1 FROM term_pos u
+                WHERE u.doc_id = t.doc_id AND u.term = 'dup')
+)
+SELECT d.doc_id AS doc_id
+FROM documents d JOIN (
+  SELECT dd.source FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id
+  GROUP BY dd.source HAVING count(*) >= 2
+) g ON d.source = g.source
+ORDER BY doc_id
+""",
+        "nested_group_none": _TOK_SQL + """
+, hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM term_pos t
+  WHERE t.term = 'a'
+    AND EXISTS (SELECT 1 FROM term_pos u
+                WHERE u.doc_id = t.doc_id AND u.term = 'dup')
+)
+SELECT d.doc_id AS doc_id
+FROM documents d
+WHERE d.source NOT IN (
+  SELECT DISTINCT dd.source FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id)
+ORDER BY doc_id
 """,
         "quality_stats": _TOK_SQL + """
 SELECT l.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,

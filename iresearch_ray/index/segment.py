@@ -556,6 +556,22 @@ class SegmentReader:
             self._docmap = pq.read_table(os.path.join(self.dir, "docmap.parquet"))
         return self._docmap
 
+    def docmap_column(self, col: str) -> pa.ChunkedArray:
+        """ONE stored column, lazily read and cached — the columnstore
+        point of the design: NumericRange/ColumnExistence/conv-match
+        must not load every stored column (incl. text) to test one."""
+        if self._docmap is not None:
+            return self._docmap.column(col)
+        cache = getattr(self, "_docmap_cols", None)
+        if cache is None:
+            cache = self._docmap_cols = {}
+        arr = cache.get(col)
+        if arr is None:
+            arr = pq.read_table(os.path.join(self.dir, "docmap.parquet"),
+                                columns=[col]).column(col)
+            cache[col] = arr
+        return arr
+
     @property
     def deleted_mask(self) -> np.ndarray | None:
         """Bool array (index = local docid - 1), True = deleted; None if

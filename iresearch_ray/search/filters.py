@@ -910,7 +910,7 @@ class PreparedNumericRange(Prepared):
     def execute(self, seg_ord):
         f = self.flt
         seg = self.searcher.segments[seg_ord]
-        col = seg.docmap.column(f.column)
+        col = seg.docmap_column(f.column)
         vals = col.to_numpy(zero_copy_only=False)
         mask = np.ones(len(vals), dtype=bool)
         if f.lo is not None:
@@ -931,7 +931,7 @@ class PreparedColumnExistence(Prepared):
 
     def execute(self, seg_ord):
         seg = self.searcher.segments[seg_ord]
-        col = seg.docmap.column(self.column)
+        col = seg.docmap_column(self.column)
         valid = pc.is_valid(col)
         if pa.types.is_string(col.type):
             valid = pc.and_(valid, pc.not_equal(col, ""))

@@ -275,28 +275,59 @@ class IndexSearcher:
         return int(self.match_docs(flt).size)
 
     def conv_match(self, child: Filter, group_col: str = "conv_id",
-                   min_match: int = 1, scorer=None) -> np.ndarray:
+                   min_match: int = 1, scorer=None,
+                   match: str = "min") -> np.ndarray:
         """Parent/child block-join analogue (``ByNestedFilter``,
-        ``core/search/nested_filter.hpp:58-94``, match type Any/Min):
-        global doc ids of every turn belonging to a conversation in
-        which at least ``min_match`` turns match ``child``. Groups are
-        resolved through the stored ``group_col`` column, so a
-        conversation spanning segment boundaries is still counted
-        globally."""
-        import pandas as pd
+        ``core/search/nested_filter.hpp:58-94``): global doc ids of
+        every turn belonging to a conversation selected by the child
+        filter under ``match`` semantics:
 
+        - ``"any"``  at least one turn matches (Match::Any)
+        - ``"min"``  at least ``min_match`` turns match (Match::Min)
+        - ``"all"``  every live turn matches (Match::All)
+        - ``"none"`` no turn matches (Match::None)
+
+        Groups resolve through the stored ``group_col`` column (lazily
+        read, one column) so a conversation spanning segment boundaries
+        is counted globally."""
+        import pyarrow.compute as pc
+
+        if match == "any":
+            min_match, match = 1, "min"
         matched = self.match_docs(child, scorer)
-        if matched.size == 0:
-            return matched
-        groups = self.fetch_stored(matched, (group_col,))[group_col]
-        counts = groups.value_counts()
-        wanted = set(counts[counts >= min_match].index)
+        counts = (self.fetch_stored(matched, (group_col,))[group_col]
+                  .value_counts() if matched.size else pd.Series(dtype="int64"))
+        if match in ("all", "none"):
+            # live group sizes: per-segment value counts, summed
+            totals: dict = {}
+            for seg in self.segments:
+                col = seg.docmap_column(group_col)
+                dmask = seg.deleted_mask
+                if dmask is not None:
+                    col = col.filter(pa.array(~dmask))
+                vc = pc.value_counts(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                    else col)
+                for v, c in zip(vc.field("values").to_pylist(),
+                                vc.field("counts").to_pylist()):
+                    totals[v] = totals.get(v, 0) + c
+            if match == "all":
+                keys = [g for g, tot in totals.items()
+                        if counts.get(g, 0) == tot]
+            else:  # none
+                keys = [g for g in totals if g not in counts.index]
+        else:
+            keys = counts[counts >= min_match].index.tolist()
+        if not keys:
+            return np.empty(0, dtype=np.int64)
+        wanted = pa.array(keys)
         out = []
         for i, seg in enumerate(self.segments):
-            vals = seg.docmap.column(group_col).to_pylist()
-            docs = np.asarray(
-                [j + 1 for j, v in enumerate(vals) if v in wanted], dtype=np.int64
-            )
+            # vectorized group membership over ONE lazily-read column
+            mask = pc.is_in(seg.docmap_column(group_col),
+                            value_set=wanted)
+            docs = np.flatnonzero(
+                mask.to_numpy(zero_copy_only=False)).astype(np.int64) + 1
             docs, _ = seg.filter_live(docs, np.zeros(docs.size, dtype=np.float32))
             out.append(docs + int(self.doc_bases[i]))
         return np.concatenate(out)
@@ -521,10 +552,11 @@ class IndexSearcher:
             cols: dict[str, list] = {c: [None] * docs.size for c in columns}
             for s in np.unique(seg_ord):
                 idx = np.flatnonzero(seg_ord == s)
-                local = docs[idx] - self.doc_bases[s] - 1
-                dm = self.segments[s].docmap.take(pa.array(local))
+                local = pa.array(docs[idx] - self.doc_bases[s] - 1)
                 for c in columns:
-                    vals = dm.column(c).to_pylist()
+                    # column-pruned: only the requested stored columns
+                    # are read from the columnstore
+                    vals = self.segments[s].docmap_column(c).take(local).to_pylist()
                     for i, v in zip(idx, vals):
                         cols[c][i] = v
             for c in columns:

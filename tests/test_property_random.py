@@ -137,3 +137,27 @@ def test_norm_analyzer():
     an = get_analyzer("norm", {})
     _, t, _ = an.tokenize(pa.array(["Héllo World"], type=pa.string()))
     assert t.to_pylist() == ["hello world"]
+
+
+def test_conv_match_all_none(searcher, small_corpus):
+    """Nested match types All / None (nested_filter.hpp:58-94)."""
+    ordered = small_corpus.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    convs = ordered.column("conv_id").to_pylist()
+    texts = ordered.column("text").to_pylist()
+    per_conv: dict = {}
+    for c, t in zip(convs, texts):
+        hit = "the" in WORD.findall(t.lower())
+        tot, m = per_conv.get(c, (0, 0))
+        per_conv[c] = (tot + 1, m + (1 if hit else 0))
+    all_convs = {c for c, (tot, m) in per_conv.items() if m == tot}
+    none_convs = {c for c, (tot, m) in per_conv.items() if m == 0}
+    exp_all = sorted(i + 1 for i, c in enumerate(convs) if c in all_convs)
+    exp_none = sorted(i + 1 for i, c in enumerate(convs) if c in none_convs)
+    got_all = sorted(searcher.conv_match(F.Term("the"), match="all").tolist())
+    got_none = sorted(searcher.conv_match(F.Term("the"), match="none").tolist())
+    assert got_all == exp_all
+    assert got_none == exp_none
+    # sanity: the three modes partition consistently
+    got_any = sorted(searcher.conv_match(F.Term("the"), match="any").tolist())
+    assert set(got_all) <= set(got_any)
+    assert not (set(got_none) & set(got_any))

@@ -124,6 +124,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         sharded_times[name] = round(time.time() - t0, 4)
     sh.shutdown()
 
+    # consolidation throughput (the VERDICT r1 merge criterion): one
+    # tiered round over the freshly built segments, timed; runs after
+    # the query phase so query numbers measure the as-built layout
+    from iresearch_ray.index.merge import consolidate
+
+    os.sync()
+    t0 = time.time()
+    man2 = consolidate(index_dir, max_segments=16, max_docs=1 << 30,
+                       cleanup=False)
+    merge_sec = time.time() - t0
+    merge_docs_per_sec = round(n_turns / merge_sec, 1)
+
     query_total = sum(qtimes.values())
     result = {
         "metric": "index_build_sec",
@@ -138,6 +150,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "query_total_sec": round(query_total, 4),
         "query_p99_sec": p99s,
         "sharded_query_sec": sharded_times,
+        "merge_sec": round(merge_sec, 3),
+        "merge_docs_per_sec": merge_docs_per_sec,
+        "merged_segments": len(man2.segments),
     }
     ray.shutdown()
     return result

@@ -127,26 +127,42 @@ class SegmentationAnalyzer(Analyzer):
 
 @dataclass
 class TextAnalyzer(SegmentationAnalyzer):
-    """`text` analyzer: segmentation + stopword filter (+ edge n-grams).
+    """`text` analyzer: segmentation + accent folding + stopword filter
+    + Porter2 stemming (+ edge n-grams).
 
     Reference: ``core/analysis/text_token_stream.cpp:356-414`` (ICU
-    break -> case -> stopwords -> snowball stem -> edge n-grams). The
-    snowball stemmer is not available in this environment; an optional
-    light English suffix stripper stands in when ``stemming=True``
-    (documented divergence — disabled by default).
+    break -> case -> accent removal -> stopwords -> snowball stem ->
+    edge n-grams). Stemming uses a pure-Python Porter2 (Snowball
+    English) implementation (``analysis/porter2.py``); accent folding
+    is NFKD + combining-mark strip (the ICU ``accent: false`` path).
+    Non-English locales fall back to no stemming (documented
+    divergence: no snowball library for other languages in-env).
     """
 
     stopwords: frozenset = field(default_factory=lambda: DEFAULT_STOPWORDS)
     stemming: bool = False
+    accent_folding: bool = True
     min_gram: int = 0  # edge n-grams disabled when 0
     max_gram: int = 0
     preserve_original: bool = True
 
-    _SUFFIXES = ("ational", "iveness", "fulness", "ization", "ations", "ingly",
-                 "ness", "ment", "ions", "ing", "ed", "es", "s")
-
     def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
         doc_idx, terms, pos = super().tokenize(texts)
+        if self.accent_folding and len(terms):
+            # fast path: pure-ASCII batches skip the NFKD pass entirely
+            is_ascii = pc.string_is_ascii(terms)
+            if not pc.all(is_ascii).as_py():
+                import unicodedata
+
+                py = terms.to_pylist()
+                mask = is_ascii.to_numpy(zero_copy_only=False)
+                folded = [
+                    t if ok else "".join(
+                        c for c in unicodedata.normalize("NFKD", t)
+                        if not unicodedata.combining(c))
+                    for t, ok in zip(py, mask)
+                ]
+                terms = pa.array(folded, type=pa.string())
         if self.stopwords:
             keep = ~np.isin(
                 terms.to_numpy(zero_copy_only=False), list(self.stopwords)
@@ -157,15 +173,17 @@ class TextAnalyzer(SegmentationAnalyzer):
             idx = np.flatnonzero(keep)
             doc_idx, terms, pos = doc_idx[idx], terms.take(pa.array(idx)), pos[idx]
         if self.stemming:
-            py = terms.to_pylist()
-            stemmed = []
-            for t in py:
-                for suf in self._SUFFIXES:
-                    if len(t) > len(suf) + 2 and t.endswith(suf):
-                        t = t[: -len(suf)]
-                        break
-                stemmed.append(t)
-            terms = pa.array(stemmed, type=pa.string())
+            from iresearch_ray.analysis.porter2 import stem
+
+            # dictionary-encode first: stem each DISTINCT token once
+            # per batch instead of once per occurrence
+            dict_arr = pc.dictionary_encode(terms)
+            if isinstance(dict_arr, pa.ChunkedArray):
+                dict_arr = dict_arr.combine_chunks()
+            stemmed_vocab = pa.array(
+                [stem(t) for t in dict_arr.dictionary.to_pylist()],
+                type=pa.string())
+            terms = stemmed_vocab.take(dict_arr.indices)
         if self.min_gram > 0:
             doc_idx, terms, pos = self._edge_ngrams(doc_idx, terms, pos)
         return doc_idx, terms, pos

@@ -761,22 +761,36 @@ class SegmentReader:
         out["positions"] = reset_cumsum(pos_deltas, run_starts, out["tfs"])
         return out
 
-    def phrase_keys(self, idx: int) -> np.ndarray:
-        """Sorted ``(doc << 32) + position`` keys of every occurrence of
-        term ``idx`` (cached; the phrase/same-position/n-gram kernels
-        derive shifted slot keys from this one array)."""
+    def phrase_keys(self, idx: int, shift: int = 0) -> np.ndarray:
+        """Sorted ``(doc << 32) + position - shift`` keys of every
+        occurrence of term ``idx`` whose position is >= ``shift``
+        (cached per (term, shift); the phrase/same-position/n-gram
+        kernels ask for slot i's keys at shift i, so the mask + subtract
+        over the big key array runs once per index lifetime, not per
+        query)."""
         if not hasattr(self, "_pk_cache"):
-            self._pk_cache: dict[int, np.ndarray] = {}
-        hit = self._pk_cache.get(idx)
+            self._pk_cache: dict[tuple[int, int], np.ndarray] = {}
+        key = (idx, shift)
+        hit = self._pk_cache.get(key)
         if hit is None:
-            pl = self.postings(idx, positions=True)
-            doc_rep = np.repeat(pl.docs, pl.tfs)
-            hit = (doc_rep << np.int64(32)) + pl.positions
-            # grouped (doc asc, pos asc) -> already globally sorted
-            if len(self._pk_cache) >= 64:
-                self._pk_cache.pop(next(iter(self._pk_cache)))
-            self._pk_cache[idx] = hit
+            base = self._pk_cache.get((idx, 0))
+            if base is None:
+                pl = self.postings(idx, positions=True)
+                doc_rep = np.repeat(pl.docs, pl.tfs)
+                base = (doc_rep << np.int64(32)) + pl.positions
+                # grouped (doc asc, pos asc) -> already globally sorted
+                self._pk_put((idx, 0), base)
+            if shift == 0:
+                return base
+            s = np.int64(shift)
+            hit = base[(base & np.int64((1 << 32) - 1)) >= s] - s
+            self._pk_put(key, hit)
         return hit
+
+    def _pk_put(self, key, arr) -> None:
+        if len(self._pk_cache) >= 192:
+            self._pk_cache.pop(next(iter(self._pk_cache)))
+        self._pk_cache[key] = arr
 
     def cursor(self, idx: int) -> "BlockCursor":
         """Block-at-a-time cursor with skip + block-max metadata (WAND).

@@ -726,15 +726,33 @@ class PreparedPhrase(Prepared):
             self._memo[seg_ord] = hit
         return hit
 
+    def _cache_key(self, seg_ord):
+        rows = tuple(
+            tuple(int(st.rows[seg_ord]) for st in states)
+            for states in self.slot_states
+        )
+        return (rows, self.same_position)
+
     def _execute_impl(self, seg_ord, cand: np.ndarray | None = None):
         seg = self.searcher.segments[seg_ord]
-        if cand is None:
-            cand = self.doc_candidates(seg_ord)
-        else:
-            own = self.doc_candidates(seg_ord)
-            cand = _intersect_sorted(own, cand)
-        if cand.size == 0:
-            return (*_empty(self.dtype), _EMPTY_I)
+        # segment-level phrase-match cache: the match KEY SET is a pure
+        # function of (segment, slot term rows), so repeated phrase /
+        # n-gram queries skip the position intersection entirely (same
+        # species as the decoded-postings FIFO: the CachingDirectory
+        # analogue). Scores are NOT cached — they depend on global
+        # collector stats and recompute per query from (docs, tfs).
+        pm_cache = getattr(seg, "_phrase_match_cache", None)
+        if pm_cache is None:
+            pm_cache = seg._phrase_match_cache = {}
+        ck = self._cache_key(seg_ord) if cand is None else None
+        if ck is not None and ck in pm_cache:
+            return self._frame_common(seg, pm_cache[ck])
+        if cand is not None:
+            # n-gram prefilter path: keys restricted to the candidate
+            # docs (per-doc results identical for docs in cand)
+            cand = _intersect_sorted(self.doc_candidates(seg_ord), cand)
+            if cand.size == 0:
+                return (*_empty(self.dtype), _EMPTY_I)
         keysets = []
         POSM = np.int64((1 << 32) - 1)
         for i, states in enumerate(self.slot_states):
@@ -749,9 +767,9 @@ class PreparedPhrase(Prepared):
                 # derive from the cached per-term (doc<<32|pos) array —
                 # subtracting the shift preserves sort order once
                 # positions < shift are dropped.
-                k0 = _keys_in_docs(seg.phrase_keys(int(row)), cand)
-                if shift:
-                    k0 = k0[(k0 & POSM) >= shift] - shift
+                k0 = seg.phrase_keys(int(row), int(shift))
+                if cand is not None:
+                    k0 = _keys_in_docs(k0, cand)
                 key_parts.append(k0)
             if not key_parts:
                 return (*_empty(self.dtype), _EMPTY_I)
@@ -773,6 +791,14 @@ class PreparedPhrase(Prepared):
             hit = np.zeros(common.size, dtype=bool)
             hit[valid] = ks[idx[valid]] == common[valid]
             common = common[hit]
+        if ck is not None:
+            if len(pm_cache) >= 64:
+                pm_cache.pop(next(iter(pm_cache)))
+            pm_cache[ck] = common
+        return self._frame_common(seg, common)
+
+    def _frame_common(self, seg, common: np.ndarray):
+        """(docs, scores, keys) from the match key set."""
         if common.size == 0:
             return (*_empty(self.dtype), _EMPTY_I)
         docs_all = (common >> np.int64(32)).astype(np.int64)
@@ -796,6 +822,13 @@ class PreparedNGramSimilarity(Prepared):
         super().__init__(scorer)
         self.children = children
         self.threshold = threshold
+        self._thr_fn = None
+
+    def bind_threshold(self, fn) -> None:
+        """Strict-mode hook: the searcher binds the live top-k threshold
+        so the DP can drop docs whose score upper bound (ssum, since
+        ratio <= 1) cannot enter the heap."""
+        self._thr_fn = fn
 
     def execute(self, seg_ord):
         m = len(self.children)
@@ -806,21 +839,34 @@ class PreparedNGramSimilarity(Prepared):
         # first (no position work) and run the phrase evaluation + DP
         # over the surviving candidates only.
         need = max(1, int(np.ceil(self.threshold * m - 1e-9)))
-        support = [c.doc_candidates(seg_ord) for c in self.children]
-        nonempty = [d for d in support if d.size]
-        if len(nonempty) < need:
-            return _empty(self.dtype)
-        cand, cnt = np.unique(np.concatenate(nonempty), return_counts=True)
-        cand = cand[cnt >= need]
-        if cand.size == 0:
-            return _empty(self.dtype)
-        results = [c.execute_restricted(seg_ord, cand) for c in self.children]
+        if need >= 2:
+            support = [c.doc_candidates(seg_ord) for c in self.children]
+            nonempty = [d for d in support if d.size]
+            if len(nonempty) < need:
+                return _empty(self.dtype)
+            cand, cnt = np.unique(np.concatenate(nonempty), return_counts=True)
+            cand = cand[cnt >= need]
+            if cand.size == 0:
+                return _empty(self.dtype)
+            results = [c.execute_restricted(seg_ord, cand)
+                       for c in self.children]
+        else:
+            # need=1: the prefilter cannot drop anything — evaluate the
+            # phrases on their (memoized) unrestricted path
+            results = [c._cached(seg_ord) for c in self.children]
         parts = [(d, s) for d, s, _ in results]
         sdocs, ssum = _merge_disjunction(
             [(d, s) for d, s in parts if d.size], 1, "sum", self.dtype
         )
         if sdocs.size == 0:
             return _empty(self.dtype)
+        if self._thr_fn is not None:
+            thr = self._thr_fn()
+            if np.isfinite(thr):
+                keep = ssum > thr  # score = ssum * ratio <= ssum
+                sdocs, ssum = sdocs[keep], ssum[keep]
+                if sdocs.size == 0:
+                    return _empty(self.dtype)
         keys_per_gram = [keys for _, _, keys in results]
         INF = np.int64(1) << np.int64(40)
         docs = sdocs

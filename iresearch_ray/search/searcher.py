@@ -218,6 +218,8 @@ class IndexSearcher:
         scorer = self._scorer(scorer)
         prepared = flt.prepare(self, scorer)
         col = TopK(k, dtype=scorer.dtype)
+        if mode == "strict" and hasattr(prepared, "bind_threshold"):
+            prepared.bind_threshold(lambda: col.threshold)
         for i in range(len(self.segments)):
             base = int(self.doc_bases[i])
             if mode == "strict":

@@ -69,3 +69,48 @@ def test_ngram():
     an = get_analyzer("ngram", {"min_gram": 2, "max_gram": 3})
     t, _ = toks(an, "abcd")
     assert set(t) == {"ab", "abc", "bc", "bcd", "cd"}
+
+
+def test_porter2_golden():
+    """Porter2 stemmer vs pairs from the published sample vocabulary
+    (snowballstem.org); mirrors the reference's snowball step in
+    text_token_stream.cpp:356-414."""
+    from iresearch_ray.analysis.porter2 import stem
+
+    golden = {
+        "consigned": "consign", "consistency": "consist",
+        "consolidating": "consolid", "conspirators": "conspir",
+        "knitted": "knit", "knocking": "knock", "knees": "knee",
+        "dying": "die", "lying": "lie", "skies": "sky", "early": "earli",
+        "proceed": "proceed", "exceed": "exceed",
+        "hopping": "hop", "hoped": "hope", "happiness": "happi",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "sensibiliti": "sensibl",
+        "electriciti": "electr", "electrical": "electr",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "defensible": "defens",
+        "replacement": "replac", "adoption": "adopt",
+        "activate": "activ", "effective": "effect",
+        "generate": "generat", "general": "general", "generous": "generous",
+        "formative": "format", "controll": "control", "roll": "roll",
+    }
+    for w, exp in golden.items():
+        assert stem(w) == exp, (w, stem(w), exp)
+
+
+def test_text_analyzer_stem_and_accents():
+    import numpy as np
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import TextAnalyzer
+
+    an = TextAnalyzer(stopwords=frozenset(), stemming=True)
+    _, terms, _ = an.tokenize(pa.array(
+        ["Raced racing races", "café résumé naïve"], type=pa.string()))
+    assert terms.to_pylist() == ["race", "race", "race",
+                                 "cafe", "resum", "naiv"]
+    # folding off keeps the accents
+    an2 = TextAnalyzer(stopwords=frozenset(), accent_folding=False)
+    _, terms2, _ = an2.tokenize(pa.array(["café"], type=pa.string()))
+    assert terms2.to_pylist() == ["café"]

@@ -205,17 +205,122 @@ class TextAnalyzer(SegmentationAnalyzer):
         )
 
 
+def _csv_eval_term(tok: str) -> str:
+    """Reference ``eval_term`` (``delimited_token_stream.cpp:37-67``):
+    strip surrounding double quotes, un-escape ``""``; mismatched
+    quotes return the token unchanged."""
+    if not tok or tok[0] != '"':
+        return tok
+    buf: list[str] = []
+    escaped = False
+    start = 1
+    n = len(tok)
+    for i in range(1, n):
+        if tok[i] == '"':
+            if escaped and start == i:  # an escaped quote
+                escaped = False
+                continue
+            if escaped:
+                break  # mismatched quote
+            buf.append(tok[start:i])
+            escaped = True
+            start = i + 1
+    return "".join(buf) if (start != 1 and start == n) else tok
+
+
+def _csv_split(s: str, delim: str) -> list[str]:
+    """Reference ``find_delimiter`` (``delimited_token_stream.cpp:69-99``):
+    split at delimiter occurrences outside double-quoted regions."""
+    out = []
+    quoted = False
+    start = 0
+    i = 0
+    dn = len(delim)
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if quoted:
+            if c == '"':
+                quoted = False
+            i += 1
+            continue
+        if s.startswith(delim, i) and dn:
+            out.append(s[start:i])
+            i += dn
+            start = i
+            continue
+        if c == '"':
+            quoted = True
+        i += 1
+    out.append(s[start:])
+    return out
+
+
 @dataclass
 class DelimiterAnalyzer(Analyzer):
-    """Split on delimiter(s); reference ``delimited_token_stream`` /
-    ``multi_delimited_token_stream``."""
+    """Single delimiter with CSV double-quote handling (reference
+    ``delimited_token_stream.cpp``): the delimiter does not split inside
+    double-quoted regions, and quoted fields are unquoted with ``""``
+    escapes. Rows without a quote char take the vectorized regex-split
+    fast path; only quoted rows fall back to the faithful scanner."""
+
+    delimiters: tuple = (",",)
+    quoted: bool = True
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        pat = "|".join(re.escape(d) for d in
+                       sorted(self.delimiters, key=len)) or "(?!)"
+        if not self.quoted:
+            lists = pc.split_pattern_regex(texts, pat)
+            return _flatten_tokens(lists, n)
+        has_quote = pc.match_substring(texts, '"')
+        if not pc.any(has_quote).as_py():
+            lists = pc.split_pattern_regex(texts, pat)
+            return _flatten_tokens(lists, n)
+        # mixed batch: regex path for unquoted rows, scanner for quoted
+        qmask = has_quote.to_numpy(zero_copy_only=False)
+        delim = self.delimiters[0] if self.delimiters else ""
+        py = texts.to_pylist()
+        out_doc, out_term, out_pos = [], [], []
+        for d, t in enumerate(py):
+            if t is None:
+                continue
+            toks = _csv_split(t, delim) if qmask[d] else (
+                re.split(pat, t) if self.delimiters else [t])
+            p = 0
+            for tok in toks:
+                tok = _csv_eval_term(tok) if qmask[d] else tok
+                if tok:
+                    out_doc.append(d)
+                    out_term.append(tok)
+                    out_pos.append(p)
+                    p += 1
+        return (np.asarray(out_doc, dtype=np.int64),
+                pa.array(out_term, type=pa.string()),
+                np.asarray(out_pos, dtype=np.int64))
+
+
+@dataclass
+class MultiDelimiterAnalyzer(Analyzer):
+    """N delimiters, each possibly MULTI-character (reference
+    ``multi_delimited_token_stream.cpp``: a byte-trie automaton with
+    shortest-match-at-position semantics, no quote handling). Emulated
+    with one RE2 alternation ordered shortest-first, fully vectorized."""
 
     delimiters: tuple = (",",)
 
     def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        pat = "[" + re.escape("".join(self.delimiters)) + "]"
+        if not self.delimiters:
+            # no delimiters: whole input is one token (reference
+            # MultiDelimitedTokenStreamSingleChars<0>)
+            from_ = KeywordAnalyzer()
+            return from_.tokenize(texts)
+        pat = "|".join(re.escape(d) for d in sorted(self.delimiters, key=len))
         lists = pc.split_pattern_regex(texts, pat)
         return _flatten_tokens(lists, len(texts))
 
@@ -366,6 +471,11 @@ def register_analyzer(name: str, cls: type) -> None:
 
 def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
     opts = dict(options or {})
+    if name == "delimiter" and "delimiter" in opts:
+        # reference JSON option name is the singular "delimiter"
+        opts["delimiters"] = (opts.pop("delimiter"),)
+    if name in ("delimiter", "multi_delimiter") and "delimiters" in opts:
+        opts["delimiters"] = tuple(opts["delimiters"])
     if name in ("segmentation", "text"):
         # JSON option names follow the reference ("case", "break")
         if "case" in opts:
@@ -379,7 +489,7 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
 register_analyzer("segmentation", SegmentationAnalyzer)
 register_analyzer("text", TextAnalyzer)
 register_analyzer("delimiter", DelimiterAnalyzer)
-register_analyzer("multi_delimiter", DelimiterAnalyzer)
+register_analyzer("multi_delimiter", MultiDelimiterAnalyzer)
 register_analyzer("keyword", KeywordAnalyzer)
 register_analyzer("ngram", NgramAnalyzer)
 register_analyzer("norm", NormalizingAnalyzer)

@@ -114,3 +114,37 @@ def test_text_analyzer_stem_and_accents():
     an2 = TextAnalyzer(stopwords=frozenset(), accent_folding=False)
     _, terms2, _ = an2.tokenize(pa.array(["café"], type=pa.string()))
     assert terms2.to_pylist() == ["café"]
+
+
+def test_delimiter_csv_quotes():
+    """CSV quote handling (delimited_token_stream.cpp eval_term /
+    find_delimiter): delimiters inside quotes don't split; quoted
+    fields unquote with "" escapes; mismatched quotes are identity."""
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import DelimiterAnalyzer
+
+    an = DelimiterAnalyzer(delimiters=(",",))
+    _, terms, _ = an.tokenize(pa.array(
+        ['a,"b,c",d', '"ab""cd",x', 'plain,row', '"unclosed,q'],
+        type=pa.string()))
+    assert terms.to_pylist() == [
+        "a", "b,c", "d",
+        'ab"cd', "x",
+        "plain", "row",
+        '"unclosed,q',
+    ]
+
+
+def test_multi_delimiter_multichar():
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import MultiDelimiterAnalyzer, get_analyzer
+
+    an = MultiDelimiterAnalyzer(delimiters=("::", ";", "->"))
+    _, terms, _ = an.tokenize(pa.array(["a::b->c;d", "x::::y"], type=pa.string()))
+    assert terms.to_pylist() == ["a", "b", "c", "d", "x", "y"]
+    # registry routes multi_delimiter here
+    an2 = get_analyzer("multi_delimiter", {"delimiters": ["||"]})
+    _, t2, _ = an2.tokenize(pa.array(["p||q"], type=pa.string()))
+    assert t2.to_pylist() == ["p", "q"]

@@ -70,22 +70,30 @@ def topk_frame(searcher: IndexSearcher, flt, k: int, scorer=None,
 
 def field_term_stats(searcher: IndexSearcher, field: str) -> pd.DataFrame:
     """Merged dictionary (term -> doc_freq, total_tf) for one field —
-    driver-side collector sum over per-segment term tables."""
-    from collections import Counter
+    vectorized collector sum over the per-segment sorted term tables
+    (searchsorted into the merged vocabulary + np.add.at, no per-term
+    Python)."""
+    import numpy as np
 
-    dfc: Counter = Counter()
-    ttf: Counter = Counter()
+    parts = []
     for seg in searcher.segments:
         lo, hi = seg._field_range(field)
-        for t, d, tt in zip(seg.terms[lo:hi], seg.doc_freq[lo:hi],
-                            seg.total_tf[lo:hi]):
-            dfc[t] += int(d)
-            ttf[t] += int(tt)
-    terms = sorted(dfc)
+        if hi > lo:
+            parts.append((seg.terms[lo:hi], seg.doc_freq[lo:hi],
+                          seg.total_tf[lo:hi]))
+    if not parts:
+        return pd.DataFrame({"term": [], "doc_freq": [], "total_tf": []})
+    vocab = np.unique(np.concatenate([t for t, _, _ in parts]))
+    dfc = np.zeros(vocab.size, dtype=np.int64)
+    ttf = np.zeros(vocab.size, dtype=np.int64)
+    for terms, d, tt in parts:
+        idx = np.searchsorted(vocab, terms)
+        np.add.at(dfc, idx, d.astype(np.int64))
+        np.add.at(ttf, idx, tt.astype(np.int64))
     return pd.DataFrame({
-        "term": terms,
-        "doc_freq": [dfc[t] for t in terms],
-        "total_tf": [ttf[t] for t in terms],
+        "term": vocab.tolist(),
+        "doc_freq": dfc,
+        "total_tf": ttf,
     })
 
 

@@ -34,12 +34,15 @@ def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
     return n
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints into one byte blob."""
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """LEB128-encode an array of non-negative ints into one byte blob.
+    ``nbytes`` (from ``varint_byte_lengths``) may be passed to avoid
+    recomputing the per-value byte counts."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = varint_byte_lengths(v)
+    if nbytes is None:
+        nbytes = varint_byte_lengths(v)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     out = np.zeros(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
     rem = v.copy()
@@ -112,6 +115,36 @@ def bitpack_many(v2d: np.ndarray) -> list[bytes]:
     return out
 
 
+def bitpack_blocks_flat(v2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack many full blocks into ONE flat buffer (order preserved).
+
+    (n, BLOCK_SIZE) -> (uint8 buffer, per-block byte lengths incl. the
+    width header). One packbits call per distinct width; per-block
+    placement is a vectorized scatter — no per-block Python. This is
+    the whole-segment batch form of ``bitpack_many`` (the per-term list
+    form), used so a segment/merge encode touches Python once per
+    WIDTH, not once per term."""
+    v = np.ascontiguousarray(v2d, dtype=np.uint32)
+    n = v.shape[0]
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    maxs = v.max(axis=1)
+    widths = (np.searchsorted(_POWERS, maxs, side="left") + 1).astype(np.int64)
+    lens = 1 + (BLOCK_SIZE * widths + 7) // 8
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+    out[starts] = widths.astype(np.uint8)
+    for w in np.unique(widths):
+        g = np.flatnonzero(widths == w)
+        shifts = np.arange(int(w), dtype=np.uint32)
+        bits = ((v[g][:, :, None] >> shifts) & np.uint32(1)).astype(np.uint8)
+        packed = np.packbits(bits.reshape(g.size, -1), axis=1, bitorder="little")
+        nb = packed.shape[1]
+        idx = (starts[g][:, None] + 1 + np.arange(nb)).ravel()
+        out[idx] = packed.ravel()
+    return out, lens
+
+
 def bitpack_block_size(width: int) -> int:
     """Encoded byte size (incl. width header) of a full block."""
     return 1 + (BLOCK_SIZE * width + 7) // 8
@@ -166,6 +199,6 @@ def encode_lists_varint(
         return b"", np.zeros(list_starts.size, dtype=np.int64)
     nbytes = varint_byte_lengths(values)
     cum = np.concatenate(([0], np.cumsum(nbytes)))
-    blob = varint_encode(values)
+    blob = varint_encode(values, nbytes)
     byte_starts = cum[list_starts]
     return blob, byte_starts

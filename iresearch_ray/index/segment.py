@@ -35,12 +35,12 @@ import pyarrow.parquet as pq
 from iresearch_ray.analysis.analyzers import Analyzer, KeywordAnalyzer
 from iresearch_ray.index.numeric import numeric_terms
 from iresearch_ray.index.codec import (
-    bitpack_many,
     BLOCK_SIZE,
-    bitpack_block,
+    bitpack_blocks_flat,
     bitunpack_block,
     delta_encode_lists,
     encode_lists_varint,
+    varint_byte_lengths,
     varint_decode,
     varint_encode,
 )
@@ -134,7 +134,11 @@ def invert_tokens(
 
 
 def encode_postings_table(inv: dict) -> pa.Table:
-    """Encode inverted runs into the terms.parquet table.
+    """Encode inverted runs into the terms.parquet table — fully
+    vectorized: NO per-term Python loop. Python runs once per distinct
+    bit width (block packing) and over ~3 slices per LARGE term when
+    assembling the value buffers; everything else is numpy scatter /
+    reduceat / cumsum passes over the whole field.
 
     Per-term layout (mirrors the .doc/.pos file split of the reference,
     ``core/formats/formats_10.cpp:326-333``):
@@ -143,142 +147,233 @@ def encode_postings_table(inv: dict) -> pa.Table:
       pos_blob   varint position-deltas, contiguous per (doc) run
       block_*    per-block skip + WAND metadata (last doc id, byte
                  offsets, max tf, min doc length)
+
+    Key trick: the single flat varint pass covers EVERY term's deltas;
+    small (df<128) terms slice it whole, and large terms' varint TAILS
+    are byte-slices of the same blob (per-value varint bytes are
+    independent) — so no separate tail encode exists at all.
     """
     vocab = inv["vocab"]
     term_starts = inv["term_starts"]
     run_doc = inv["run_doc"]
-    run_tf = inv["run_tf"]
+    run_tf = inv["run_tf"].astype(np.int64, copy=False)
     doc_len = inv["doc_len"]
     n_terms = len(vocab)
     n_runs = run_doc.size
     df = np.diff(np.append(term_starts, n_runs)) if n_terms else np.empty(0, np.int64)
 
-    # --- positions: ONE flat varint pass over all runs' position deltas
+    def _bin_col(offsets: np.ndarray, data: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(offsets.astype(np.int32)),
+             pa.py_buffer(np.ascontiguousarray(data))])
+
+    def _list_col(counts: np.ndarray, values: np.ndarray) -> pa.Array:
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        return pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(values, type=pa.int64()))
+
+    if n_terms == 0:
+        e8 = np.empty(0, np.uint8)
+        ei = np.empty(0, np.int64)
+        z = np.zeros(1, np.int64)
+        return pa.table({
+            "term": vocab,
+            "doc_freq": pa.array(ei), "total_tf": pa.array(ei),
+            "doc_blob": _bin_col(z[:1], e8), "freq_blob": _bin_col(z[:1], e8),
+            "pos_blob": _bin_col(z[:1], e8),
+            "block_last_doc": _list_col(ei, ei),
+            "block_doc_off": _list_col(ei, ei),
+            "block_freq_off": _list_col(ei, ei),
+            "block_pos_off": _list_col(ei, ei),
+            "block_max_tf": _list_col(ei, ei),
+            "block_min_dl": _list_col(ei, ei),
+        })
+
+    # --- positions: ONE flat varint pass; per-term ranges contiguous
     pos_deltas = delta_encode_lists(inv["pos_sorted"], inv["run_starts"])
     pos_blob_all, pos_byte_starts = encode_lists_varint(
         pos_deltas, inv["run_starts"], run_tf
     )
     pos_blob_all = np.frombuffer(pos_blob_all, dtype=np.uint8)
     pos_total = pos_blob_all.size
-    run_pos_end = np.append(pos_byte_starts[1:], pos_total)
+    t_pos_starts = pos_byte_starts[term_starts]
+    pos_offsets = np.append(t_pos_starts, pos_total)
 
-    # --- doc deltas: flat pass (used directly for small terms)
+    # --- doc deltas + freqs: ONE flat varint pass each, with per-VALUE
+    # byte offsets so any value range can be sliced later
     local_doc = run_doc + 1  # 1-based local doc ids
     doc_deltas = delta_encode_lists(local_doc, term_starts)
-    doc_blob_all, doc_byte_starts = encode_lists_varint(doc_deltas, term_starts, df)
-    doc_blob_all = np.frombuffer(doc_blob_all, dtype=np.uint8)
-    doc_end = np.append(doc_byte_starts[1:], doc_blob_all.size)
-    freq_blob_all, freq_byte_starts = encode_lists_varint(run_tf, term_starts, df)
-    freq_blob_all = np.frombuffer(freq_blob_all, dtype=np.uint8)
-    freq_end = np.append(freq_byte_starts[1:], freq_blob_all.size)
+    d_nbytes = varint_byte_lengths(doc_deltas)
+    d_cum = np.concatenate(([0], np.cumsum(d_nbytes)))
+    doc_blob_all = np.frombuffer(varint_encode(doc_deltas, d_nbytes),
+                                 dtype=np.uint8)
+    f_nbytes = varint_byte_lengths(run_tf)
+    f_cum = np.concatenate(([0], np.cumsum(f_nbytes)))
+    freq_blob_all = np.frombuffer(varint_encode(run_tf, f_nbytes),
+                                  dtype=np.uint8)
 
     run_dl = doc_len[run_doc]  # doc length per run (for block min-dl)
-
-    # vectorized per-term reductions (one reduceat each instead of
-    # numpy scalar calls inside the term loop — the loop itself only
-    # slices bytes for the common df<128 case)
-    total_tf = np.add.reduceat(run_tf, term_starts).astype(np.int64) \
-        if n_terms else np.empty(0, np.int64)
-    term_max_tf = np.maximum.reduceat(run_tf, term_starts) if n_terms else total_tf
-    term_min_dl = np.minimum.reduceat(run_dl, term_starts) if n_terms else total_tf
+    total_tf = np.add.reduceat(run_tf, term_starts).astype(np.int64)
+    term_max_tf = np.maximum.reduceat(run_tf, term_starts)
+    term_min_dl = np.minimum.reduceat(run_dl, term_starts)
     term_ends = np.append(term_starts[1:], n_runs)
-    term_last_doc = local_doc[term_ends - 1] if n_terms else total_tf
+    term_last_doc = local_doc[term_ends - 1]
 
-    doc_bytes = doc_blob_all.tobytes()
-    freq_bytes = freq_blob_all.tobytes()
-    pos_bytes = pos_blob_all.tobytes()
-    t_pos_starts = pos_byte_starts[term_starts] if n_terms else np.empty(0, np.int64)
-    t_pos_ends = run_pos_end[term_ends - 1] if n_terms else np.empty(0, np.int64)
+    small = df < BLOCK_SIZE
+    large = np.flatnonzero(~small)
+    L = large.size
 
-    # python-int views for the slicing loop
-    L_df = df.tolist()
-    L_ds, L_de = doc_byte_starts.tolist(), doc_end.tolist()
-    L_fs, L_fe = freq_byte_starts.tolist(), freq_end.tolist()
-    L_ps, L_pe = t_pos_starts.tolist(), t_pos_ends.tolist()
-    L_last = term_last_doc.tolist()
-    L_mtf = term_max_tf.tolist()
-    L_mdl = term_min_dl.tolist()
+    if L:
+        full = (df[large] // BLOCK_SIZE).astype(np.int64)   # blocks/term
+        cut = full * BLOCK_SIZE
+        tail_n = df[large] - cut
+        has_tail = tail_n > 0
+        B = int(full.sum())
+        # gather ALL full-block values term-major -> (B, 128)
+        blk_out0 = np.concatenate(([0], np.cumsum(cut)[:-1]))
+        gidx = np.repeat(term_starts[large] - blk_out0, cut) \
+            + np.arange(int(cut.sum()))
+        d_vals = doc_deltas[gidx].reshape(B, BLOCK_SIZE)
+        f_vals = run_tf[gidx].reshape(B, BLOCK_SIZE)
+        dl_vals = run_dl[gidx].reshape(B, BLOCK_SIZE)
+        ld_vals = local_doc[gidx].reshape(B, BLOCK_SIZE)
+        d_packed, d_blk_lens = bitpack_blocks_flat(d_vals)
+        f_packed, f_blk_lens = bitpack_blocks_flat(f_vals)
+        d_pk_starts = np.concatenate(([0], np.cumsum(d_blk_lens)))
+        f_pk_starts = np.concatenate(([0], np.cumsum(f_blk_lens)))
+        # per-term packed-block byte ranges (term-major contiguous)
+        blk_of_term0 = np.concatenate(([0], np.cumsum(full)[:-1]))
+        d_term_pk = d_pk_starts[blk_of_term0]
+        f_term_pk = f_pk_starts[blk_of_term0]
+        d_term_pk_len = d_pk_starts[np.concatenate((blk_of_term0[1:], [B]))] - d_term_pk
+        f_term_pk_len = f_pk_starts[np.concatenate((blk_of_term0[1:], [B]))] - f_term_pk
+        # varint tail byte ranges (slices of the FLAT blobs)
+        tail_v0 = term_starts[large] + cut      # first tail value index
+        tail_v1 = term_starts[large] + df[large]
+        d_tail_s, d_tail_e = d_cum[tail_v0], d_cum[tail_v1]
+        f_tail_s, f_tail_e = f_cum[tail_v0], f_cum[tail_v1]
+        # tail metadata via reduceat over tail value ranges
+        t_last = term_last_doc[large]
+        t_mtf = np.zeros(L, np.int64)
+        t_mdl = np.zeros(L, np.int64)
+        ht = np.flatnonzero(has_tail)
+        if ht.size:
+            # tails are sparse value ranges; reduce each explicitly
+            # (one tiny numpy reduce per LARGE term with a tail)
+            t_mtf[ht] = np.array([run_tf[a:b].max() for a, b in
+                                  zip(tail_v0[ht], tail_v1[ht])])
+            t_mdl[ht] = np.array([run_dl[a:b].min() for a, b in
+                                  zip(tail_v0[ht], tail_v1[ht])])
+    else:
+        full = cut = tail_n = np.empty(0, np.int64)
+        has_tail = np.empty(0, bool)
+        B = 0
 
-    doc_blobs: list[bytes] = []
-    freq_blobs: list[bytes] = []
-    pos_blobs: list[bytes] = []
-    blk_last: list[list[int]] = []
-    blk_doc_off: list[list[int]] = []
-    blk_freq_off: list[list[int]] = []
-    blk_pos_off: list[list[int]] = []
-    blk_max_tf: list[list[int]] = []
-    blk_min_dl: list[list[int]] = []
-    ZERO = [0]
+    # --- per-term blob lengths + value-buffer assembly
+    d_small_len = d_cum[term_ends] - d_cum[term_starts]
+    f_small_len = f_cum[term_ends] - f_cum[term_starts]
+    d_len = d_small_len.copy()
+    f_len = f_small_len.copy()
+    if L:
+        d_len[large] = d_term_pk_len + (d_tail_e - d_tail_s)
+        f_len[large] = f_term_pk_len + (f_tail_e - f_tail_s)
+    d_offsets = np.concatenate(([0], np.cumsum(d_len)))
+    f_offsets = np.concatenate(([0], np.cumsum(f_len)))
 
-    for i in range(n_terms):
-        pos_blobs.append(pos_bytes[L_ps[i] : L_pe[i]])
-        if L_df[i] < BLOCK_SIZE:
-            doc_blobs.append(doc_bytes[L_ds[i] : L_de[i]])
-            freq_blobs.append(freq_bytes[L_fs[i] : L_fe[i]])
-            blk_last.append([L_last[i]])
-            blk_doc_off.append(ZERO)
-            blk_freq_off.append(ZERO)
-            blk_pos_off.append(ZERO)
-            blk_max_tf.append([L_mtf[i]])
-            blk_min_dl.append([L_mdl[i]])
-        else:
-            s = term_starts[i]
-            e = s + df[i]
-            tfs = run_tf[s:e]
-            t_pos_start = pos_byte_starts[s]
-            deltas = doc_deltas[s:e]
-            docs = local_doc[s:e]
-            dls = run_dl[s:e]
-            n = int(df[i])
-            full = n // BLOCK_SIZE
-            cut = full * BLOCK_SIZE
-            has_tail = n != cut
-            d_parts = bitpack_many(deltas[:cut].reshape(full, BLOCK_SIZE))
-            f_parts = bitpack_many(tfs[:cut].reshape(full, BLOCK_SIZE))
-            last = docs[BLOCK_SIZE - 1 : cut : BLOCK_SIZE].tolist()
-            mtf = tfs[:cut].reshape(full, BLOCK_SIZE).max(axis=1).tolist()
-            mdl = dls[:cut].reshape(full, BLOCK_SIZE).min(axis=1).tolist()
-            p_off = (
-                pos_byte_starts[s : s + cut : BLOCK_SIZE] - t_pos_start
-            ).tolist()
-            d_off = np.concatenate(
-                ([0], np.cumsum([len(b) for b in d_parts])[:-1])
-            ).tolist() if full else []
-            f_off = np.concatenate(
-                ([0], np.cumsum([len(b) for b in f_parts])[:-1])
-            ).tolist() if full else []
-            if has_tail:
-                d_off.append(d_off[-1] + len(d_parts[-1]) if full else 0)
-                f_off.append(f_off[-1] + len(f_parts[-1]) if full else 0)
-                p_off.append(int(pos_byte_starts[s + cut] - t_pos_start))
-                d_parts.append(varint_encode(deltas[cut:]))
-                f_parts.append(varint_encode(tfs[cut:]))
-                last.append(int(docs[-1]))
-                mtf.append(int(tfs[cut:].max()))
-                mdl.append(int(dls[cut:].min()))
-            doc_blobs.append(b"".join(d_parts))
-            freq_blobs.append(b"".join(f_parts))
-            blk_last.append(last)
-            blk_doc_off.append(d_off)
-            blk_freq_off.append(f_off)
-            blk_pos_off.append(p_off)
-            blk_max_tf.append(mtf)
-            blk_min_dl.append(mdl)
+    def assemble(flat, cum_vals, packed, term_pk, term_pk_len,
+                 tail_s, tail_e):
+        """Value buffer in dictionary order: contiguous runs of small
+        terms are single slices of the flat varint blob; each large term
+        contributes [packed blocks][varint tail] (<= 3 slices per large
+        term, concatenated once in C)."""
+        if not L:
+            return flat[: int(cum_vals[-1])]
+        pieces = []
+        prev = 0  # value-index boundary of the pending small run
+        for k in range(L):
+            t = large[k]
+            if t > prev:
+                pieces.append(flat[cum_vals[term_starts[prev]]:
+                                   cum_vals[term_starts[t]]])
+            pieces.append(packed[term_pk[k]: term_pk[k] + term_pk_len[k]])
+            if tail_e[k] > tail_s[k]:
+                pieces.append(flat[tail_s[k]: tail_e[k]])
+            prev = t + 1
+        if prev < n_terms:
+            pieces.append(flat[cum_vals[term_starts[prev]]:])
+        return np.concatenate(pieces) if pieces else flat[:0]
+
+    doc_data = assemble(doc_blob_all, d_cum, d_packed, d_term_pk,
+                        d_term_pk_len, d_tail_s, d_tail_e) if L else \
+        doc_blob_all
+    freq_data = assemble(freq_blob_all, f_cum, f_packed, f_term_pk,
+                         f_term_pk_len, f_tail_s, f_tail_e) if L else \
+        freq_blob_all
+
+    # --- block metadata (list<int64> columns), vectorized scatter
+    n_blocks_per_term = np.ones(n_terms, dtype=np.int64)
+    if L:
+        n_blocks_per_term[large] = full + has_tail.astype(np.int64)
+    meta_off = np.concatenate(([0], np.cumsum(n_blocks_per_term)))
+    total_meta = int(meta_off[-1])
+
+    last_v = np.empty(total_meta, np.int64)
+    mtf_v = np.empty(total_meta, np.int64)
+    mdl_v = np.empty(total_meta, np.int64)
+    doff_v = np.zeros(total_meta, np.int64)
+    foff_v = np.zeros(total_meta, np.int64)
+    poff_v = np.zeros(total_meta, np.int64)
+    # small terms: one entry each
+    sm = np.flatnonzero(small)
+    sm_pos = meta_off[sm]
+    last_v[sm_pos] = term_last_doc[sm]
+    mtf_v[sm_pos] = term_max_tf[sm]
+    mdl_v[sm_pos] = term_min_dl[sm]
+    if L:
+        # destinations of each large term's FULL blocks
+        dest0 = meta_off[large]
+        blk_dest = np.repeat(dest0 - blk_of_term0, full) + np.arange(B)
+        last_v[blk_dest] = ld_vals[:, -1]
+        mtf_v[blk_dest] = f_vals.max(axis=1)
+        mdl_v[blk_dest] = dl_vals.min(axis=1)
+        # per-term block byte offsets: cumsum-with-reset over block lens
+        d_in = d_pk_starts[:-1] - np.repeat(d_pk_starts[blk_of_term0], full)
+        f_in = f_pk_starts[:-1] - np.repeat(f_pk_starts[blk_of_term0], full)
+        doff_v[blk_dest] = d_in
+        foff_v[blk_dest] = f_in
+        # pos byte offset of each block's first run, relative to the
+        # term: block j of term k starts at run term_starts[k] + j*128
+        intra = np.arange(B) - np.repeat(blk_of_term0, full)
+        blk_run_idx = np.repeat(term_starts[large], full) + intra * BLOCK_SIZE
+        poff_v[blk_dest] = pos_byte_starts[blk_run_idx] \
+            - np.repeat(t_pos_starts[large], full)
+        # tail entries
+        if ht.size:
+            tl = large[ht]
+            tail_dest = meta_off[tl] + full[ht]
+            last_v[tail_dest] = t_last[ht]
+            mtf_v[tail_dest] = t_mtf[ht]
+            mdl_v[tail_dest] = t_mdl[ht]
+            doff_v[tail_dest] = d_term_pk_len[ht]
+            foff_v[tail_dest] = f_term_pk_len[ht]
+            poff_v[tail_dest] = pos_byte_starts[tail_v0[ht]] - t_pos_starts[tl]
 
     return pa.table(
         {
             "term": vocab,
             "doc_freq": pa.array(df, type=pa.int64()),
             "total_tf": pa.array(total_tf, type=pa.int64()),
-            "doc_blob": pa.array(doc_blobs, type=pa.binary()),
-            "freq_blob": pa.array(freq_blobs, type=pa.binary()),
-            "pos_blob": pa.array(pos_blobs, type=pa.binary()),
-            "block_last_doc": pa.array(blk_last, type=pa.list_(pa.int64())),
-            "block_doc_off": pa.array(blk_doc_off, type=pa.list_(pa.int64())),
-            "block_freq_off": pa.array(blk_freq_off, type=pa.list_(pa.int64())),
-            "block_pos_off": pa.array(blk_pos_off, type=pa.list_(pa.int64())),
-            "block_max_tf": pa.array(blk_max_tf, type=pa.list_(pa.int64())),
-            "block_min_dl": pa.array(blk_min_dl, type=pa.list_(pa.int64())),
+            "doc_blob": _bin_col(d_offsets, doc_data),
+            "freq_blob": _bin_col(f_offsets, freq_data),
+            "pos_blob": _bin_col(pos_offsets, pos_blob_all),
+            "block_last_doc": _list_col(n_blocks_per_term, last_v),
+            "block_doc_off": _list_col(n_blocks_per_term, doff_v),
+            "block_freq_off": _list_col(n_blocks_per_term, foff_v),
+            "block_pos_off": _list_col(n_blocks_per_term, poff_v),
+            "block_max_tf": _list_col(n_blocks_per_term, mtf_v),
+            "block_min_dl": _list_col(n_blocks_per_term, mdl_v),
         }
     )
 

@@ -165,3 +165,108 @@ def lsh_cosine_topk(ds, queries: np.ndarray, k: int = 10, bits: int = 12,
     pdf = pdf.sort_values(["query_id", "cosine", id_col],
                           ascending=[True, False, True], kind="mergesort")
     return pdf.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# write-time bucketed ANN index (read-pruning scale path)
+# ---------------------------------------------------------------------------
+
+
+class _AddBucket:
+    """Actor stage: append the hyperplane bucket column (planes built
+    once per actor; dim fixed by the first batch)."""
+
+    def __init__(self, bits: int, seed: int, vec_col: str):
+        self.bits = bits
+        self.seed = seed
+        self.vec_col = vec_col
+        self.planes = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(self.vec_col))
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((m.shape[1], self.bits))
+        signs = (m @ self.planes) > 0
+        sig = np.zeros(m.shape[0], dtype=np.int64)
+        for b in range(self.bits):
+            sig |= signs[:, b].astype(np.int64) << b
+        return batch.append_column("bucket", pa.array(sig))
+
+
+def build_ann_index(ds, index_dir: str, bits: int = 8, seed: int = 11,
+                    vec_col: str = "embedding", concurrency: int = 4) -> dict:
+    """Materialize an LSH-partitioned ANN index: vectors are written to
+    Parquet partitions keyed by their hyperplane bucket, so a query
+    prunes at the READ — only partitions within the hamming radius of
+    the query signature leave storage (the true 10^12-vector path; the
+    in-flight ``lsh_cosine_topk`` filter still scans every row).
+
+    2^bits partitions; size ``bits`` so one partition's rows fit a
+    worker (e.g. 10^12 vectors at bits=12 -> ~2.4*10^8 rows/partition).
+    """
+    import json
+    import os
+
+    bucketed = ds.map_batches(
+        _AddBucket,
+        fn_constructor_kwargs=dict(bits=bits, seed=seed, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    meta = {"bits": bits, "seed": seed, "vec_col": vec_col}
+    with open(os.path.join(index_dir, "ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _buckets_within(sig: int, bits: int, radius: int) -> list[int]:
+    """All bucket ids within hamming distance <= radius of ``sig``."""
+    from itertools import combinations
+
+    out = [sig]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(bits), r):
+            b = sig
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return out
+
+
+def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10,
+                   hamming_radius: int = 2, id_col: str = "vec_id",
+                   concurrency: int = 4):
+    """Approximate cosine top-k over a ``build_ann_index`` directory:
+    reads ONLY the partitions whose bucket is within ``hamming_radius``
+    of some query signature (partition pruning at the storage layer),
+    then exact-scores the candidates."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    bits, seed, vec_col = meta["bits"], meta["seed"], meta["vec_col"]
+    q = np.asarray(queries, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((q.shape[1], bits))
+    signs = (q @ planes) > 0
+    wanted: set[int] = set()
+    for qi in range(q.shape[0]):
+        sig = 0
+        for b in range(bits):
+            sig |= int(signs[qi, b]) << b
+        wanted.update(_buckets_within(sig, bits, hamming_radius))
+    dirs = [os.path.join(index_dir, f"bucket={b}") for b in sorted(wanted)]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        import pandas as pd
+
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+    ds = ray.data.read_parquet(paths)
+    return cosine_topk(ds, q, k=k, id_col=id_col, vec_col=vec_col,
+                       concurrency=concurrency)

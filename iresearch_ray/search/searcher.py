@@ -55,13 +55,17 @@ class TopK:
     ``threshold`` is a valid (stale, lower) bound — pruning with it is
     always safe."""
 
-    def __init__(self, k: int, dtype=np.float32):
+    def __init__(self, k: int, dtype=np.float32,
+                 initial_threshold: float = -np.inf):
         self.k = k
         self.dtype = dtype
         self._bufs: list[tuple[np.ndarray, np.ndarray]] = []
         self._buffered = 0
         self._limit = max(4096, 4 * k)
-        self._thr = -np.inf
+        # a seeded threshold (cross-shard WAND exchange) prunes from the
+        # first segment; valid as long as the seed is <= the global kth
+        # score under the strict > push rule
+        self._thr = float(initial_threshold)
         self._seen = 0
 
     @property
@@ -209,15 +213,21 @@ class IndexSearcher:
         scorer=None,
         mode: str = "strict",
         columns: tuple | None = None,
+        initial_threshold: float | None = None,
     ) -> pd.DataFrame:
         """Top-k matched docs -> DataFrame(doc_id, score[, columns]).
 
         ``mode="all"`` = exhaustive; ``"strict"`` = block-max WAND where
         supported (rank-identical by construction + tests).
+        ``initial_threshold`` seeds the top-k heap (the cross-shard WAND
+        threshold exchange: a lead shard's kth score lower-bounds the
+        global kth score, so follower shards prune from doc one).
         """
         scorer = self._scorer(scorer)
         prepared = flt.prepare(self, scorer)
-        col = TopK(k, dtype=scorer.dtype)
+        col = TopK(k, dtype=scorer.dtype,
+                   initial_threshold=-np.inf if initial_threshold is None
+                   else initial_threshold)
         if mode == "strict" and hasattr(prepared, "bind_threshold"):
             prepared.bind_threshold(lambda: col.threshold)
         for i in range(len(self.segments)):

@@ -67,7 +67,8 @@ class _ShardWorker:
                 "multiterm": dict(s._multiterm_matched)}
 
     def search(self, flt, k: int, scorer_name: str, mode: str,
-               overrides: dict) -> tuple[np.ndarray, np.ndarray]:
+               overrides: dict, initial_threshold: float | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
         """Phase 2: score with global stats -> local top-k arrays.
         Reuses the long-lived searcher (warm dictionary/postings caches);
         only the stats override + per-query caches reset."""
@@ -75,7 +76,8 @@ class _ShardWorker:
         s._stats_override = overrides
         s._term_cache.clear()
         s._field_stats.clear()
-        res = s.search(flt, k=k, scorer=get_scorer(scorer_name), mode=mode)
+        res = s.search(flt, k=k, scorer=get_scorer(scorer_name), mode=mode,
+                       initial_threshold=initial_threshold)
         s._stats_override = {}
         return res["doc_id"].to_numpy(), res["score"].to_numpy()
 
@@ -103,7 +105,8 @@ class ShardedSearcher:
         self.scorer = scorer
 
     def search(self, flt, k: int = 10, mode: str = "strict",
-               columns: tuple | None = None) -> pd.DataFrame:
+               columns: tuple | None = None,
+               threshold_exchange: bool = False) -> pd.DataFrame:
         # phase 1: distributed collect + associative merge
         parts = ray.get([a.collect.remote(flt, self.scorer) for a in self.actors])
         terms: dict = {}
@@ -130,11 +133,27 @@ class ShardedSearcher:
                 scored_sets[node_key] = set(ranked[:limit])
         overrides = {"terms": terms, "fields": fields,
                      "scored_sets": scored_sets}
-        # phase 2: broadcast stats, gather local top-k, global merge
-        outs = ray.get([
-            a.search.remote(flt, k, self.scorer, mode, overrides)
-            for a in self.actors
-        ])
+        # phase 2: broadcast stats, gather local top-k, global merge.
+        # Optional cross-shard WAND threshold exchange: the lead shard
+        # (earliest doc range) runs first; its kth score seeds every
+        # follower's heap. The sequential single-process loop reaches
+        # exactly this threshold after the lead shard's segments, so
+        # follower pruning drops only docs the sequential heap would
+        # drop — rank identity is preserved (tested).
+        if threshold_exchange and len(self.actors) > 1:
+            lead = ray.get(self.actors[0].search.remote(
+                flt, k, self.scorer, mode, overrides))
+            seed = float(lead[1][k - 1]) if lead[1].size >= k else None
+            rest = ray.get([
+                a.search.remote(flt, k, self.scorer, mode, overrides, seed)
+                for a in self.actors[1:]
+            ])
+            outs = [lead] + rest
+        else:
+            outs = ray.get([
+                a.search.remote(flt, k, self.scorer, mode, overrides)
+                for a in self.actors
+            ])
         docs = np.concatenate([d for d, _ in outs]) if outs else np.empty(0, np.int64)
         scores = np.concatenate([s for _, s in outs]) if outs else np.empty(0)
         order = np.lexsort((docs, -scores.astype(np.float64)))[:k]

@@ -233,3 +233,28 @@ def test_parser_field_syntax(searcher):
     # field-scoped phrase parses to a Phrase with the field set
     q = parse_query('text:"deploy target"')
     assert isinstance(q, F.Phrase) and q.field == "text"
+
+
+def test_ann_partitioned_index_recall(ray_session, tmp_path):
+    """Write-time LSH partitioning: query reads only candidate
+    partitions and still recovers the planted near neighbors."""
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import (
+        ann_index_topk, build_ann_index, cosine_topk)
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((500, 24))
+    for j in range(10):
+        vecs[100 + j] = vecs[7] + rng.standard_normal(24) * 0.12
+    t = pa.table({
+        "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "annidx")
+    build_ann_index(ray.data.from_arrow(t), idx, bits=8)
+    q = vecs[7:8]
+    exact = cosine_topk(ray.data.from_arrow(t), q, k=11)
+    approx = ann_index_topk(idx, q, k=11, hamming_radius=2)
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 8  # high recall on genuinely-near vectors

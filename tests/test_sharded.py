@@ -69,3 +69,31 @@ def test_sharded_global_idf(sharded, searcher, small_index):
     if len(local_res):
         d0 = int(local_res["doc_id"].iloc[0])
         assert abs(local_res["score"].iloc[0] - merged[d0]) > 1e-9
+
+
+def test_threshold_exchange_rank_identity(sharded, searcher):
+    """Cross-shard WAND threshold exchange: lead-shard kth score seeds
+    the followers; results must stay rank-identical."""
+    for flt in FILTERS:
+        a = sharded.search(flt, k=25, mode="strict", threshold_exchange=True)
+        b = searcher.search(flt, k=25, mode="strict")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), flt
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   b["score"].to_numpy(), rtol=1e-6)
+
+
+def test_highlight_offsets(searcher):
+    from iresearch_ray.search.highlight import highlight
+    from iresearch_ray.search import filters as F
+
+    out = highlight(searcher, F.Term("deploy"), k=5,
+                    text_col="text")
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        assert row["offsets"], row
+        snippet = row["snippet"]
+        assert "<em>" in snippet
+        # every offset range is the query term (case-insensitive)
+        text = snippet.replace("<em>", "").replace("</em>", "")
+        for s, e in row["offsets"]:
+            assert text[s:e].lower() == "deploy"

@@ -364,6 +364,52 @@ def _q_nested_group_none(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_highlight(sf_dir: str):
+    """Top-10 BM25 hits for 'scan' with highlight offsets (offsets
+    recomputed from stored text; no SQL equivalent -> rows-only)."""
+    import pandas as pd
+
+    from iresearch_ray.api import documents_searcher
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.highlight import highlight
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    out = highlight(s, F.Term("scan"), k=10, text_col="text")
+    stored = s.fetch_stored(out["doc_id"].to_numpy(), ("doc_id",))
+    return pd.DataFrame({
+        "doc_id": stored["doc_id"].astype("int64"),
+        "n_hits": [len(o) for o in out["offsets"]],
+        "first_start": [int(o[0][0]) if o else -1 for o in out["offsets"]],
+    })
+
+
+def _q_ann_partitioned(sf_dir: str):
+    """Write-time LSH-partitioned ANN: build once per sf under /tmp,
+    query with partition-pruned reads (approximate -> rows-only)."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import ann_index_topk, build_ann_index
+
+    slug = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/iresearch_ray_cache/annidx-{slug}"
+    if not os.path.exists(os.path.join(idx, "ann_meta.json")):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        build_ann_index(ds, idx, bits=8)
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    import numpy as np
+
+    q = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)[None, :]
+    out = ann_index_topk(idx, q, k=10, hamming_radius=2)
+    out["cosine_r"] = np.floor(out["cosine"] * 1e5 + 0.5) / 1e5
+    return out[["vec_id", "cosine_r"]].reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """All doc pairs with char-3-gram Jaccard >= 0.5 — exact
     prefix-filtering similarity join (PPJoin-style: rarity-ordered
@@ -459,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
         "events_hourly": _q_events_hourly,
+        "highlight_snippets": _q_highlight,
+        "ann_partitioned_topk": _q_ann_partitioned,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
         "ngram_jaccard_pairs": _q_ngram_jaccard,

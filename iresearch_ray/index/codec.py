@@ -26,10 +26,14 @@ BLOCK_SIZE = 128
 
 
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
-    """Number of varint bytes each value needs (vectorized)."""
+    """Number of varint bytes each value needs (vectorized; passes stop
+    at the column max — typical delta streams need 2 passes, not 9)."""
     v = values.astype(np.uint64, copy=False)
     n = np.ones(v.shape, dtype=np.int64)
+    vmax = int(v.max()) if v.size else 0
     for shift in range(7, 64, 7):
+        if vmax < (1 << shift):
+            break
         n += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
     return n
 
@@ -68,11 +72,15 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarr
     if count is not None:
         starts = starts[:count]
     lengths = np.diff(np.append(starts, raw.size))
-    payload = (raw & 0x7F).astype(np.uint64)
     vals = np.zeros(starts.size, dtype=np.uint64)
+    # gather only the bytes of the values still active at byte j —
+    # materializing (raw & 0x7F) as uint64 for the WHOLE blob would be
+    # an 8x memory-traffic blowup (the merge path is bandwidth-bound)
     for j in range(int(lengths.max())):
-        act = lengths > j
-        vals[act] |= payload[starts[act] + j] << np.uint64(7 * j)
+        act = lengths > j if j else slice(None)
+        idx = starts[act] + j
+        vals[act] |= (raw[idx] & np.uint8(0x7F)).astype(np.uint64) \
+            << np.uint64(7 * j)
     return vals
 
 

@@ -950,11 +950,15 @@ def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray) -> np.ndarray:
             blob[gather].reshape(g.size, nb), axis=1,
             count=BLOCK_SIZE * int(w), bitorder="little",
         ).reshape(-1, int(w))
-        # bit recomposition as a BLAS matmul in float64 — exact for
-        # widths < 52 bits and ~5x faster than shift+sum
-        powers = 2.0 ** np.arange(int(w))
-        out[g] = (bits.astype(np.float64) @ powers).reshape(
-            g.size, BLOCK_SIZE).astype(np.int64)
+        # bit recomposition as a BLAS matmul — float32 for widths <= 24
+        # (exact; halves the memory traffic of the bandwidth-bound merge
+        # path), float64 above (exact to 52 bits)
+        if w <= 24:
+            powers32 = (2.0 ** np.arange(int(w))).astype(np.float32)
+            vals_f = bits.astype(np.float32) @ powers32
+        else:
+            vals_f = bits.astype(np.float64) @ (2.0 ** np.arange(int(w)))
+        out[g] = vals_f.reshape(g.size, BLOCK_SIZE).astype(np.int64)
     return out
 
 

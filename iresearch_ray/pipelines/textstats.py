@@ -69,29 +69,51 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class LangId:
     """Stopword-profile language ID (n-gram heuristic stand-in for the
     reference's fastText ``classification`` analyzer — the model-based
-    path is stubbed since no model libs ship in this environment)."""
+    path is stubbed since no model libs ship in this environment).
+    Fully columnar: one tokenize + one ``is_in`` per language profile
+    per batch, no per-row Python."""
 
     def __init__(self, text_col: str = "text"):
-        import re
-
         self.text_col = text_col
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.langs = sorted(_LANG_PROFILES)
+        self.profiles = [pa.array(sorted(_LANG_PROFILES[l])) for l in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        langs = []
-        for t in texts:
-            toks = set(self.word.findall((t or "").lower()))
-            best, best_n = "unk", 0
-            for lang, prof in _LANG_PROFILES.items():
-                n = len(toks & prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            # CJK heuristic: any han codepoint dominates
-            if t and any("一" <= ch <= "鿿" for ch in t[:200]):
-                best = "zh"
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        lower = pc.utf8_lower(texts)
+        toks = pc.split_pattern_regex(lower, r"[^\pL]+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n), lens)
+        # per-doc DISTINCT profile-word hits per language: dedupe
+        # (doc, token) pairs via the columnar hash, then count matches
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            h = _hash_strings(flat)
+            key = doc_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ h
+            order = np.argsort(key, kind="stable")
+            first = np.empty(order.size, dtype=bool)
+            ks = key[order]
+            first[0] = True
+            first[1:] = ks[1:] != ks[:-1]
+            keep = order[first]
+            d_uniq = doc_idx[keep]
+            for li, prof in enumerate(self.profiles):
+                m = pc.is_in(flat, value_set=prof).to_numpy(zero_copy_only=False)
+                mk = m[keep]
+                scores[:, li] = np.bincount(d_uniq[mk], minlength=n)
+        best = np.asarray(self.langs, dtype=object)[scores.argmax(axis=1)]
+        best[scores.max(axis=1) == 0] = "unk"
+        # CJK heuristic: any han codepoint dominates
+        han = pc.count_substring_regex(texts, r"[\x{4e00}-\x{9fff}]") \
+            .to_numpy(zero_copy_only=False)
+        best[np.nan_to_num(han, nan=0) > 0] = "zh"
+        return batch.append_column("lang_pred",
+                                   pa.array(best, type=pa.string()))
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text",

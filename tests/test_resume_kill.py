@@ -88,3 +88,55 @@ def test_kill_restart_resumes(tmp_path, ray_session):
         # checkpointed segments were reused, not rebuilt
         final = {m["name"] for m in man.segments}
         assert pre & final
+
+
+BUILD_ROLLING = """
+import sys, ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, {repo!r})
+from iresearch_ray.index.build import build_index
+build_index({corpus!r}, {idx!r}, segment_docs=256, concurrency=1, commit_every=2)
+ray.shutdown()
+"""
+
+
+def test_rolling_commits_queryable_mid_build(tmp_path, ray_session):
+    """VERDICT r1 #10: a long build with commit_every publishes
+    consistent intermediate generations — a build killed mid-flight
+    leaves a QUERYABLE index (not just resumable checkpoints)."""
+    from iresearch_ray.data.transcripts import write_transcripts
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = str(tmp_path / "rcorpus")
+    write_transcripts(corpus, n_parts=4, convs_per_part=64)
+    idx = str(tmp_path / "rolling")
+
+    code = BUILD_ROLLING.format(repo=repo, corpus=corpus, idx=idx)
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break
+        if os.path.isdir(idx) and os.path.exists(os.path.join(idx, "manifest.json")):
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed = True
+            break
+        time.sleep(0.05)
+    else:
+        proc.kill()
+        proc.wait()
+
+    assert Manifest.exists(idx), "no intermediate generation was published"
+    man = Manifest.load(idx)
+    s = IndexSearcher(idx)
+    res = s.search(F.Term("the"), k=5)
+    if killed:
+        # mid-build snapshot: some but not necessarily all docs
+        assert man.total_docs > 0
+    assert len(res) > 0

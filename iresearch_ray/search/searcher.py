@@ -257,7 +257,7 @@ class IndexSearcher:
 
         return (
             isinstance(prepared, PreparedDisjunction)
-            and prepared.min_match == 1
+            and prepared.score_merge == "sum"
             and len(prepared.children) > 1
             and all(isinstance(c, PreparedTerm) for c in prepared.children)
         )
@@ -485,61 +485,60 @@ class IndexSearcher:
         col.push(docs + base, scores)
 
     def _maxscore_or(self, prepared, seg_ord: int, base: int, col: TopK):
-        """MAXSCORE evaluation of a pure-term disjunction: split terms
-        into essential/non-essential by per-segment score upper bounds
-        (WAND threshold distribution to children, reference
-        ``disjunction.hpp:1128-1168``). Docs appearing only in
-        non-essential lists are bounded by the non-essential ub sum and
-        cannot beat the threshold; candidate docs come from essential
-        lists only, then ALL children contribute scores (summed in
-        child-list order, bit-identical to the exhaustive path)."""
+        """Scored pure-term disjunction with a per-segment cached merge
+        PERMUTATION: the concat order, sorted doc sequence and per-doc
+        run boundaries of the disjunction merge are pure functions of
+        (segment, term rows), so they are computed once per index
+        lifetime (bounded cache — the structural analogue of Lucene's
+        per-segment query cache). Every query recomputes only per-child
+        SCORES (they depend on global collector stats), applies the
+        cached permutation and reduceat — arithmetically the exact
+        operations of ``_merge_disjunction``, so results stay
+        bit-identical to the exhaustive path. (Supersedes round 1's
+        MAXSCORE essential split, whose union pruning saved less than
+        this amortization; reference ``disjunction.hpp:1128-1168``.)"""
         children = prepared.children
         seg = self.segments[seg_ord]
-        ubs = np.asarray([c.max_score(seg_ord) for c in children])
-        present = np.isfinite(ubs)
-        thr = col.threshold
-        if np.isfinite(thr):
-            order = np.argsort(ubs)  # ascending ub
-            cum = np.cumsum(np.where(present[order], ubs[order], 0.0))
-            non_essential = set(
-                int(order[j]) for j in range(len(children)) if cum[j] <= thr
+        cache = getattr(seg, "_disj_cache", None)
+        if cache is None:
+            cache = seg._disj_cache = {}
+        key = tuple(int(c.state.rows[seg_ord]) for c in children)
+        hit = cache.get(key)
+        if hit is None:
+            plists = []
+            for ci, c in enumerate(children):
+                row = c.state.rows[seg_ord]
+                if row >= 0:
+                    plists.append((ci, seg.postings(int(row))))
+            if not plists:
+                return
+            docs_cat = np.concatenate([pl.docs for _, pl in plists])
+            order = np.argsort(docs_cat, kind="stable")
+            docs_sorted = docs_cat[order]
+            starts = np.flatnonzero(np.diff(docs_sorted, prepend=-1))
+            hit = (
+                [(ci, pl.tfs,
+                  seg.field_norms(children[ci].field)[pl.docs - 1])
+                 for ci, pl in plists],
+                order,
+                docs_sorted[starts],
+                starts,
             )
-        else:
-            non_essential = set()
-        plists = {}
-        cand_parts = []
-        for ci, c in enumerate(children):
-            row = c.state.rows[seg_ord]
-            if row < 0:
-                continue
-            pl = seg.postings(int(row))
-            plists[ci] = pl
-            if ci not in non_essential:
-                cand_parts.append(pl.docs)
-        if not cand_parts:
-            return
-        docs = np.unique(np.concatenate(cand_parts))
-        # assemble per-child (candidate docs, scores) pairs and run the
-        # SAME merge kernel as the exhaustive disjunction so both paths
-        # are bit-identical (reduceat pairwise-sum discipline)
-        from iresearch_ray.search.filters import _merge_disjunction
-
-        parts = []
-        for ci, c in enumerate(children):
-            pl = plists.get(ci)
-            if pl is None:
-                continue
-            idx = np.searchsorted(pl.docs, docs)
-            valid = idx < pl.docs.size
-            hit = np.zeros(docs.size, dtype=bool)
-            hit[valid] = pl.docs[idx[valid]] == docs[valid]
-            if not hit.any():
-                continue
-            dls = seg.field_norms(c.field)[docs[hit] - 1]
-            parts.append((docs[hit],
-                          c.scorer.score(c.ctx, pl.tfs[idx[hit]], dls)))
-        docs, scores = _merge_disjunction(parts, 1, "sum", prepared.dtype)
-        docs, scores = seg.filter_live(docs, scores)
+            if len(cache) >= 16:
+                cache.pop(next(iter(cache)))
+            cache[key] = hit
+        layout, order, out_docs, starts = hit
+        score_parts = []
+        for ci, tfs, dls in layout:
+            c = children[ci]
+            score_parts.append(c.scorer.score(c.ctx, tfs, dls))
+        scores = np.concatenate(score_parts)[order]
+        out_scores = np.add.reduceat(scores, starts).astype(prepared.dtype)
+        if prepared.min_match > 1:
+            counts = np.diff(np.append(starts, scores.size))
+            keep = counts >= prepared.min_match
+            out_docs, out_scores = out_docs[keep], out_scores[keep]
+        docs, scores = seg.filter_live(out_docs, out_scores)
         col.push(docs + base, scores)
 
     # -- result assembly ---------------------------------------------------

@@ -271,3 +271,14 @@ def test_ngram_prefilter_identity(searcher):
         assert (np.diff(a["score"].to_numpy()) <= 1e-6).all()
         b = searcher.search(flt, k=50, mode="strict")
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_or_minmatch_strict_identical(searcher):
+    flt = F.Or([F.Term("the"), F.Term("ref"), F.Term("deploy"),
+                F.Term("second")], min_match=2)
+    for k in (1, 10, 200):
+        a = searcher.search(flt, k=k, mode="strict")
+        b = searcher.search(flt, k=k, mode="all")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        np.testing.assert_array_equal(a["score"].to_numpy(),
+                                      b["score"].to_numpy())

@@ -294,6 +294,8 @@ def _q_events_hourly(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     )
     pdf = out.to_pandas()
+    # microsecond unit to match DuckDB date_trunc's dtype exactly
+    pdf["hour"] = pdf["hour"].astype("datetime64[us]")
     pdf["sum_value"] = pdf["sum_value"].round(4)
     pdf["n"] = pdf["n"].astype("int64")
     return pdf.sort_values(["event_type", "hour"]).reset_index(drop=True)

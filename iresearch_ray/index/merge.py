@@ -154,7 +154,8 @@ def merge_segments(index_dir: str, group: list[dict],
 
     tmp_dir = seg_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"),
+                   row_group_size=1024)
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
     docmap = pa.concat_tables([
         r.docmap if idmap is None

@@ -518,7 +518,10 @@ def write_segment(
 
     tmp_dir = seg_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+    # small row groups => cold point lookups read ~1k terms' blobs, not
+    # the whole segment's postings (see SegmentReader._posting_row)
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"),
+                   row_group_size=1024)
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
     stored = list(stored_cols) if stored_cols is not None else batch.column_names
     pq.write_table(batch.select(stored), os.path.join(tmp_dir, "docmap.parquet"))
@@ -726,17 +729,54 @@ class SegmentReader:
         b = terms.size if hi is None else int(np.searchsorted(terms, hi, side="right" if inc_hi else "left"))
         return np.arange(f0 + a, f0 + b, dtype=np.int64)
 
-    def _posting_row(self, idx: int):
+    _POSTING_COLS = [
+        "doc_blob", "freq_blob", "pos_blob",
+        "block_last_doc", "block_doc_off", "block_freq_off",
+        "block_pos_off", "block_max_tf", "block_min_dl",
+    ]
+    # split so doc-level decodes never read the (largest) position data
+    _BASE_COLS = ["doc_blob", "freq_blob", "block_last_doc",
+                  "block_doc_off", "block_freq_off",
+                  "block_max_tf", "block_min_dl"]
+    _POS_COLS = ["pos_blob", "block_pos_off"]
+
+    def _posting_row(self, idx: int, group: str = "base"):
+        """One term's posting columns — reads ONLY the Parquet row group
+        containing the row (segments are written with small row groups)
+        and only the requested column group ("base" = doc/freq + block
+        meta, "pos" = positions), via a memory-mapped reader. A cold
+        point lookup therefore touches ~row_group_size terms' needed
+        blobs, not the segment's whole postings (the .doc/.pos file
+        seek analogue, ``core/formats/formats_10.cpp``). Bulk consumers
+        (merge) load the full table via ``_postings_full`` instead."""
+        if self._postings is not None:
+            return self._postings.slice(idx, 1)
+        if not hasattr(self, "_pq_terms"):
+            self._pq_terms = pq.ParquetFile(
+                pa.memory_map(os.path.join(self.dir, "terms.parquet")))
+            rows = [self._pq_terms.metadata.row_group(i).num_rows
+                    for i in range(self._pq_terms.num_row_groups)]
+            self._rg_starts = np.concatenate(
+                ([0], np.cumsum(rows))).astype(np.int64)
+            self._rg_cache: dict[tuple[int, str], pa.Table] = {}
+        rg = int(np.searchsorted(self._rg_starts, idx, side="right") - 1)
+        tbl = self._rg_cache.get((rg, group))
+        if tbl is None:
+            cols = self._BASE_COLS if group == "base" else self._POS_COLS
+            tbl = self._pq_terms.read_row_group(rg, columns=cols,
+                                                use_threads=False)
+            if len(self._rg_cache) >= 32:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[(rg, group)] = tbl
+        return tbl.slice(idx - int(self._rg_starts[rg]), 1)
+
+    def _postings_full(self) -> pa.Table:
         if self._postings is None:
             self._postings = pq.read_table(
                 os.path.join(self.dir, "terms.parquet"),
-                columns=[
-                    "doc_blob", "freq_blob", "pos_blob",
-                    "block_last_doc", "block_doc_off", "block_freq_off",
-                    "block_pos_off", "block_max_tf", "block_min_dl",
-                ],
+                columns=self._POSTING_COLS,
             )
-        return self._postings.slice(idx, 1)
+        return self._postings
 
     def postings(self, idx: int, positions: bool = False):
         """Fully decode term ``idx`` -> PostingList (exhaustive path).
@@ -755,6 +795,7 @@ class SegmentReader:
 
     def _decode_postings(self, idx: int, positions: bool = False):
         row = self._posting_row(idx)
+        pos_row = self._posting_row(idx, "pos") if positions else row
         df = int(self.doc_freq[idx])
         doc_blob = np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8)
         freq_blob = np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8)
@@ -766,7 +807,7 @@ class SegmentReader:
         docs = np.cumsum(deltas.astype(np.int64))
         pos = None
         if positions:
-            pos_blob = np.frombuffer(row.column("pos_blob")[0].as_py(), dtype=np.uint8)
+            pos_blob = np.frombuffer(pos_row.column("pos_blob")[0].as_py(), dtype=np.uint8)
             pos_deltas = varint_decode(pos_blob).astype(np.int64)
             run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
             pos = np.cumsum(pos_deltas)
@@ -805,9 +846,7 @@ class SegmentReader:
         }
         if nt == 0 or total == 0:
             return out
-        if self._postings is None:
-            self._posting_row(lo)  # triggers the lazy column load
-        t = self._postings.slice(lo, nt)
+        t = self._postings_full().slice(lo, nt)
 
         def col_view(name):
             arr = t.column(name).combine_chunks()

@@ -118,6 +118,7 @@ class IndexSearcher:
         results injected by a sharded/distributed searcher so per-shard
         scoring uses global IDF (collector semantics are associative)."""
         self.index_dir = index_dir
+        self._segment_subset = segment_subset
         self.manifest = Manifest.load(index_dir)
         metas = [
             s for s in self.manifest.segments
@@ -136,6 +137,42 @@ class IndexSearcher:
         # prepare so a distributed coordinator can build global
         # scored_sets overrides (see filters._multiterm)
         self._multiterm_matched: dict = {}
+
+    def reopen(self) -> bool:
+        """Re-open at the latest manifest generation (the reference's
+        ``DirectoryReader::Reopen``): unchanged segments KEEP their
+        reader objects — and so their decoded-postings / phrase-key /
+        disjunction caches — while added segments open fresh and removed
+        ones drop. Query-level caches reset (term rows are ordinal per
+        segment list). Returns True if the generation changed."""
+        man = Manifest.load(self.index_dir)
+        if man.generation == self.manifest.generation:
+            return False
+        old = {s.meta["name"]: s for s in self.segments}
+        metas = [
+            s for s in man.segments
+            if self._segment_subset is None or s["name"] in self._segment_subset
+        ]
+        segs = []
+        for m in metas:
+            prev = old.get(m["name"])
+            if prev is not None:
+                prev.meta = m  # manifest meta carries delete state
+                prev._deleted_loaded = False
+                prev._deleted = None
+                segs.append(prev)
+            else:
+                segs.append(SegmentReader(
+                    os.path.join(self.index_dir, m["name"]), meta=m))
+        self.manifest = man
+        self.segments = segs
+        self.doc_bases = np.asarray([m["doc_base"] for m in metas],
+                                    dtype=np.int64)
+        self._field_stats.clear()
+        self._term_cache.clear()
+        self._match_cache.clear()
+        self._multiterm_matched.clear()
+        return True
 
     # -- stats (collector merge) ------------------------------------------
     def field_stats(self, field: str | None = None) -> FieldStats:

@@ -241,3 +241,61 @@ def test_numeric_nulls_not_indexed(tmp_path):
     assert sorted(got_lo) == [
         d + 1 for d, v in enumerate(docs.column("score_num").to_pylist())
         if v is not None and v >= 0]
+
+
+def test_reopen_after_add_and_delete(ray_session, half_index, small_corpus,
+                                     tmp_path):
+    """DirectoryReader::Reopen parity: a live searcher picks up new
+    generations; unchanged segments keep their reader objects (warm
+    caches)."""
+    import pyarrow.parquet as pq
+
+    s = IndexSearcher(half_index)
+    assert s.reopen() is False  # same generation
+    old_readers = {seg.meta["name"]: id(seg) for seg in s.segments}
+    n = small_corpus.num_rows
+    p = str(tmp_path / "more.parquet")
+    pq.write_table(small_corpus.slice(n // 2), p)
+    w = IndexWriter(half_index)
+    w.add(p, segment_docs=1 << 20, concurrency=1)
+    assert s.reopen() is True
+    assert s.manifest.total_docs == n
+    kept = [seg for seg in s.segments if seg.meta["name"] in old_readers]
+    assert kept and all(id(seg) == old_readers[seg.meta["name"]]
+                        for seg in kept)
+    before = set(s.match_docs(F.Term("deploy")).tolist())
+    # delete flows through reopen too
+    w.delete(F.Term("deploy"))
+    assert s.reopen() is True
+    assert s.match_docs(F.Term("deploy")).size == 0
+    assert before  # sanity: the term did exist
+
+
+def test_numeric_nulls_survive_merge(tmp_path):
+    """Null numeric docs stay absent from the numeric field after
+    consolidation (the null fix must hold through merge renumbering)."""
+    import pyarrow as pa
+
+    from iresearch_ray.index.merge import merge_segments
+
+    an = get_analyzer("segmentation", {})
+    idx = str(tmp_path / "nm")
+    t1 = pa.table({
+        "conv_id": ["a", "a"], "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "text": ["one", "two"],
+        "v": pa.array([7, None], type=pa.int64()),
+    })
+    t2 = pa.table({
+        "conv_id": ["b", "b"], "turn_idx": pa.array([0, 1], type=pa.int32()),
+        "text": ["three", "four"],
+        "v": pa.array([None, -2], type=pa.int64()),
+    })
+    m1 = write_segment(idx, t1, an, numeric_fields=("v",))
+    m2 = write_segment(idx, t2, an, numeric_fields=("v",))
+    merged = merge_segments(idx, [m1, m2])
+    Manifest.commit(idx, [merged])
+    s = IndexSearcher(idx)
+    got = sorted(s.match_docs(F.GranularRange("v", lo=None, hi=None)).tolist())
+    vals = s.segments[0].docmap.column("v").to_pylist()
+    exp = sorted(i + 1 for i, v in enumerate(vals) if v is not None)
+    assert got == exp

@@ -476,6 +476,8 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
         opts["delimiters"] = (opts.pop("delimiter"),)
     if name in ("delimiter", "multi_delimiter") and "delimiters" in opts:
         opts["delimiters"] = tuple(opts["delimiters"])
+    if name == "text" and "stopwords" in opts:
+        opts["stopwords"] = frozenset(opts["stopwords"])
     if name in ("segmentation", "text"):
         # JSON option names follow the reference ("case", "break")
         if "case" in opts:

@@ -98,3 +98,39 @@ def test_merge_preserves_fields(field_index, fsearcher, ordered):
     roles = ordered.column("role").to_pylist()
     exp = [i + 1 for i, r in enumerate(roles) if r == "system"]
     assert sorted(s2.match_docs(F.Term("system", field="role")).tolist()) == exp
+
+
+def test_text_analyzer_stemmed_index_recall(tmp_path):
+    """End-to-end: an index built with the text analyzer (Porter2
+    stemming + accent folding) matches morphological variants and
+    accented forms under one stemmed/folded term."""
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import write_segment
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "conv_id": ["c"] * 4,
+        "turn_idx": pa.array([0, 1, 2, 3], type=pa.int32()),
+        "text": ["we deployed the service",
+                 "deploying services daily",
+                 "a café in paris",
+                 "cafe latte"],
+    })
+    an = get_analyzer("text", {"stemming": True, "stopwords": frozenset()})
+    idx = str(tmp_path / "sidx")
+    m = write_segment(idx, t, an,
+                      analyzer_spec={"name": "text",
+                                     "options": {"stemming": True,
+                                                 "stopwords": []}})
+    Manifest.commit(idx, [m])
+    s = IndexSearcher(idx)
+    # query-side terms must be analyzed the same way by the caller;
+    # the stemmed term for deployed/deploying is "deploy"
+    got = sorted(s.match_docs(F.Term("deploy")).tolist())
+    assert got == [1, 2]
+    got2 = sorted(s.match_docs(F.Term("cafe")).tolist())
+    assert got2 == [3, 4]

@@ -117,11 +117,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sh = ShardedSearcher(index_dir, n_shards=4)
     sharded_times = {}
+    sharded_exchange_times = {}
     for name in ("HighTerm", "OrHighHigh", "HighPhrase"):
         sh.search(cats[name], k=100)  # warm
         t0 = time.time()
         sh.search(cats[name], k=100)
         sharded_times[name] = round(time.time() - t0, 4)
+        t0 = time.time()
+        sh.search(cats[name], k=100, threshold_exchange=True)
+        sharded_exchange_times[name] = round(time.time() - t0, 4)
     sh.shutdown()
 
     # merge-throughput probe (the VERDICT r1 merge criterion): tier-merge
@@ -163,6 +167,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "query_total_sec": round(query_total, 4),
         "query_p99_sec": p99s,
         "sharded_query_sec": sharded_times,
+        "sharded_threshold_exchange_sec": sharded_exchange_times,
         "merge_sec": round(merge_sec, 3),
         "merge_docs_per_sec": merge_docs_per_sec,
         "merge_probe_docs": probe_docs,

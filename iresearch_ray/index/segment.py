@@ -794,19 +794,24 @@ class SegmentReader:
         return pl
 
     def _decode_postings(self, idx: int, positions: bool = False):
-        row = self._posting_row(idx)
-        pos_row = self._posting_row(idx, "pos") if positions else row
-        df = int(self.doc_freq[idx])
-        doc_blob = np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8)
-        freq_blob = np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8)
-        doc_off = np.asarray(row.column("block_doc_off")[0].as_py(), dtype=np.int64)
-        freq_off = np.asarray(row.column("block_freq_off")[0].as_py(), dtype=np.int64)
-        deltas, tfs = _decode_stream(doc_blob, doc_off, df), _decode_stream(
-            freq_blob, freq_off, df
-        )
-        docs = np.cumsum(deltas.astype(np.int64))
+        base = self._pl_cache.get((idx, False)) if positions else None
+        if base is not None:
+            # base (docs/tfs) already decoded — add only the positions
+            docs, tfs = base.docs, base.tfs
+        else:
+            row = self._posting_row(idx)
+            df = int(self.doc_freq[idx])
+            doc_blob = np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8)
+            freq_blob = np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8)
+            doc_off = np.asarray(row.column("block_doc_off")[0].as_py(), dtype=np.int64)
+            freq_off = np.asarray(row.column("block_freq_off")[0].as_py(), dtype=np.int64)
+            deltas, tfs = _decode_stream(doc_blob, doc_off, df), _decode_stream(
+                freq_blob, freq_off, df
+            )
+            docs = np.cumsum(deltas.astype(np.int64))
         pos = None
         if positions:
+            pos_row = self._posting_row(idx, "pos")
             pos_blob = np.frombuffer(pos_row.column("pos_blob")[0].as_py(), dtype=np.uint8)
             pos_deltas = varint_decode(pos_blob).astype(np.int64)
             run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
@@ -920,6 +925,58 @@ class SegmentReader:
             hit = base[(base & np.int64((1 << 32) - 1)) >= s] - s
             self._pk_put(key, hit)
         return hit
+
+    def keys_for_docs(self, idx: int, docs: np.ndarray) -> np.ndarray:
+        """Sorted ``(doc<<32)+pos`` keys of term ``idx`` restricted to
+        the sorted doc set ``docs`` — decodes ONLY the 128-doc blocks
+        containing a requested doc, using the skip list plus the stored
+        per-block position byte offsets (the two-phase phrase
+        evaluation: doc-level conjunction first, positions second —
+        reference ``phrase_iterator.hpp`` over the ``.pos`` file's skip
+        data). Falls back to slicing the fully cached keys when the
+        term was already decoded."""
+        full = getattr(self, "_pk_cache", {}).get((idx, 0))
+        if full is not None:
+            lo = np.searchsorted(full, docs << np.int64(32))
+            hi = np.searchsorted(full, (docs + np.int64(1)) << np.int64(32))
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot == full.size:
+                return full
+            out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            gi = np.repeat(lo - out_starts, lens) + np.arange(tot)
+            return full[gi]
+        cur = self.cursor(idx)
+        blocks = np.unique(np.searchsorted(cur.last_doc, docs, side="left"))
+        blocks = blocks[blocks < cur.n_blocks]
+        if blocks.size == 0 or docs.size == 0:
+            return np.empty(0, dtype=np.int64)
+        d, t = cur.decode_blocks(blocks)
+        pos_row = self._posting_row(idx, "pos")
+        blob = np.frombuffer(pos_row.column("pos_blob")[0].as_py(),
+                             dtype=np.uint8)
+        offs = np.asarray(pos_row.column("block_pos_off")[0].as_py(),
+                          dtype=np.int64)
+        ends = np.append(offs[1:], blob.size)
+        sb, eb = offs[blocks], ends[blocks]
+        lens = eb - sb
+        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gidx = np.repeat(sb - out_starts, lens) + np.arange(int(lens.sum()))
+        deltas = varint_decode(blob[gidx]).astype(np.int64)
+        run_starts = np.concatenate(([0], np.cumsum(t)[:-1]))
+        cum = np.cumsum(deltas)
+        base = np.repeat(cum[run_starts] - deltas[run_starts], t)
+        pos = cum - base
+        ii = np.searchsorted(docs, d)
+        valid = ii < docs.size
+        keep_run = np.zeros(d.size, dtype=bool)
+        keep_run[valid] = docs[ii[valid]] == d[valid]
+        if keep_run.all():
+            doc_rep = np.repeat(d, t)
+            return (doc_rep << np.int64(32)) + pos
+        keep_flat = np.repeat(keep_run, t)
+        doc_rep = np.repeat(d[keep_run], t[keep_run])
+        return (doc_rep << np.int64(32)) + pos[keep_flat]
 
     def _pk_put(self, key, arr) -> None:
         if len(self._pk_cache) >= 192:

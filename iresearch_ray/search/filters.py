@@ -688,30 +688,39 @@ class PreparedPhrase(Prepared):
         if hit is not None:
             return hit
         seg = self.searcher.segments[seg_ord]
-        slot_docs = []
+        # cheapest-slot-first leapfrog (reference conjunction.hpp
+        # cost ordering): the rarest slot decodes fully; every later
+        # slot decodes ONLY the skip-list blocks that can contain a
+        # surviving candidate once the candidate set is much smaller
+        # than the slot's block count
+        slot_rows = []
         for states in self.slot_states:
-            parts = [
-                seg.postings(int(st.rows[seg_ord])).docs
-                for st in states if st.rows[seg_ord] >= 0
-            ]
-            if not parts:
-                slot_docs = []
+            rows = [int(st.rows[seg_ord]) for st in states
+                    if st.rows[seg_ord] >= 0]
+            if not rows:
+                self._cand_memo[seg_ord] = _EMPTY_I
+                return _EMPTY_I
+            slot_rows.append(rows)
+        slot_rows.sort(key=lambda rs: sum(int(seg.doc_freq[r]) for r in rs))
+        common = None
+        for rows in slot_rows:
+            parts = []
+            for r in rows:
+                if common is not None and \
+                        common.size * 4 < int(seg.doc_freq[r]) // 128:
+                    cur = seg.cursor(r)
+                    blocks = np.unique(
+                        np.searchsorted(cur.last_doc, common, side="left"))
+                    blocks = blocks[blocks < cur.n_blocks]
+                    d, _ = cur.decode_blocks(blocks)
+                else:
+                    d = seg.postings(r).docs
+                parts.append(d)
+            sd = parts[0] if len(parts) == 1 \
+                else np.unique(np.concatenate(parts))
+            common = sd if common is None else _intersect_sorted(common, sd)
+            if common.size == 0:
                 break
-            slot_docs.append(parts[0] if len(parts) == 1
-                             else np.unique(np.concatenate(parts)))
-        if not slot_docs:
-            common = _EMPTY_I
-        else:
-            slot_docs.sort(key=lambda d: d.size)
-            common = slot_docs[0]
-            for d in slot_docs[1:]:
-                if common.size == 0:
-                    break
-                idx = np.searchsorted(d, common)
-                valid = idx < d.size
-                hitm = np.zeros(common.size, dtype=bool)
-                hitm[valid] = d[idx[valid]] == common[valid]
-                common = common[hitm]
         self._cand_memo[seg_ord] = common
         return common
 
@@ -747,12 +756,16 @@ class PreparedPhrase(Prepared):
         ck = self._cache_key(seg_ord) if cand is None else None
         if ck is not None and ck in pm_cache:
             return self._frame_common(seg, pm_cache[ck])
-        if cand is not None:
-            # n-gram prefilter path: keys restricted to the candidate
-            # docs (per-doc results identical for docs in cand)
-            cand = _intersect_sorted(self.doc_candidates(seg_ord), cand)
-            if cand.size == 0:
-                return (*_empty(self.dtype), _EMPTY_I)
+        # two-phase evaluation (reference phrase_iterator over the .pos
+        # skip data): doc-level conjunction of the slots first, then
+        # decode positions ONLY for blocks containing candidate docs
+        # (keys_for_docs). A phrase match needs every slot in the doc,
+        # so restricting to the conjunction loses nothing — the match
+        # key set stays complete and cacheable.
+        own = self.doc_candidates(seg_ord)
+        cand = own if cand is None else _intersect_sorted(own, cand)
+        if cand.size == 0:
+            return (*_empty(self.dtype), _EMPTY_I)
         keysets = []
         POSM = np.int64((1 << 32) - 1)
         for i, states in enumerate(self.slot_states):
@@ -763,13 +776,20 @@ class PreparedPhrase(Prepared):
                 if row < 0:
                     continue
                 # shift slot i's positions left by i: a phrase start p
-                # matches iff every slot i has a position p+i. Keys
-                # derive from the cached per-term (doc<<32|pos) array —
+                # matches iff every slot i has a position p+i —
                 # subtracting the shift preserves sort order once
                 # positions < shift are dropped.
-                k0 = seg.phrase_keys(int(row), int(shift))
-                if cand is not None:
-                    k0 = _keys_in_docs(k0, cand)
+                # Adaptive: decode only candidate-covering blocks when
+                # the candidates touch a small fraction of the term's
+                # 128-doc blocks (block coverage saturates at ~n_blocks,
+                # so compare against the BLOCK count, not df); otherwise
+                # the straight flat decode + cached shifted keys wins.
+                if cand.size * 4 < int(seg.doc_freq[row]) // 128:
+                    k0 = seg.keys_for_docs(int(row), cand)
+                    if shift:
+                        k0 = k0[(k0 & POSM) >= shift] - shift
+                else:
+                    k0 = seg.phrase_keys(int(row), int(shift))
                 key_parts.append(k0)
             if not key_parts:
                 return (*_empty(self.dtype), _EMPTY_I)

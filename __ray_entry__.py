@@ -311,6 +311,20 @@ def _q_minhash(sf_dir: str):
     return minhash_candidates(ds).to_pandas()
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash banded near-dup pairs (hamming <= 6) over documents —
+    Manku/Charikar band-bucket layout (rows-only: fingerprints depend
+    on the engine's hash)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import simhash_near_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=6).to_pandas() \
+        .sort_values(["rep_id", "dup_id"]).reset_index(drop=True)
+
+
 def _q_simhash(sf_dir: str):
     import ray.data
 
@@ -513,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_group_none": _q_nested_group_none,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
+        "simhash_near_pairs": _q_simhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
         "multimodal_decode": _q_multimodal_decode,

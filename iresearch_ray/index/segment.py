@@ -740,6 +740,22 @@ class SegmentReader:
                   "block_max_tf", "block_min_dl"]
     _POS_COLS = ["pos_blob", "block_pos_off"]
 
+    @staticmethod
+    def _row_blob(row: pa.Table, name: str) -> np.ndarray:
+        """Zero-copy uint8 view of a one-row binary column (``as_py``
+        would copy through Python bytes)."""
+        return np.frombuffer(row.column(name)[0].as_buffer(),
+                             dtype=np.uint8)
+
+    @staticmethod
+    def _row_list(row: pa.Table, name: str) -> np.ndarray:
+        """int64 view of a one-row list column via flatten (``as_py``
+        materializes a Python list per element)."""
+        arr = row.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+
     def _posting_row(self, idx: int, group: str = "base"):
         """One term's posting columns — reads ONLY the Parquet row group
         containing the row (segments are written with small row groups)
@@ -801,10 +817,10 @@ class SegmentReader:
         else:
             row = self._posting_row(idx)
             df = int(self.doc_freq[idx])
-            doc_blob = np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8)
-            freq_blob = np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8)
-            doc_off = np.asarray(row.column("block_doc_off")[0].as_py(), dtype=np.int64)
-            freq_off = np.asarray(row.column("block_freq_off")[0].as_py(), dtype=np.int64)
+            doc_blob = self._row_blob(row, "doc_blob")
+            freq_blob = self._row_blob(row, "freq_blob")
+            doc_off = self._row_list(row, "block_doc_off")
+            freq_off = self._row_list(row, "block_freq_off")
             deltas, tfs = _decode_stream(doc_blob, doc_off, df), _decode_stream(
                 freq_blob, freq_off, df
             )
@@ -812,7 +828,7 @@ class SegmentReader:
         pos = None
         if positions:
             pos_row = self._posting_row(idx, "pos")
-            pos_blob = np.frombuffer(pos_row.column("pos_blob")[0].as_py(), dtype=np.uint8)
+            pos_blob = self._row_blob(pos_row, "pos_blob")
             pos_deltas = varint_decode(pos_blob).astype(np.int64)
             run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
             pos = np.cumsum(pos_deltas)
@@ -953,10 +969,8 @@ class SegmentReader:
             return np.empty(0, dtype=np.int64)
         d, t = cur.decode_blocks(blocks)
         pos_row = self._posting_row(idx, "pos")
-        blob = np.frombuffer(pos_row.column("pos_blob")[0].as_py(),
-                             dtype=np.uint8)
-        offs = np.asarray(pos_row.column("block_pos_off")[0].as_py(),
-                          dtype=np.int64)
+        blob = self._row_blob(pos_row, "pos_blob")
+        offs = self._row_list(pos_row, "block_pos_off")
         ends = np.append(offs[1:], blob.size)
         sb, eb = offs[blocks], ends[blocks]
         lens = eb - sb
@@ -1001,13 +1015,13 @@ class SegmentReader:
         row = self._posting_row(idx)
         return BlockCursor(
             df=int(self.doc_freq[idx]),
-            doc_blob=np.frombuffer(row.column("doc_blob")[0].as_py(), dtype=np.uint8),
-            freq_blob=np.frombuffer(row.column("freq_blob")[0].as_py(), dtype=np.uint8),
-            doc_off=np.asarray(row.column("block_doc_off")[0].as_py(), dtype=np.int64),
-            freq_off=np.asarray(row.column("block_freq_off")[0].as_py(), dtype=np.int64),
-            last_doc=np.asarray(row.column("block_last_doc")[0].as_py(), dtype=np.int64),
-            max_tf=np.asarray(row.column("block_max_tf")[0].as_py(), dtype=np.int64),
-            min_dl=np.asarray(row.column("block_min_dl")[0].as_py(), dtype=np.int64),
+            doc_blob=self._row_blob(row, "doc_blob"),
+            freq_blob=self._row_blob(row, "freq_blob"),
+            doc_off=self._row_list(row, "block_doc_off"),
+            freq_off=self._row_list(row, "block_freq_off"),
+            last_doc=self._row_list(row, "block_last_doc"),
+            max_tf=self._row_list(row, "block_max_tf"),
+            min_dl=self._row_list(row, "block_min_dl"),
         )
 
 

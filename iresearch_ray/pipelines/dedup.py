@@ -630,3 +630,94 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
         "id_b": pa.array(np.concatenate(out_b)),
         "jaccard": pa.array(np.concatenate(out_j)),
     }))
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id", concurrency: int = 4):
+    """Near-duplicate pairs by SimHash hamming distance: fingerprints
+    split into 4 x 16-bit bands; any pair within hamming distance <= 3
+    shares at least one EXACT band (pigeonhole), so candidates come
+    from 4 band-bucket groupbys and only candidates get the popcount
+    verify — the classic Manku/Charikar web-dedup layout, no all-pairs.
+    -> Dataset(rep_id, dup_id, hamming)."""
+    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col,
+                               concurrency=concurrency)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        n = ids.size
+        bands = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            bands[:, b] = ((h >> np.uint64(16 * b)) &
+                           np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4)),
+            "simhash": pa.array(np.repeat(h.view(np.int64), 4)),
+            "band": pa.array(np.tile(np.arange(4), n)),
+            "band_key": pa.array(bands.ravel()),
+        })
+
+    banded = fps.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        keep = np.empty(ids.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, hs = ids[keep], hs[keep]
+        if ids.size < 2:
+            return pd.DataFrame({"rep_id": pd.Series([], dtype="int64"),
+                                 "dup_id": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(ids.size, k=1)
+        x = hs[ii] ^ hs[jj]
+        # vectorized popcount over uint64
+        ham = np.zeros(x.size, dtype=np.int64)
+        for s in range(0, 64, 8):
+            part = np.unpackbits(
+                ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)
+            ).reshape(-1, 8).sum(axis=1)
+            ham += part.astype(np.int64)
+        hit = ham <= max_hamming
+        return pd.DataFrame({
+            "rep_id": np.minimum(ids[ii[hit]], ids[jj[hit]]).astype(np.int64),
+            "dup_id": np.maximum(ids[ii[hit]], ids[jj[hit]]).astype(np.int64),
+            "hamming": ham[hit],
+        })
+
+    bucketed = banded.groupby(["band", "band_key"]).map_groups(
+        bucket, batch_format="pandas")
+
+    # a pair whose fingerprints agree on >1 band appears in >1 bucket:
+    # dedup per block, then a driver merge bounded by the CANDIDATE
+    # count (same shape as the n-gram join's pair dedup — Ray's
+    # multi-key groupby degenerates on millions of tiny groups)
+    def block_dedup(t: pa.Table) -> pa.Table:
+        a = t.column("rep_id").to_numpy(zero_copy_only=False)
+        b = t.column("dup_id").to_numpy(zero_copy_only=False)
+        hm = t.column("hamming").to_numpy(zero_copy_only=False)
+        key = a * np.int64(1 << 32) + b
+        _, first = np.unique(key, return_index=True)
+        return pa.table({"pair": pa.array(key[first]),
+                         "hamming": pa.array(hm[first].astype(np.int64))})
+
+    rows = bucketed.map_batches(block_dedup, batch_format="pyarrow").take_all()
+    import ray.data
+
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "rep_id": pa.array([], type=pa.int64()),
+            "dup_id": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64())}))
+    keys = np.asarray([r["pair"] for r in rows], dtype=np.int64)
+    hams = np.asarray([r["hamming"] for r in rows], dtype=np.int64)
+    uniq, first = np.unique(keys, return_index=True)
+    return ray.data.from_arrow(pa.table({
+        "rep_id": pa.array(uniq >> np.int64(32)),
+        "dup_id": pa.array(uniq & np.int64((1 << 32) - 1)),
+        "hamming": pa.array(hams[first]),
+    }))

@@ -267,18 +267,23 @@ class IndexSearcher:
                    else initial_threshold)
         if mode == "strict" and hasattr(prepared, "bind_threshold"):
             prepared.bind_threshold(lambda: col.threshold)
+        is_tdis = self._is_term_disjunction(prepared)
         for i in range(len(self.segments)):
             base = int(self.doc_bases[i])
             if mode == "strict":
                 thr = col.threshold
                 # cross-segment pruning: skip a whole segment whose
-                # score upper bound cannot beat the running threshold
-                if np.isfinite(thr) and prepared.max_score(i) <= thr:
+                # score upper bound cannot beat the running threshold.
+                # (Not for term disjunctions: their bound needs one
+                # cursor per child per segment — more expensive than the
+                # cached merge it would skip.)
+                if not is_tdis and np.isfinite(thr) \
+                        and prepared.max_score(i) <= thr:
                     continue
                 if isinstance(prepared, PreparedTerm):
                     self._wand_term(prepared, i, base, col)
                     continue
-                if self._is_term_disjunction(prepared):
+                if is_tdis:
                     self._maxscore_or(prepared, i, base, col)
                     continue
                 if self._is_term_conjunction(prepared):

@@ -258,3 +258,22 @@ def test_ann_partitioned_index_recall(ray_session, tmp_path):
     approx = ann_index_topk(idx, q, k=11, hamming_radius=2)
     overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
     assert overlap >= 8  # high recall on genuinely-near vectors
+
+
+def test_simhash_near_pairs(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    texts = [base, base.replace("today", "tomorrow"),
+             "completely different material about arrow batches and ray actors",
+             "unrelated text mentioning neither canines nor foxes whatsoever"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = simhash_near_pairs(ray.data.from_arrow(t), max_hamming=8).to_pandas()
+    pairs = set(zip(out["rep_id"], out["dup_id"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+    # pair dedup across bands: each pair appears once
+    assert len(out) == len(out.drop_duplicates(["rep_id", "dup_id"]))

@@ -312,7 +312,7 @@ def _q_minhash(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
-    """SimHash banded near-dup pairs (hamming <= 6) over documents —
+    """SimHash banded near-dup pairs (hamming <= 2) over documents —
     Manku/Charikar band-bucket layout (rows-only: fingerprints depend
     on the engine's hash)."""
     import ray.data
@@ -321,7 +321,7 @@ def _q_simhash_pairs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return simhash_near_pairs(ds, max_hamming=6).to_pandas() \
+    return simhash_near_pairs(ds, max_hamming=2).to_pandas() \
         .sort_values(["rep_id", "dup_id"]).reset_index(drop=True)
 
 

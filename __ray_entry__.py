@@ -450,16 +450,21 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
-    """Actor-pool media decode (stubbed kernel, real plumbing) over a
-    deterministic fake media table; non-SQL (binary payloads)."""
+    """Actor-pool media decode over REAL binary PPM payloads (pure-numpy
+    P6 decode -> 8x8 pooled-grid features); non-SQL (binary payloads)."""
+    import numpy as np
     import ray.data
 
-    from iresearch_ray.pipelines.multimodal import decode_features, make_fake_media
+    from iresearch_ray.pipelines.multimodal import decode_features, make_ppm_media
 
-    ds = ray.data.from_arrow(make_fake_media(256, seed=1))
-    pdf = decode_features(ds, concurrency=2, batch_size=32).to_pandas()
+    ds = ray.data.from_arrow(make_ppm_media(256, seed=1))
+    pdf = decode_features(ds, backend="ppm", concurrency=2,
+                          batch_size=32).to_pandas()
     pdf["dim"] = pdf["embedding"].map(len)
-    return pdf[["media_id", "kind", "dim"]].sort_values("media_id").reset_index(drop=True)
+    pdf["mean_r"] = [float(np.floor(np.mean(e) * 1e4 + 0.5) / 1e4)
+                     for e in pdf["embedding"]]
+    return pdf[["media_id", "kind", "dim", "mean_r"]] \
+        .sort_values("media_id").reset_index(drop=True)
 
 
 def _q_embedding_near_dups(sf_dir: str):

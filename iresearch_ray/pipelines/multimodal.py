@@ -1,13 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with
 actor-pool decode / feature-extract / resize / frame-sample stages.
 
-The image/audio codec libraries are not available in this environment,
-so the *decode kernels* are stubbed: ``backend="fake"`` (default) runs a
-deterministic pure-numpy stand-in; ``backend="pil"`` / ``"librosa"``
-raise ``NotImplementedError`` with a clear message. Everything around
-the kernel — the Arrow schema, binary-column handling, per-actor model
-setup, small-batch sizing for large payloads, output layout — is real
-and tested, so swapping in a real decoder is a one-function change.
+Decode backends:
+- ``"ppm"``  — REAL image path: pure-numpy P6/P5 (PPM/PGM) decode,
+  nearest-neighbor resize, re-encode. No codec library needed.
+- ``"wav"``  — REAL audio path: stdlib ``wave`` PCM16 decode.
+- ``"fake"`` — deterministic byte-histogram stand-in for compressed
+  formats (JPEG/MP3/H.264 libraries are not in this environment);
+  ``backend="pil"`` / ``"librosa"`` raise ``NotImplementedError`` with
+  a clear message. The surrounding plumbing — Arrow schema, binary
+  columns, per-actor setup, small-batch sizing, output layout — is
+  identical across backends.
 
 Scale notes: binary payloads make rows wide — stages use small
 ``batch_size`` (payload_bytes x batch_size x concurrency must fit the
@@ -58,6 +61,107 @@ def make_fake_media(n: int, seed: int = 0, kind: str = "image") -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real pure-python codecs: PPM/PGM (binary P6/P5) and WAV PCM16
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> binary PPM (P6) / PGM (P5)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    magic = b"P6" if px.ndim == 3 else b"P5"
+    return magic + f" {w} {h} 255\n".encode() + px.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM/PGM -> uint8 array (h, w[, 3]); pure numpy."""
+    if not (b.startswith(b"P6") or b.startswith(b"P5")):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if b.startswith(b"P6") else 1
+    # header: magic, width, height, maxval — whitespace separated, then
+    # exactly one whitespace byte before the raster
+    toks, i, n = [], 2, len(b)
+    while len(toks) < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < n and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, _maxv = toks
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h * channels,
+                           offset=i)
+    return raster.reshape(h, w, 3) if channels == 3 else raster.reshape(h, w)
+
+
+def resize_nearest(px: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """Nearest-neighbor resize, fully vectorized (index grids)."""
+    h, w = px.shape[:2]
+    ys = np.minimum((np.arange(nh) * h) // max(nh, 1), h - 1)
+    xs = np.minimum((np.arange(nw) * w) // max(nw, 1), w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM16 -> (samples int16 mono-mixed, sample_rate); stdlib."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b)) as f:
+        sr = f.getframerate()
+        nch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    samples = np.frombuffer(raw, dtype=np.int16)
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return samples, sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.ascontiguousarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def make_ppm_media(n: int, seed: int = 0) -> pa.Table:
+    """Synthetic media table whose payloads are REAL binary PPM images
+    (seeded gradient + noise patterns)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width", "height",
+                            "sample_rate", "duration_ms")}
+    for i in range(n):
+        w = int(rng.integers(16, 96))
+        h = int(rng.integers(16, 96))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+        px = np.stack([base,
+                       ((yy * 255) // max(h - 1, 1)).astype(np.uint8),
+                       rng.integers(0, 256, size=(h, w), dtype=np.uint8)],
+                      axis=2)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_ppm(px))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def _payload_matrix(col: pa.Array) -> list[np.ndarray]:
     return [np.frombuffer(b, dtype=np.uint8) for b in col.to_pylist()]
 
@@ -77,15 +181,15 @@ class MediaDecoder:
         if backend in ("pil", "torchvision"):
             raise NotImplementedError(
                 f"backend {backend!r}: image codec libraries are not "
-                "installed in this environment; use backend='fake' or "
-                "install the codec and implement _decode_real()"
+                "installed in this environment; use backend='ppm' for "
+                "real uncompressed images or backend='fake'"
             )
         if backend in ("librosa", "torchaudio"):
             raise NotImplementedError(
                 f"backend {backend!r}: audio libraries are not installed; "
-                "use backend='fake'"
+                "use backend='wav' for PCM16 or backend='fake'"
             )
-        if backend != "fake":
+        if backend not in ("fake", "ppm", "wav"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
 
@@ -98,8 +202,40 @@ class MediaDecoder:
             out[i] = hist.reshape(self.FEATURE_DIM, -1).sum(axis=1) / p.size
         return out
 
+    def _features_ppm(self, payloads: list[bytes]) -> np.ndarray:
+        """REAL image features: 8x8 grid of grayscale means over the
+        decoded pixels (a pooled-CNN-layer stand-in, but computed from
+        actual raster data)."""
+        out = np.zeros((len(payloads), self.FEATURE_DIM), dtype=np.float32)
+        for i, b in enumerate(payloads):
+            px = decode_ppm(b)
+            gray = px.mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
+            pooled = resize_nearest(gray, 8, 8)
+            out[i] = (pooled / 255.0).astype(np.float32).ravel()
+        return out
+
+    def _features_wav(self, payloads: list[bytes]) -> np.ndarray:
+        """REAL audio features: RMS energy over 64 equal windows."""
+        out = np.zeros((len(payloads), self.FEATURE_DIM), dtype=np.float32)
+        for i, b in enumerate(payloads):
+            samples, _sr = decode_wav(b)
+            if samples.size == 0:
+                continue
+            windows = np.array_split(samples.astype(np.float64), self.FEATURE_DIM)
+            out[i] = np.asarray(
+                [np.sqrt((w_ * w_).mean()) / 32768.0 if w_.size else 0.0
+                 for w_ in windows], dtype=np.float32)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = self._features(_payload_matrix(batch.column("payload")))
+        payloads = batch.column("payload").to_pylist()
+        if self.backend == "ppm":
+            feats = self._features_ppm(payloads)
+        elif self.backend == "wav":
+            feats = self._features_wav(payloads)
+        else:
+            feats = self._features(
+                [np.frombuffer(b, dtype=np.uint8) for b in payloads])
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
@@ -112,14 +248,26 @@ class ImageResizer:
     (binary in -> binary out, per-actor setup) is real."""
 
     def __init__(self, max_side: int = 64, backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError("image codecs unavailable; backend='fake'")
+        if backend not in ("fake", "ppm"):
+            raise NotImplementedError(
+                "compressed-image codecs unavailable; backend='ppm' "
+                "(real, uncompressed) or 'fake'")
         self.max_side = max_side
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_payloads = []
         out_w, out_h = [], []
         for b in batch.column("payload").to_pylist():
+            if self.backend == "ppm":
+                px = decode_ppm(b)
+                h, w = px.shape[:2]
+                scale = min(1.0, self.max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out_payloads.append(encode_ppm(resize_nearest(px, nw, nh)))
+                out_w.append(nw)
+                out_h.append(nh)
+                continue
             w = int.from_bytes(b[0:4], "little")
             h = int.from_bytes(b[4:8], "little")
             scale = min(1.0, self.max_side / max(w, h, 1))

@@ -90,3 +90,63 @@ def test_embedding_near_dups(ray_session):
     assert (7, 41) in pairs
     # random vectors should almost never be 0.99-cosine-similar
     assert len(pairs) <= 3
+
+
+def test_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    from iresearch_ray.pipelines.multimodal import (
+        decode_ppm, encode_ppm, resize_nearest)
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    gray = rng.integers(0, 256, size=(20, 10), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    small = resize_nearest(px, 8, 8)
+    assert small.shape == (8, 8, 3)
+    # identity resize
+    assert np.array_equal(resize_nearest(px, 47, 33), px)
+
+
+def test_wav_roundtrip_features():
+    import numpy as np
+
+    from iresearch_ray.pipelines.multimodal import (
+        MediaDecoder, decode_wav, encode_wav)
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    samples = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    b = encode_wav(samples, sr)
+    got, got_sr = decode_wav(b)
+    assert got_sr == sr and np.array_equal(got, samples)
+    dec = MediaDecoder(backend="wav")
+    feats = dec._features_wav([b])
+    # constant-amplitude sine: every RMS window ~ 20000/(sqrt(2)*32768)
+    assert np.allclose(feats[0], 20000 / (np.sqrt(2) * 32768), atol=0.02)
+
+
+def test_ppm_media_pipeline(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        ImageResizer, decode_features, make_ppm_media)
+
+    t = make_ppm_media(24, seed=3)
+    ds = ray.data.from_arrow(t)
+    out = decode_features(ds, backend="ppm", concurrency=2).to_pandas()
+    assert len(out) == 24
+    assert all(len(e) == 64 for e in out["embedding"])
+    # features derive from real pixels: the x-gradient channel makes
+    # left-column cells darker than right-column cells on average
+    import numpy as np
+
+    emb = np.stack([np.asarray(e) for e in out["embedding"]])
+    grid = emb.reshape(-1, 8, 8)
+    assert (grid[:, :, 0].mean() < grid[:, :, 7].mean())
+    # real resize through the actor stage
+    resized = ds.map_batches(
+        ImageResizer, fn_constructor_kwargs=dict(max_side=16, backend="ppm"),
+        batch_format="pyarrow", batch_size=8, concurrency=2).to_pandas()
+    assert (resized["width"].max() <= 16) and (resized["height"].max() <= 16)

@@ -190,7 +190,8 @@ def run_subprocess(ncpu: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", "32"))
         r_lo = run_subprocess(lo)
         os.sync()
         time.sleep(3)

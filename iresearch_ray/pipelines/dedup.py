@@ -525,33 +525,36 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
 
     freq_rows = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("gram").count().take_all()
-    freq = {r["gram"]: r["count()"] for r in freq_rows}
-    freq_ref = ray.put(freq)
+    f_hashes = np.asarray(sorted(r["gram"] for r in freq_rows), dtype=np.int64)
+    f_counts = np.empty(f_hashes.size, dtype=np.int64)
+    lut = {int(r["gram"]): int(r["count()"]) for r in freq_rows}
+    for k, g in enumerate(f_hashes):
+        f_counts[k] = lut[int(g)]
+    freq_ref = ray.put((f_hashes, f_counts))
 
-    # ---- pass 2: prefix emit (gram, id)
+    # ---- pass 2: prefix emit (gram, id) — fully vectorized: one
+    # searchsorted maps every gram to its global frequency; one lexsort
+    # orders grams (rarity, hash) within each doc; the per-doc prefix
+    # cut is a rank comparison
     def prefix_emit(t: pa.Table) -> pa.Table:
-        fr = ray.get(freq_ref)
+        fh, fc = ray.get(freq_ref)
         texts = t.column(text_col).to_pylist()
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         doc_idx, h = _doc_gram_sets(texts, n)
-        counts = np.bincount(doc_idx, minlength=len(texts))
-        out_g, out_id = [], []
-        starts = np.concatenate(([0], np.cumsum(counts)))
-        for d in np.flatnonzero(counts):
-            hs = h[starts[d] : starts[d + 1]].astype(np.int64)
-            sz = hs.size
-            p = sz - int(np.ceil(threshold * sz - 1e-9)) + 1
-            # rarity order: (doc freq asc, hash) — any consistent global
-            # total order preserves exactness
-            fr_vals = np.asarray([fr[int(x)] for x in hs], dtype=np.int64)
-            order = np.lexsort((hs, fr_vals))[:p]
-            out_g.append(hs[order])
-            out_id.append(np.full(order.size, ids[d], dtype=np.int64))
-        if not out_g:
+        h = h.astype(np.int64)
+        if doc_idx.size == 0:
             return pa.table({"gram": pa.array([], type=pa.int64()),
                              id_col: pa.array([], type=pa.int64())})
-        return pa.table({"gram": pa.array(np.concatenate(out_g)),
-                         id_col: pa.array(np.concatenate(out_id))})
+        fr_vals = fc[np.searchsorted(fh, h)]
+        order = np.lexsort((h, fr_vals, doc_idx))
+        d_s, h_s = doc_idx[order], h[order]
+        starts = np.flatnonzero(np.diff(d_s, prepend=-1))
+        sizes = np.diff(np.append(starts, d_s.size))
+        rank = np.arange(d_s.size) - np.repeat(starts, sizes)
+        p = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+        keep = rank < np.repeat(p, sizes)
+        return pa.table({"gram": pa.array(h_s[keep]),
+                         id_col: pa.array(ids[d_s[keep]])})
 
     prefixes = ds.map_batches(prefix_emit, batch_format="pyarrow")
 
@@ -595,9 +598,11 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
     # ---- pass 4: gather candidate gram sets (streaming filter over the
     # corpus; at cluster scale this becomes a hash join on id), verify
     # candidates with a vectorized incidence matmul
+    cand_arr = np.asarray(sorted(cand_set), dtype=np.int64)
+
     def gather(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.asarray([int(i) in cand_set for i in ids], dtype=bool)
+        keep = np.isin(ids, cand_arr)
         if not keep.any():
             return pa.table({id_col: pa.array([], type=pa.int64()),
                              text_col: pa.array([], type=pa.string())})

@@ -17,7 +17,8 @@ No code is ported from the reference; citations in docstrings are
 behavioural anchors only.
 """
 
-__all__ = ["build_index", "Manifest", "IndexSearcher"]
+__all__ = ["build_index", "Manifest", "IndexSearcher", "IndexWriter",
+           "ShardedSearcher", "highlight", "consolidate"]
 __version__ = "0.1.0"
 
 
@@ -54,4 +55,16 @@ def __getattr__(name):  # lazy imports keep `import iresearch_ray` light
     if name == "IndexSearcher":
         from iresearch_ray.search.searcher import IndexSearcher
         return IndexSearcher
+    if name == "IndexWriter":
+        from iresearch_ray.index.writer import IndexWriter
+        return IndexWriter
+    if name == "ShardedSearcher":
+        from iresearch_ray.search.sharded import ShardedSearcher
+        return ShardedSearcher
+    if name == "highlight":
+        from iresearch_ray.search.highlight import highlight
+        return highlight
+    if name == "consolidate":
+        from iresearch_ray.index.merge import consolidate
+        return consolidate
     raise AttributeError(name)

@@ -52,7 +52,8 @@ class SegmentEncoder:
                  key_cols: tuple = ("conv_id", "turn_idx"),
                  stored_cols: tuple | None = None,
                  exact_fields: tuple = (),
-                 numeric_fields: tuple = ()):
+                 numeric_fields: tuple = (),
+                 index_features: tuple = ()):
         # each actor reserves 1 CPU — pin Arrow's internal pools to it,
         # otherwise every actor spawns a machine-wide thread pool and the
         # node oversubscribes (regex split / sorts / parquet writes)
@@ -66,6 +67,7 @@ class SegmentEncoder:
         self.stored_cols = stored_cols
         self.exact_fields = exact_fields
         self.numeric_fields = numeric_fields
+        self.index_features = index_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -83,6 +85,7 @@ class SegmentEncoder:
             analyzer_spec=self.analyzer_spec,
             exact_fields=self.exact_fields,
             numeric_fields=self.numeric_fields,
+            index_features=self.index_features,
         )
         return pa.table({
             "name": pa.array([meta["name"]]),
@@ -105,6 +108,7 @@ def build_index(
     columns: list | None = None,
     exact_fields: tuple = (),
     numeric_fields: tuple = (),
+    index_features: tuple = (),
     base_segments: list | None = None,
     commit_every: int | None = None,
 ) -> Manifest:
@@ -186,6 +190,7 @@ def build_index(
         stored_cols=stored_cols,
         exact_fields=exact_fields,
         numeric_fields=numeric_fields,
+        index_features=index_features,
     )
     summaries = ds.map_batches(
         SegmentEncoder,

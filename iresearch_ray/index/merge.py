@@ -86,23 +86,35 @@ def merge_segments(index_dir: str, group: list[dict],
     # bulk, and the merged run order is one stable argsort over term
     # codes (readers pre-ordered by doc base, docs ascending per term)
     all_fields = sorted({f for r in readers for f in r.fields})
+    # OFFS/PAY: a merged field keeps an occurrence stream only if EVERY
+    # contributing reader stored it (mixed-feature groups drop it — the
+    # reference requires uniform index features per index anyway)
+    merged_feats = set.intersection(
+        *[set(r.index_features) for r in readers]) if readers else set()
+    feat_of = {"offs": ("offs_start", "offs_len"), "pay": ("pay",)}
+    want_extras = [k for f in sorted(merged_feats)
+                   for k in feat_of.get(f, ())]
     field_invs = []
     for fname in all_fields:
         reader_terms = [r.field_terms(fname) for r in readers]
         all_terms = np.unique(np.concatenate(reader_terms))
         code_parts, doc_parts, tf_parts, pos_parts = [], [], [], []
+        extra_parts = {k: [] for k in want_extras}
         for r, base, idmap, terms_r in zip(readers, bases, idmaps, reader_terms):
             if terms_r.size == 0:
                 continue
-            bp = r.bulk_postings(fname)
+            bp = r.bulk_postings(fname, extras=bool(want_extras))
             docs, tfs, poss = bp["docs"], bp["tfs"], bp["positions"]
+            ex = {k: bp[k] for k in want_extras if k in bp}
             run_code = np.repeat(
                 np.searchsorted(all_terms, terms_r).astype(np.int64), bp["df"])
             if idmap is not None:
                 mask, newids = idmap
                 keep = ~mask[docs - 1]
                 if not keep.all():
-                    poss = poss[np.repeat(keep, tfs)]
+                    occ_keep = np.repeat(keep, tfs)
+                    poss = poss[occ_keep]
+                    ex = {k: v[occ_keep] for k, v in ex.items()}
                     docs, tfs, run_code = docs[keep], tfs[keep], run_code[keep]
                 docs = newids[docs - 1]  # renumbered 1-based local ids
             if docs.size == 0:
@@ -111,6 +123,13 @@ def merge_segments(index_dir: str, group: list[dict],
             doc_parts.append(docs - 1 + base)  # 0-based ordinals
             tf_parts.append(tfs)
             pos_parts.append(poss)
+            for k in list(extra_parts):
+                if k in ex:
+                    extra_parts[k].append(ex[k])
+                else:
+                    # this field never stored the stream on this reader
+                    # (placeholder column) -> drop it for the field
+                    extra_parts.pop(k)
         if code_parts:
             run_code = np.concatenate(code_parts)
             run_doc = np.concatenate(doc_parts)
@@ -124,6 +143,9 @@ def merge_segments(index_dir: str, group: list[dict],
             gather_idx = np.repeat(pre_starts[order] - run_starts, run_tf) \
                 + np.arange(pos_flat.size)
             pos_sorted = pos_flat[gather_idx]
+            extra_sorted = {
+                f"{k}_sorted": np.concatenate(v)[gather_idx]
+                for k, v in extra_parts.items() if v}
             term_change = np.empty(run_code.size, dtype=bool)
             term_change[0] = True
             term_change[1:] = run_code[1:] != run_code[:-1]
@@ -135,6 +157,7 @@ def merge_segments(index_dir: str, group: list[dict],
             run_doc = run_tf = pos_sorted = np.empty(0, np.int64)
             run_starts = term_starts = np.empty(0, np.int64)
             vocab = np.empty(0, dtype=object)
+            extra_sorted = {}
         doc_len = np.concatenate([
             r.field_norms(fname).astype(np.int64)
             if idmap is None else
@@ -149,6 +172,7 @@ def merge_segments(index_dir: str, group: list[dict],
             "pos_sorted": pos_sorted,
             "run_starts": run_starts,
             "doc_len": doc_len,
+            **extra_sorted,
         }))
     terms_table, norms_table, fields_meta = encode_field_tables(field_invs)
 
@@ -178,6 +202,7 @@ def merge_segments(index_dir: str, group: list[dict],
         "text_col": text_col,
         "key_cols": group[0].get("key_cols", ["conv_id", "turn_idx"]),
         "exact_fields": group[0].get("exact_fields", []),
+        "index_features": sorted(merged_feats),
         "analyzer": group[0].get("analyzer", {"name": "segmentation", "options": {}}),
         "lineage": {
             "merged_from": [m["name"] for m in group],

@@ -55,7 +55,8 @@ SUCCESS_MARKER = "_SUCCESS"
 
 
 def invert_batch(
-    texts: pa.Array, analyzer: Analyzer
+    texts: pa.Array, analyzer: Analyzer,
+    offsets: bool = False, payloads: bool = False,
 ) -> dict:
     """Invert one batch of texts into grouped postings arrays.
 
@@ -67,17 +68,37 @@ def invert_batch(
       pos_sorted    flat positions, grouped by (term, doc), ascending
       run_starts    index into pos_sorted of each run's first position
       doc_len       tokens per doc (len = n_docs)
+
+    With ``offsets`` (OFFS index feature) the dict also carries
+    ``offs_start_sorted`` / ``offs_len_sorted`` (char span per
+    occurrence, aligned with ``pos_sorted``); with ``payloads`` (PAY) it
+    carries ``pay_sorted`` (uint64 per occurrence). Both require the
+    analyzer to implement the corresponding tokenize variant.
     """
     n_docs = len(texts)
-    doc_idx, terms, pos = analyzer.tokenize(texts)
-    return invert_tokens(doc_idx, terms, pos, n_docs)
+    extras: dict[str, np.ndarray] = {}
+    if offsets and payloads:
+        raise NotImplementedError("offsets+payloads together not supported yet")
+    if offsets:
+        doc_idx, terms, pos, start, end = analyzer.tokenize_offsets(texts)
+        extras["offs_start"] = start.astype(np.int64)
+        extras["offs_len"] = (end - start).astype(np.int64)
+    elif payloads:
+        doc_idx, terms, pos, pays = analyzer.tokenize_payloads(texts)
+        extras["pay"] = pays.astype(np.int64)
+    else:
+        doc_idx, terms, pos = analyzer.tokenize(texts)
+    return invert_tokens(doc_idx, terms, pos, n_docs, extras=extras or None)
 
 
 def invert_tokens(
-    doc_idx: np.ndarray, terms: pa.Array, pos: np.ndarray, n_docs: int
+    doc_idx: np.ndarray, terms: pa.Array, pos: np.ndarray, n_docs: int,
+    extras: dict | None = None,
 ) -> dict:
     """Invert an exploded (doc_idx, term, pos) token table (the shared
-    core of text fields, keyword fields and numeric-trie fields)."""
+    core of text fields, keyword fields and numeric-trie fields).
+    ``extras`` are per-token arrays permuted alongside positions and
+    returned as ``<name>_sorted`` (offset spans, payloads)."""
     doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
     if doc_idx.size == 0:
         return {
@@ -88,6 +109,8 @@ def invert_tokens(
             "pos_sorted": np.empty(0, np.int64),
             "run_starts": np.empty(0, np.int64),
             "doc_len": doc_len,
+            **{f"{k}_sorted": np.empty(0, np.int64)
+               for k in (extras or {})},
         }
     dict_arr = pc.dictionary_encode(terms)
     if isinstance(dict_arr, pa.ChunkedArray):
@@ -125,6 +148,7 @@ def invert_tokens(
         "pos_sorted": p,
         "run_starts": run_starts,
         "doc_len": doc_len,
+        **{f"{k}_sorted": v[order] for k, v in (extras or {}).items()},
     }
 
 
@@ -133,7 +157,8 @@ def invert_tokens(
 # ---------------------------------------------------------------------------
 
 
-def encode_postings_table(inv: dict) -> pa.Table:
+def encode_postings_table(inv: dict, with_offsets: bool | None = None,
+                          with_payloads: bool | None = None) -> pa.Table:
     """Encode inverted runs into the terms.parquet table — fully
     vectorized: NO per-term Python loop. Python runs once per distinct
     bit width (block packing) and over ~3 slices per LARGE term when
@@ -152,7 +177,20 @@ def encode_postings_table(inv: dict) -> pa.Table:
     small (df<128) terms slice it whole, and large terms' varint TAILS
     are byte-slices of the same blob (per-value varint bytes are
     independent) — so no separate tail encode exists at all.
+
+    OFFS/PAY (``with_offsets`` / ``with_payloads``, auto-detected from
+    the inv dict; pass True to force empty columns for schema
+    consistency across a segment's fields): per-occurrence streams in
+    the position-blob layout — offsets as interleaved
+    ``(start_delta, length)`` varint pairs (the reference ``.pay`` file
+    offset encoding, ``core/index/field_data.cpp:64-74``), payloads as
+    one varint per occurrence — each with a ``block_*_off`` skip list
+    so block-restricted decode works like positions.
     """
+    if with_offsets is None:
+        with_offsets = "offs_start_sorted" in inv
+    if with_payloads is None:
+        with_payloads = "pay_sorted" in inv
     vocab = inv["vocab"]
     term_starts = inv["term_starts"]
     run_doc = inv["run_doc"]
@@ -178,7 +216,7 @@ def encode_postings_table(inv: dict) -> pa.Table:
         e8 = np.empty(0, np.uint8)
         ei = np.empty(0, np.int64)
         z = np.zeros(1, np.int64)
-        return pa.table({
+        cols = {
             "term": vocab,
             "doc_freq": pa.array(ei), "total_tf": pa.array(ei),
             "doc_blob": _bin_col(z[:1], e8), "freq_blob": _bin_col(z[:1], e8),
@@ -189,7 +227,14 @@ def encode_postings_table(inv: dict) -> pa.Table:
             "block_pos_off": _list_col(ei, ei),
             "block_max_tf": _list_col(ei, ei),
             "block_min_dl": _list_col(ei, ei),
-        })
+        }
+        if with_offsets:
+            cols["offs_blob"] = _bin_col(z[:1], e8)
+            cols["block_offs_off"] = _list_col(ei, ei)
+        if with_payloads:
+            cols["pay_blob"] = _bin_col(z[:1], e8)
+            cols["block_pay_off"] = _list_col(ei, ei)
+        return pa.table(cols)
 
     # --- positions: ONE flat varint pass; per-term ranges contiguous
     pos_deltas = delta_encode_lists(inv["pos_sorted"], inv["run_starts"])
@@ -200,6 +245,35 @@ def encode_postings_table(inv: dict) -> pa.Table:
     pos_total = pos_blob_all.size
     t_pos_starts = pos_byte_starts[term_starts]
     pos_offsets = np.append(t_pos_starts, pos_total)
+
+    # --- OFFS / PAY occurrence streams: same flat-varint layout as
+    # positions (run-aligned byte starts -> per-term slices + per-block
+    # skip entries). A field that lacks the stream but must keep the
+    # column (schema uniformity across fields, see encode_field_tables)
+    # gets zero-length blobs.
+    extras: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if with_offsets:
+        if "offs_start_sorted" in inv and inv["offs_start_sorted"].size:
+            sd = delta_encode_lists(inv["offs_start_sorted"],
+                                    inv["run_starts"])
+            inter = np.empty(2 * sd.size, np.int64)
+            inter[0::2] = sd  # start deltas ascend within a run
+            inter[1::2] = inv["offs_len_sorted"]
+            blob, rbs = encode_lists_varint(
+                inter, 2 * inv["run_starts"].astype(np.int64), run_tf * 2)
+            extras["offs"] = (np.frombuffer(blob, dtype=np.uint8), rbs)
+        else:
+            extras["offs"] = (np.empty(0, np.uint8),
+                              np.zeros(n_runs, np.int64))
+    if with_payloads:
+        if "pay_sorted" in inv and inv["pay_sorted"].size:
+            blob, rbs = encode_lists_varint(
+                inv["pay_sorted"].astype(np.int64), inv["run_starts"],
+                run_tf)
+            extras["pay"] = (np.frombuffer(blob, dtype=np.uint8), rbs)
+        else:
+            extras["pay"] = (np.empty(0, np.uint8),
+                             np.zeros(n_runs, np.int64))
 
     # --- doc deltas + freqs: ONE flat varint pass each, with per-VALUE
     # byte offsets so any value range can be sliced later
@@ -325,6 +399,7 @@ def encode_postings_table(inv: dict) -> pa.Table:
     doff_v = np.zeros(total_meta, np.int64)
     foff_v = np.zeros(total_meta, np.int64)
     poff_v = np.zeros(total_meta, np.int64)
+    xoff_v = {nm: np.zeros(total_meta, np.int64) for nm in extras}
     # small terms: one entry each
     sm = np.flatnonzero(small)
     sm_pos = meta_off[sm]
@@ -349,6 +424,9 @@ def encode_postings_table(inv: dict) -> pa.Table:
         blk_run_idx = np.repeat(term_starts[large], full) + intra * BLOCK_SIZE
         poff_v[blk_dest] = pos_byte_starts[blk_run_idx] \
             - np.repeat(t_pos_starts[large], full)
+        for nm, (_xblob, xrbs) in extras.items():
+            xoff_v[nm][blk_dest] = xrbs[blk_run_idx] \
+                - np.repeat(xrbs[term_starts][large], full)
         # tail entries
         if ht.size:
             tl = large[ht]
@@ -359,23 +437,29 @@ def encode_postings_table(inv: dict) -> pa.Table:
             doff_v[tail_dest] = d_term_pk_len[ht]
             foff_v[tail_dest] = f_term_pk_len[ht]
             poff_v[tail_dest] = pos_byte_starts[tail_v0[ht]] - t_pos_starts[tl]
+            for nm, (_xblob, xrbs) in extras.items():
+                xoff_v[nm][tail_dest] = xrbs[tail_v0[ht]] \
+                    - xrbs[term_starts][tl]
 
-    return pa.table(
-        {
-            "term": vocab,
-            "doc_freq": pa.array(df, type=pa.int64()),
-            "total_tf": pa.array(total_tf, type=pa.int64()),
-            "doc_blob": _bin_col(d_offsets, doc_data),
-            "freq_blob": _bin_col(f_offsets, freq_data),
-            "pos_blob": _bin_col(pos_offsets, pos_blob_all),
-            "block_last_doc": _list_col(n_blocks_per_term, last_v),
-            "block_doc_off": _list_col(n_blocks_per_term, doff_v),
-            "block_freq_off": _list_col(n_blocks_per_term, foff_v),
-            "block_pos_off": _list_col(n_blocks_per_term, poff_v),
-            "block_max_tf": _list_col(n_blocks_per_term, mtf_v),
-            "block_min_dl": _list_col(n_blocks_per_term, mdl_v),
-        }
-    )
+    cols = {
+        "term": vocab,
+        "doc_freq": pa.array(df, type=pa.int64()),
+        "total_tf": pa.array(total_tf, type=pa.int64()),
+        "doc_blob": _bin_col(d_offsets, doc_data),
+        "freq_blob": _bin_col(f_offsets, freq_data),
+        "pos_blob": _bin_col(pos_offsets, pos_blob_all),
+        "block_last_doc": _list_col(n_blocks_per_term, last_v),
+        "block_doc_off": _list_col(n_blocks_per_term, doff_v),
+        "block_freq_off": _list_col(n_blocks_per_term, foff_v),
+        "block_pos_off": _list_col(n_blocks_per_term, poff_v),
+        "block_max_tf": _list_col(n_blocks_per_term, mtf_v),
+        "block_min_dl": _list_col(n_blocks_per_term, mdl_v),
+    }
+    for nm, (xblob, xrbs) in extras.items():
+        ts_x = xrbs[term_starts]
+        cols[f"{nm}_blob"] = _bin_col(np.append(ts_x, xblob.size), xblob)
+        cols[f"block_{nm}_off"] = _list_col(n_blocks_per_term, xoff_v[nm])
+    return pa.table(cols)
 
 
 def segment_name(first_key: tuple, docs_count: int,
@@ -422,8 +506,14 @@ def encode_field_tables(
     norm_cols = {}
     fields_meta = {}
     row = 0
+    # fields concat into ONE terms table -> schema must be uniform: if
+    # any field carries OFFS/PAY streams, every field gets the columns
+    # (zero-length blobs where absent)
+    want_offs = any("offs_start_sorted" in inv for _, inv in field_invs)
+    want_pay = any("pay_sorted" in inv for _, inv in field_invs)
     for fname, inv in sorted(field_invs, key=lambda kv: kv[0]):
-        t = encode_postings_table(inv)
+        t = encode_postings_table(inv, with_offsets=want_offs,
+                                  with_payloads=want_pay)
         t = t.add_column(0, "field", pa.array([fname] * t.num_rows, type=pa.string()))
         tables.append(t)
         doc_len = inv["doc_len"]
@@ -451,6 +541,7 @@ def write_segment(
     analyzer_spec: dict | None = None,
     exact_fields: tuple = (),
     numeric_fields: tuple = (),
+    index_features: tuple = (),
 ) -> dict:
     """Encode one input partition into a committed segment directory.
 
@@ -460,6 +551,12 @@ def write_segment(
     ``utils/index-put.cpp:190-258``). The write is atomic (temp dir +
     rename) and idempotent: an existing ``_SUCCESS`` marker skips the
     encode — the per-partition checkpoint that makes builds resumable.
+
+    ``index_features``: optional per-occurrence streams for the text
+    field — ``"offs"`` stores character spans (the reference OFFS index
+    feature / ``offset`` attribute), ``"pay"`` stores analyzer-supplied
+    uint payloads (PAY / ``payload``); both mirror the parallel ``.pay``
+    file of ``core/formats/formats_10.cpp:326-333``.
     """
     t0 = time.time()
     # stable in-partition doc order (primary sort, reference
@@ -471,14 +568,24 @@ def write_segment(
     first_key = tuple(batch.column(k)[0].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
     last_key = tuple(batch.column(k)[n - 1].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
     digest_cols = tuple(k for k, _ in sort_keys) + (text_col,)
-    name = segment_name(first_key, n, content_digest(batch, digest_cols))
+    digest = content_digest(batch, digest_cols)
+    if index_features:
+        # features change the encoded layout: same input + different
+        # features must not reuse a checkpointed segment
+        digest = hashlib.sha1(
+            (digest + "+" + ",".join(sorted(index_features))).encode()
+        ).hexdigest()[:10]
+    name = segment_name(first_key, n, digest)
     seg_dir = os.path.join(index_dir, name)
     meta_path = os.path.join(seg_dir, "meta.json")
     if os.path.exists(os.path.join(seg_dir, SUCCESS_MARKER)):
         with open(meta_path) as f:
             return json.load(f)
 
-    field_invs = [(text_col, invert_batch(batch.column(text_col), analyzer))]
+    field_invs = [(text_col, invert_batch(
+        batch.column(text_col), analyzer,
+        offsets="offs" in index_features,
+        payloads="pay" in index_features))]
     kw = KeywordAnalyzer()
     for col in exact_fields:
         vals = batch.column(col)
@@ -540,6 +647,7 @@ def write_segment(
         "key_cols": list(key_cols),
         "exact_fields": list(exact_fields),
         "numeric_fields": list(numeric_fields),
+        "index_features": sorted(index_features),
         "analyzer": analyzer_spec or {"name": "segmentation", "options": {}},
         "lineage": {
             "encode_sec": round(elapsed, 4),
@@ -614,6 +722,9 @@ class SegmentReader:
         # cache for the same effect, core/store/caching_directory.hpp)
         self._pl_cache: dict[tuple[int, bool], "PostingList"] = {}
         self._pl_cache_max = 256
+        # decoded OFFS/PAY occurrence streams (highlight hits the same
+        # few query terms repeatedly)
+        self._occ_cache: dict[tuple[str, int], tuple] = {}
 
     # --- stats -----------------------------------------------------------
     @property
@@ -739,6 +850,15 @@ class SegmentReader:
                   "block_doc_off", "block_freq_off",
                   "block_max_tf", "block_min_dl"]
     _POS_COLS = ["pos_blob", "block_pos_off"]
+    _GROUP_COLS = {"base": _BASE_COLS, "pos": _POS_COLS,
+                   "offs": ["offs_blob", "block_offs_off"],
+                   "pay": ["pay_blob", "block_pay_off"]}
+
+    @property
+    def index_features(self) -> frozenset:
+        """Per-occurrence streams stored in this segment's text field
+        ("offs" / "pay" — the OFFS/PAY index features)."""
+        return frozenset(self.meta.get("index_features") or ())
 
     @staticmethod
     def _row_blob(row: pa.Table, name: str) -> np.ndarray:
@@ -778,7 +898,7 @@ class SegmentReader:
         rg = int(np.searchsorted(self._rg_starts, idx, side="right") - 1)
         tbl = self._rg_cache.get((rg, group))
         if tbl is None:
-            cols = self._BASE_COLS if group == "base" else self._POS_COLS
+            cols = self._GROUP_COLS[group]
             tbl = self._pq_terms.read_row_group(rg, columns=cols,
                                                 use_threads=False)
             if len(self._rg_cache) >= 32:
@@ -788,10 +908,12 @@ class SegmentReader:
 
     def _postings_full(self) -> pa.Table:
         if self._postings is None:
-            self._postings = pq.read_table(
-                os.path.join(self.dir, "terms.parquet"),
-                columns=self._POSTING_COLS,
-            )
+            path = os.path.join(self.dir, "terms.parquet")
+            names = set(pq.read_schema(path).names)
+            cols = self._POSTING_COLS + [
+                c for c in ("offs_blob", "block_offs_off",
+                            "pay_blob", "block_pay_off") if c in names]
+            self._postings = pq.read_table(path, columns=cols)
         return self._postings
 
     def postings(self, idx: int, positions: bool = False):
@@ -838,7 +960,66 @@ class SegmentReader:
         return PostingList(docs=docs, tfs=tfs.astype(np.int64), positions=pos,
                            run_tfs=tfs.astype(np.int64) if positions else None)
 
-    def bulk_postings(self, field: str | None = None) -> dict:
+    def occurrence_offsets(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """(start, end) character spans of every occurrence of term
+        ``idx``, aligned with ``postings(idx, positions=True).positions``
+        (the OFFS index feature; requires a segment built with
+        ``index_features=("offs",)``)."""
+        hit = self._occ_cache.get(("offs", idx))
+        if hit is not None:
+            return hit
+        pl = self.postings(idx)
+        row = self._posting_row(idx, "offs")
+        blob = self._row_blob(row, "offs_blob")
+        if blob.size == 0:
+            raise KeyError(
+                f"segment {self.meta['name']} has no OFFS stream for term {idx}")
+        inter = varint_decode(blob).astype(np.int64)
+        sd, lens = inter[0::2], inter[1::2]
+        tfs = pl.tfs
+        run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+        cum = np.cumsum(sd)
+        base = np.repeat(cum[run_starts] - sd[run_starts], tfs)
+        starts = cum - base
+        out = (starts, starts + lens)
+        if len(self._occ_cache) >= 64:
+            self._occ_cache.pop(next(iter(self._occ_cache)))
+        self._occ_cache[("offs", idx)] = out
+        return out
+
+    def payloads(self, idx: int) -> np.ndarray:
+        """uint64 payload per occurrence of term ``idx``, aligned with
+        the flat position stream (PAY index feature)."""
+        hit = self._occ_cache.get(("pay", idx))
+        if hit is not None:
+            return hit
+        row = self._posting_row(idx, "pay")
+        blob = self._row_blob(row, "pay_blob")
+        if blob.size == 0:
+            raise KeyError(
+                f"segment {self.meta['name']} has no PAY stream for term {idx}")
+        out = varint_decode(blob).astype(np.uint64)
+        if len(self._occ_cache) >= 64:
+            self._occ_cache.pop(next(iter(self._occ_cache)))
+        self._occ_cache[("pay", idx)] = out
+        return out
+
+    def doc_offsets(self, idx: int, local_doc: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, ends) char spans of term ``idx`` inside one doc
+        (1-based local id) — the highlight read path: one binary search
+        over the term's doc list plus a slice of the offs stream."""
+        pl = self.postings(idx)
+        i = int(np.searchsorted(pl.docs, local_doc))
+        if i >= pl.docs.size or pl.docs[i] != local_doc:
+            e = np.empty(0, np.int64)
+            return e, e
+        starts, ends = self.occurrence_offsets(idx)
+        cum = np.concatenate(([0], np.cumsum(pl.tfs)))
+        return starts[cum[i]:cum[i + 1]], ends[cum[i]:cum[i + 1]]
+
+    def bulk_postings(self, field: str | None = None,
+                      extras: bool = False) -> dict:
         """Decode ALL of a field's postings in a few vectorized passes
         (the merge/consolidation fast path — per-term ``postings()``
         calls would cost O(V) Python round-trips).
@@ -914,6 +1095,27 @@ class SegmentReader:
             p_data[p_offs[0] : p_offs[-1]]).astype(np.int64)
         run_starts = np.concatenate(([0], np.cumsum(out["tfs"])[:-1]))
         out["positions"] = reset_cumsum(pos_deltas, run_starts, out["tfs"])
+        if extras:
+            # OFFS/PAY flat streams, one varint pass each (present and
+            # FULL only for fields that actually stored them — empty
+            # placeholder columns yield nothing and are skipped)
+            n_occ = out["positions"].size
+            for nm in ("offs", "pay"):
+                if f"{nm}_blob" not in t.column_names:
+                    continue
+                x_offs, x_data = col_view(f"{nm}_blob")
+                vals = varint_decode(
+                    x_data[x_offs[0]: x_offs[-1]]).astype(np.int64)
+                if nm == "offs":
+                    if vals.size != 2 * n_occ:
+                        continue
+                    out["offs_start"] = reset_cumsum(
+                        vals[0::2], run_starts, out["tfs"])
+                    out["offs_len"] = vals[1::2]
+                else:
+                    if vals.size != n_occ:
+                        continue
+                    out["pay"] = vals
         return out
 
     def phrase_keys(self, idx: int, shift: int = 0) -> np.ndarray:

@@ -381,8 +381,9 @@ def _q_nested_group_none(sf_dir: str):
 
 
 def _q_highlight(sf_dir: str):
-    """Top-10 BM25 hits for 'scan' with highlight offsets (offsets
-    recomputed from stored text; no SQL equivalent -> rows-only)."""
+    """Top-10 BM25 hits for 'scan' with highlight offsets read from the
+    stored OFFS occurrence streams (the documents index is built with
+    index_features=("offs",); no SQL equivalent -> rows-only)."""
     import pandas as pd
 
     from iresearch_ray.api import documents_searcher
@@ -390,13 +391,83 @@ def _q_highlight(sf_dir: str):
     from iresearch_ray.search.highlight import highlight
 
     s = documents_searcher(sf_dir, SEG_DOCS)
-    out = highlight(s, F.Term("scan"), k=10, text_col="text")
+    out = highlight(s, F.Term("scan"), k=10, text_col="text",
+                    source="offsets")
     stored = s.fetch_stored(out["doc_id"].to_numpy(), ("doc_id",))
     return pd.DataFrame({
         "doc_id": stored["doc_id"].astype("int64"),
         "n_hits": [len(o) for o in out["offsets"]],
         "first_start": [int(o[0][0]) if o else -1 for o in out["offsets"]],
     })
+
+
+def _tag_position_payloads(batch):
+    """Vectorized map_batches pass: rewrite each document's text as
+    ``tok|pos`` tokens (payload = the token's 0-based position) for the
+    ``delimited_payload`` analyzer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from iresearch_ray.analysis.analyzers import SegmentationAnalyzer
+
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    d, t, p = SegmentationAnalyzer().tokenize(texts)
+    tagged = pc.binary_join_element_wise(
+        t, pa.array(p.astype(str), type=pa.string()), "|")
+    counts = np.bincount(d, minlength=batch.num_rows)
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    lists = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()),
+        tagged.combine_chunks() if isinstance(tagged, pa.ChunkedArray)
+        else tagged)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": pc.binary_join(lists, " ")})
+
+
+def _q_payload_scores(sf_dir: str):
+    """PAY index feature end-to-end: documents tokens are tagged with
+    position payloads, indexed via the delimited_payload analyzer with
+    ``index_features=("pay",)``, and every doc containing 'scan' is
+    scored by SUM(payload) — exactly SUM(position) per doc in SQL."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import FORMAT_VERSION
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    slug = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{SEG_DOCS}:v{FORMAT_VERSION}:pay"
+        .encode()).hexdigest()[:12]
+    idx = f"/tmp/iresearch_ray_cache/paydocs-{slug}"
+    if not Manifest.exists(idx):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        build_index(
+            ds.map_batches(_tag_position_payloads, batch_format="pyarrow"),
+            idx,
+            text_col="text",
+            key_cols=("doc_id",),
+            stored_cols=("doc_id",),
+            analyzer="delimited_payload",
+            analyzer_options={"delimiter": "|"},
+            segment_docs=SEG_DOCS,
+            index_features=("pay",),
+        )
+    s = IndexSearcher(idx)
+    res = s.search(F.PayloadTerm("scan", agg="sum"), k=100_000)
+    stored = s.fetch_stored(res["doc_id"].to_numpy(), ("doc_id",))
+    return pd.DataFrame({
+        "doc_id": stored["doc_id"].astype("int64"),
+        "pay_sum": res["score"].astype("int64"),
+    }).sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_ann_partitioned(sf_dir: str):
@@ -527,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "events_hourly": _q_events_hourly,
         "highlight_snippets": _q_highlight,
+        "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
@@ -631,6 +703,11 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM dl ORDER BY doc_id
         "exact_dedup": """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "payload_term_scores": _TOK_SQL + """
+SELECT doc_id, CAST(SUM(pos) AS BIGINT) AS pay_sum
+FROM term_pos WHERE term = 'scan'
+GROUP BY doc_id ORDER BY doc_id
 """,
         "nested_group_min": _TOK_SQL + """
 , hits AS (

@@ -22,7 +22,8 @@ def documents_index_dir(sf_dir: str, segment_docs: int = 200) -> str:
     from iresearch_ray.index.segment import FORMAT_VERSION
 
     slug = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}:{segment_docs}:v{FORMAT_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}:{segment_docs}:v{FORMAT_VERSION}:offs"
+        .encode()
     ).hexdigest()[:12]
     return os.path.join(_CACHE_ROOT, f"documents-{slug}")
 
@@ -44,6 +45,9 @@ def documents_searcher(sf_dir: str, segment_docs: int = 200) -> IndexSearcher:
             stored_cols=("doc_id", "lang", "source", "n_chars", "text"),
             exact_fields=("lang", "source"),
             segment_docs=segment_docs,
+            # store per-occurrence char spans: highlight becomes a pure
+            # index read (OFFS feature)
+            index_features=("offs",),
         )
     s = IndexSearcher(idx)
     _SEARCHERS[key] = s

@@ -69,6 +69,26 @@ class Term(Filter):
 
 
 @dataclass
+class PayloadTerm(Filter):
+    """Term filter scored from the stored PAY occurrence stream (the
+    public PayloadScoreQuery pattern over the reference's ``payload``
+    attribute, ``core/analysis/token_attributes.hpp:67``):
+    ``score(doc) = agg(payloads of the term's occurrences in doc) *
+    boost``. Requires an index built with ``index_features=("pay",)``
+    (e.g. via the ``delimited_payload`` analyzer)."""
+
+    term: str
+    agg: str = "sum"  # sum | max | min | avg
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        st = searcher.resolve_term(self.term, self.field)
+        return PreparedPayloadTerm(searcher, st, boost * self.boost,
+                                   self.agg, scorer)
+
+
+@dataclass
 class Terms(Filter):
     """Set of terms with optional per-term boost and min_match
     (``core/search/terms_filter.hpp:37-83``)."""
@@ -563,6 +583,41 @@ class PreparedTerm(Prepared):
         pl = seg.postings(int(row))
         dls = seg.field_norms(self.field)[pl.docs - 1]
         return pl.docs, self.scorer.score(self.ctx, pl.tfs, dls)
+
+
+class PreparedPayloadTerm(Prepared):
+    """Docs of one term scored by an aggregate of its per-occurrence
+    payloads — one reduceat over the decoded PAY stream per segment."""
+
+    _AGG = {"sum": np.add, "max": np.maximum, "min": np.minimum}
+
+    def __init__(self, searcher, state, boost, agg, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.state = state
+        self.boost = float(boost)
+        if agg not in ("sum", "max", "min", "avg"):
+            raise ValueError(f"unknown payload agg {agg!r}")
+        self.agg = agg
+
+    def cost(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        return 0 if row < 0 else int(
+            self.searcher.segments[seg_ord].doc_freq[row])
+
+    def execute(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        if row < 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        pl = seg.postings(int(row))
+        pays = seg.payloads(int(row)).astype(np.float64)
+        run_starts = np.concatenate(([0], np.cumsum(pl.tfs)[:-1]))
+        if self.agg == "avg":
+            v = np.add.reduceat(pays, run_starts) / pl.tfs
+        else:
+            v = self._AGG[self.agg].reduceat(pays, run_starts)
+        return pl.docs, (v * self.boost).astype(self.dtype)
 
 
 class PreparedDisjunction(Prepared):

@@ -234,6 +234,48 @@ class TestPayRoundtrip:
         assert r.payloads(r.lookup("y")).tolist() == [2, 9]
 
 
+class TestPayloadScoring:
+    @pytest.fixture(scope="class")
+    def pay_searcher(self, tmp_path_factory):
+        from iresearch_ray.search.searcher import IndexSearcher
+
+        tmp = str(tmp_path_factory.mktemp("payidx"))
+        texts = ["run|5 walk|2 run|7", "walk|1 run|4", "run jump|9", "jump"]
+        b = pa.table({"conv_id": ["p"] * 4, "turn_idx": [0, 1, 2, 3],
+                      "text": texts})
+        m = write_segment(
+            tmp, b, DelimitedPayloadAnalyzer(),
+            analyzer_spec={"name": "delimited_payload", "options": {}},
+            index_features=("pay",))
+        Manifest.commit(tmp, [m])
+        return IndexSearcher(tmp)
+
+    @pytest.mark.parametrize("agg,expected", [
+        ("sum", {1: 12.0, 2: 4.0, 3: 0.0}),
+        ("max", {1: 7.0, 2: 4.0, 3: 0.0}),
+        ("min", {1: 5.0, 2: 4.0, 3: 0.0}),
+        ("avg", {1: 6.0, 2: 4.0, 3: 0.0}),
+    ])
+    def test_aggregates(self, pay_searcher, agg, expected):
+        from iresearch_ray.search import filters as F
+
+        res = pay_searcher.search(F.PayloadTerm("run", agg=agg, boost=2.0),
+                                  k=10)
+        got = dict(zip(res["doc_id"], res["score"]))
+        assert got == {k: v * 2 for k, v in expected.items()}
+
+    def test_missing_term(self, pay_searcher):
+        from iresearch_ray.search import filters as F
+
+        assert len(pay_searcher.search(F.PayloadTerm("absent"), k=5)) == 0
+
+    def test_bad_agg(self, pay_searcher):
+        from iresearch_ray.search import filters as F
+
+        with pytest.raises(ValueError):
+            pay_searcher.search(F.PayloadTerm("run", agg="median"), k=5)
+
+
 class TestHighlightFromOffsets:
     def test_parity_with_reanalyze(self, offs_index):
         from iresearch_ray.search.filters import Or, Term

@@ -227,15 +227,18 @@ class TextAnalyzer(SegmentationAnalyzer):
 
     Reference: ``core/analysis/text_token_stream.cpp:356-414`` (ICU
     break -> case -> accent removal -> stopwords -> snowball stem ->
-    edge n-grams). Stemming uses a pure-Python Porter2 (Snowball
-    English) implementation (``analysis/porter2.py``); accent folding
-    is NFKD + combining-mark strip (the ICU ``accent: false`` path).
-    Non-English locales fall back to no stemming (documented
-    divergence: no snowball library for other languages in-env).
+    edge n-grams). Stemming is per-locale pure-Python Snowball
+    (``language`` / JSON ``locale`` option): Porter2 English
+    (``analysis/porter2.py``) plus de/fr/es/da/no/sv
+    (``analysis/snowball.py``); unsupported locales fall back to no
+    stemming (documented divergence). Accent folding is NFKD +
+    combining-mark strip (the ICU ``accent: false`` path) and runs
+    BEFORE stemming, matching the reference's stream order.
     """
 
     stopwords: frozenset = field(default_factory=lambda: DEFAULT_STOPWORDS)
     stemming: bool = False
+    language: str = "en"  # locale for the snowball stemmer
     accent_folding: bool = True
     min_gram: int = 0  # edge n-grams disabled when 0
     max_gram: int = 0
@@ -254,6 +257,16 @@ class TextAnalyzer(SegmentationAnalyzer):
         d, t, p, s, e = SegmentationAnalyzer.tokenize_offsets(self, texts)
         d, t, p, extras = self._transform(d, t, p, (s, e))
         return d, t, p, extras[0], extras[1]
+
+    def _stemmer(self):
+        """Snowball stemmer for ``language``; None for unsupported
+        locales (falls back to no stemming, documented divergence)."""
+        from iresearch_ray.analysis.snowball import get_stemmer
+
+        try:
+            return get_stemmer(self.language)
+        except KeyError:
+            return None
 
     def _transform(self, doc_idx, terms, pos, extras: tuple):
         if self.accent_folding and len(terms):
@@ -282,17 +295,17 @@ class TextAnalyzer(SegmentationAnalyzer):
             doc_idx, terms, pos = doc_idx[idx], terms.take(pa.array(idx)), pos[idx]
             extras = tuple(x[idx] for x in extras)
         if self.stemming:
-            from iresearch_ray.analysis.porter2 import stem
-
-            # dictionary-encode first: stem each DISTINCT token once
-            # per batch instead of once per occurrence
-            dict_arr = pc.dictionary_encode(terms)
-            if isinstance(dict_arr, pa.ChunkedArray):
-                dict_arr = dict_arr.combine_chunks()
-            stemmed_vocab = pa.array(
-                [stem(t) for t in dict_arr.dictionary.to_pylist()],
-                type=pa.string())
-            terms = stemmed_vocab.take(dict_arr.indices)
+            stem = self._stemmer()
+            if stem is not None:
+                # dictionary-encode first: stem each DISTINCT token once
+                # per batch instead of once per occurrence
+                dict_arr = pc.dictionary_encode(terms)
+                if isinstance(dict_arr, pa.ChunkedArray):
+                    dict_arr = dict_arr.combine_chunks()
+                stemmed_vocab = pa.array(
+                    [stem(t) for t in dict_arr.dictionary.to_pylist()],
+                    type=pa.string())
+                terms = stemmed_vocab.take(dict_arr.indices)
         if self.min_gram > 0:
             doc_idx, terms, pos, extras = self._edge_ngrams(
                 doc_idx, terms, pos, extras)
@@ -674,6 +687,9 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
         opts["delimiters"] = tuple(opts["delimiters"])
     if name == "text" and "stopwords" in opts:
         opts["stopwords"] = frozenset(opts["stopwords"])
+    if name == "text" and "locale" in opts:
+        # reference JSON uses "locale" ("de_DE.UTF-8", "en", ...)
+        opts["language"] = opts.pop("locale")
     if name == "delimited_payload" and "inner" in opts:
         spec = opts["inner"]
         opts["inner"] = get_analyzer(spec["name"], spec.get("options"))

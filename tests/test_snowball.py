@@ -1,0 +1,92 @@
+"""Per-locale Snowball stemmers (``analysis/snowball.py``).
+
+The reference stems via libstemmer per locale inside the text analyzer
+(``core/analysis/text_token_stream.cpp:356-414``). Goldens below were
+hand-traced through the published algorithm specs (snowballstem.org).
+"""
+
+import pyarrow as pa
+import pytest
+
+from iresearch_ray.analysis.analyzers import TextAnalyzer, get_analyzer
+from iresearch_ray.analysis.snowball import (
+    get_stemmer,
+    stem_da,
+    stem_de,
+    stem_es,
+    stem_fr,
+    stem_no,
+    stem_sv,
+)
+
+DE = {
+    "bücher": "buch", "katzen": "katz", "aufgabe": "aufgab",
+    "häufig": "haufig", "verständnisse": "verstandnis",
+    "schönheit": "schonheit", "möglichkeit": "moglich",
+    "arbeiten": "arbeit", "größe": "gross", "kindern": "kind",
+    "lesen": "les", "verbesserungen": "verbesser",
+}
+ES = {
+    "caminando": "camin", "comiendo": "com", "bonita": "bonit",
+    "felicidad": "felic", "rápidamente": "rapid",
+    "canciones": "cancion", "trabajador": "trabaj",
+    "librería": "libr",
+}
+FR = {
+    "continuité": "continu", "majestueux": "majestu",
+    "nationale": "national", "parler": "parl", "mangé": "mang",
+    "rapidement": "rapid",
+}
+DA = {"hundene": "hund", "bilerne": "bil", "kærlighed": "kær"}
+SV = {"bilarna": "bil", "flickorna": "flick", "vänligheten": "vän"}
+NO = {"bilene": "bil", "vakreste": "vakrest"}
+
+
+@pytest.mark.parametrize("fn,cases", [
+    (stem_de, DE), (stem_es, ES), (stem_fr, FR),
+    (stem_da, DA), (stem_sv, SV), (stem_no, NO),
+])
+def test_goldens(fn, cases):
+    for word, expected in cases.items():
+        assert fn(word) == expected, word
+
+
+def test_idempotent_on_stems():
+    """Stemming a stem must not loop or crash (re-analysis paths stem
+    query text that may already be stemmed)."""
+    for fn, cases in [(stem_de, DE), (stem_es, ES), (stem_fr, FR)]:
+        for stemmed in cases.values():
+            fn(fn(stemmed))  # no exception
+
+
+def test_short_words_pass_through():
+    for fn in (stem_de, stem_es, stem_fr, stem_da, stem_sv, stem_no):
+        assert fn("a") == "a"
+        assert fn("ab") in ("ab", "a")
+
+
+def test_registry_locale_forms():
+    assert get_stemmer("de")("katzen") == "katz"
+    assert get_stemmer("german")("katzen") == "katz"
+    assert get_stemmer("de_DE.UTF-8")("katzen") == "katz"
+    assert get_stemmer("en")("running") == "run"
+    with pytest.raises(KeyError):
+        get_stemmer("tlh")  # Klingon: unsupported
+
+
+def test_text_analyzer_language_option():
+    an = get_analyzer("text", {"locale": "de_DE.UTF-8", "stemming": True,
+                               "stopwords": []})
+    assert isinstance(an, TextAnalyzer)
+    _, terms, _ = an.tokenize(pa.array(["Die Bücher der Kinder"],
+                                       type=pa.string()))
+    # accent folding runs before stemming (reference stream order):
+    # bücher -> bucher -> buch
+    assert "buch" in terms.to_pylist()
+
+
+def test_unsupported_locale_no_stemming():
+    an = TextAnalyzer(stemming=True, language="xx", stopwords=frozenset())
+    _, terms, _ = an.tokenize(pa.array(["running katzen"],
+                                       type=pa.string()))
+    assert terms.to_pylist() == ["running", "katzen"]

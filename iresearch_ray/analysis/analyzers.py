@@ -131,6 +131,10 @@ def _split_with_offsets(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return (e, pa.array([], type=pa.string()), e.copy(), e.copy(),
+                e.copy())
     padded = pc.binary_join_element_wise(
         pa.array([pad] * n, type=pa.string()), texts,
         pa.array([pad] * n, type=pa.string()), "")
@@ -176,6 +180,103 @@ def _split_with_offsets(
     return doc_idx, tokens, pos, start, start + t_lens
 
 
+def _ascii_token_mask(
+    data: np.ndarray, word_break: str, nonascii_tokens: bool = False
+) -> np.ndarray:
+    """Token-byte mask via range comparisons (faster than a 256-LUT
+    fancy index: ~4 SIMD passes over the buffer).
+
+    ``nonascii_tokens`` marks every byte >= 0x80 as a token byte — valid
+    when the caller guarantees all non-ASCII codepoints in the batch are
+    token codepoints (always true for ``graphic``: RE2's ``\\s`` is
+    ASCII-only; gated by a one-pass regex check for ``alpha``)."""
+    if word_break == "alpha":
+        lo = data | 0x20
+        m = (((lo >= 0x61) & (lo <= 0x7A))
+             | ((data >= 0x30) & (data <= 0x39)))
+        return (m | (data >= 0x80)) if nonascii_tokens else m
+    # graphic (\S+ split parity): separators are RE2's \s =
+    # [\t\n\f\r ] — NOT \v (0x0B), which RE2 excludes from \s.
+    # Bytes >= 0x80 are never \s, so graphic needs no extra handling.
+    return ~((data == 0x20) | (data == 0x09) | (data == 0x0A)
+             | (data == 0x0C) | (data == 0x0D))
+
+
+def _ascii_tokenize(texts: pa.Array, word_break: str, case: str,
+                    nonascii_tokens: bool = False):
+    """(doc_idx, tokens, pos, start_rel, lens) over an all-ASCII,
+    null-free string array — no RE2, no list arrays, no per-row work.
+    With ``nonascii_tokens`` it also serves UTF-8 batches whose
+    non-ASCII codepoints are all token codepoints (texts must then be
+    pre-case-folded and ``case`` passed as ``"none"``; offsets are BYTE
+    offsets, not char offsets). Steps:
+
+    1. token-byte mask by range comparisons,
+    2. run edges from ONE flatnonzero over the mask diff (+1 at run
+       starts, -1 at ends — runs alternate so even/odd split them),
+    3. doc boundaries that fall inside a run get an (end, start) pair
+       spliced in (one O(edges) masked insert),
+    4. token bytes = ``data[mask]`` (runs are maximal, so the masked
+       bytes ARE the concatenated tokens), case-folded arithmetically.
+
+    Byte offsets equal char offsets (ASCII), so the same pass serves
+    ``tokenize_offsets``.
+    """
+    n = len(texts)
+    off0 = texts.offset
+    offs = np.frombuffer(texts.buffers()[1], dtype=np.int32)[
+        off0: off0 + n + 1].astype(np.int64)
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    lo_b, hi_b = int(offs[0]), int(offs[-1])
+    if hi_b == lo_b:
+        e = np.empty(0, np.int64)
+        return (e, pa.array([], type=pa.string()), e.copy(), e.copy(),
+                e.copy())
+    if lo_b or hi_b != data.size:  # sliced array: restrict to its bytes
+        data = data[lo_b:hi_b]
+        offs = offs - lo_b
+    m = _ascii_token_mask(data, word_break, nonascii_tokens)
+    mm = np.zeros(data.size + 2, dtype=np.int8)
+    mm[1:-1] = m
+    edges = np.flatnonzero(mm[1:] != mm[:-1])  # +1/-1 alternating
+    # doc boundaries inside a token run -> force an end+start pair
+    # (edge-of-buffer offsets come from empty leading/trailing docs and
+    # cannot split a run)
+    inner = offs[1:-1]
+    inner = inner[(inner > 0) & (inner < data.size)]
+    span = inner[m[inner - 1] & m[inner]] if inner.size else inner
+    if span.size > 1:  # empty docs duplicate a boundary: splice once
+        span = np.unique(span)
+    if span.size:
+        ins = np.repeat(span, 2)
+        edges = np.insert(edges, np.searchsorted(edges, ins), ins)
+    tok_start, tok_end = edges[0::2], edges[1::2]
+    lens = tok_end - tok_start
+    total = int(lens.sum())
+    tok_bytes = data[m]
+    if span.size and tok_bytes.size != total:  # pragma: no cover
+        raise AssertionError("token byte extraction out of sync")
+    if case == "lower":
+        fold = ((tok_bytes >= 0x41) & (tok_bytes <= 0x5A))
+        tok_bytes = tok_bytes + (fold.view(np.uint8) << 5)
+    elif case == "upper":
+        fold = ((tok_bytes >= 0x61) & (tok_bytes <= 0x7A))
+        tok_bytes = tok_bytes - (fold.view(np.uint8) << 5)
+    offs32 = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    tokens = pa.Array.from_buffers(
+        pa.string(), lens.size,
+        [None, pa.py_buffer(offs32), pa.py_buffer(tok_bytes)])
+    # tokens per doc -> doc_idx + per-doc positions
+    cum = np.searchsorted(tok_start, offs[1:])
+    counts = np.diff(np.concatenate(([0], cum)))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    d_starts = np.concatenate(([0], cum[:-1]))
+    pos = np.arange(tok_start.size, dtype=np.int64) \
+        - np.repeat(d_starts, counts)
+    start_rel = tok_start - offs[:-1][doc_idx]  # char offset within doc
+    return doc_idx, tokens, pos, start_rel, lens
+
+
 @dataclass
 class SegmentationAnalyzer(Analyzer):
     """UAX#29-ish word segmentation: the reference benchmark default.
@@ -183,6 +284,11 @@ class SegmentationAnalyzer(Analyzer):
     Reference: ``core/analysis/segmentation_token_stream.cpp`` with
     defaults ``{case: lower, break: alpha}``
     (``utils/index-put.cpp:86-87`` uses ``segmentation {}``).
+
+    Pure-ASCII null-free batches take a byte-LUT fast path (boundary
+    diffs over the raw value buffer — no RE2, no list arrays); anything
+    else falls back to the vectorized regex split. Both produce
+    identical token tables.
     """
 
     case: str = "lower"  # lower | none | upper
@@ -198,10 +304,44 @@ class SegmentationAnalyzer(Analyzer):
             return pc.utf8_upper(arr)
         return arr
 
+    def _ascii_ok(self, texts: pa.Array) -> bool:
+        """True when the byte-LUT fast path applies to this batch."""
+        return (self.word_break in ("alpha", "graphic")
+                and self.case in ("lower", "upper", "none")
+                and texts.null_count == 0
+                and bool(pc.all(pc.string_is_ascii(texts)).as_py()))
+
+    def _utf8_ok(self, texts: pa.Array) -> bool:
+        """True when the byte path may treat every byte >= 0x80 as a
+        token byte: for ``graphic`` always (RE2 ``\\s`` is ASCII-only);
+        for ``alpha`` iff no doc contains a non-ASCII codepoint outside
+        ``\\pL\\pN`` (one RE2 match pass — ~10x cheaper than the split,
+        no list-array materialization)."""
+        if self.word_break == "graphic":
+            return True
+        hit = pc.any(pc.match_substring_regex(
+            texts, r"[^\pL\pN\x00-\x7F]")).as_py()
+        return not bool(hit)
+
     def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         n = len(texts)
+        if self._ascii_ok(texts):
+            d, t, p, _s, _l = _ascii_tokenize(texts, self.word_break,
+                                              self.case)
+            return d, t, p
+        if (self.word_break in ("alpha", "graphic")
+                and self.case in ("lower", "upper", "none")
+                and texts.null_count == 0 and self._utf8_ok(texts)):
+            # byte path over pre-folded UTF-8 (same fold the regex path
+            # applies before splitting, so token bytes are identical)
+            cased = self._case(texts)
+            if isinstance(cased, pa.ChunkedArray):
+                cased = cased.combine_chunks()
+            d, t, p, _s, _l = _ascii_tokenize(
+                cased, self.word_break, "none", nonascii_tokens=True)
+            return d, t, p
         cased = self._case(texts)
         lists = pc.split_pattern_regex(cased, self._pattern())
         return _flatten_tokens(lists, n)
@@ -212,6 +352,12 @@ class SegmentationAnalyzer(Analyzer):
         so splitting before vs after case folding yields identical
         boundaries; tokens are case-folded after the split (code-point
         case mapping commutes with slicing)."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if self._ascii_ok(texts):
+            d, t, p, s, lens = _ascii_tokenize(texts, self.word_break,
+                                               self.case)
+            return d, t, p, s, s + lens
         if self.word_break == "alpha":
             sep, tok, pad = _ALPHA_SPLIT, r"[\pL\pN]+", "\x01"
         else:

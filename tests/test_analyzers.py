@@ -148,3 +148,65 @@ def test_multi_delimiter_multichar():
     an2 = get_analyzer("multi_delimiter", {"delimiters": ["||"]})
     _, t2, _ = an2.tokenize(pa.array(["p||q"], type=pa.string()))
     assert t2.to_pylist() == ["p", "q"]
+
+
+def test_ascii_fast_path_differential():
+    """The byte-LUT ASCII tokenizer must be token/position/offset-identical
+    to the regex split path, including empty docs, sliced arrays, \\x0b
+    (RE2 \\s excludes vertical tab), and the pre-folded UTF-8 variant."""
+    import random
+    import string
+    from unittest import mock
+
+    import numpy as np
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import SegmentationAnalyzer
+
+    rng = random.Random(1234)
+    charset = (string.ascii_letters + string.digits
+               + " \t\n\f\r\x0b!.,;:'\"-_()[]")
+
+    def slow(an, arr, offsets=False):
+        with mock.patch.object(SegmentationAnalyzer, "_ascii_ok",
+                               return_value=False), \
+             mock.patch.object(SegmentationAnalyzer, "_utf8_ok",
+                               return_value=False):
+            return (an.tokenize_offsets(arr) if offsets
+                    else an.tokenize(arr))
+
+    def check(fast, ref):
+        for f, s in zip(fast, ref):
+            if isinstance(f, pa.Array):
+                assert f.equals(s)
+            else:
+                assert np.array_equal(f, s)
+
+    for trial in range(40):
+        docs = ["".join(rng.choice(charset)
+                        for _ in range(rng.randrange(0, 60)))
+                for _ in range(rng.randrange(0, 20))]
+        for i in range(len(docs)):
+            if rng.random() < 0.2:
+                docs[i] = ""
+        arr = pa.array(docs, type=pa.string())
+        if len(arr) > 4 and trial % 2:
+            arr = arr.slice(2, len(arr) - 3)
+        for wb in ("alpha", "graphic"):
+            for case in ("lower", "none", "upper"):
+                an = SegmentationAnalyzer(case=case, word_break=wb)
+                check(an.tokenize(arr), slow(an, arr))
+            an = SegmentationAnalyzer(word_break=wb)
+            check(an.tokenize_offsets(arr), slow(an, arr, offsets=True))
+
+    # UTF-8 byte path: non-ASCII letters are token codepoints
+    utf = pa.array(["Café au\tlait", "naïve  ÉCLAIR", "", "übermäßig!x",
+                    "mixed ascii only"], type=pa.string())
+    for wb in ("alpha", "graphic"):
+        an = SegmentationAnalyzer(word_break=wb)
+        check(an.tokenize(utf), slow(an, utf))
+    # alpha + non-token non-ASCII (em dash) must NOT take the byte path
+    dash = pa.array(["a—b c"], type=pa.string())
+    an = SegmentationAnalyzer(word_break="alpha")
+    _, t, _ = an.tokenize(dash)
+    assert t.to_pylist() == ["a", "b", "c"]

@@ -556,6 +556,110 @@ def _q_embedding_near_dups(sf_dir: str):
     return pdf.sort_values(["rep_id", "dup_id"]).reset_index(drop=True)
 
 
+def _derived_docs_searcher(sf_dir: str, tag: str, transform=None,
+                           columns=("doc_id", "text"), **build_kwargs):
+    """Build-once-per-(sf,tag) derived documents index under /tmp (the
+    ``paydocs`` pattern): optional vectorized ``transform`` batch pass,
+    then ``build_index`` with ``build_kwargs``."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import FORMAT_VERSION
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    slug = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{SEG_DOCS}:v{FORMAT_VERSION}:{tag}"
+        .encode()).hexdigest()[:12]
+    idx = f"/tmp/iresearch_ray_cache/{tag}-{slug}"
+    if not Manifest.exists(idx):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=list(columns))
+        if transform is not None:
+            ds = ds.map_batches(transform, batch_format="pyarrow")
+        build_kwargs.setdefault("stored_cols", ("doc_id",))
+        build_index(ds, idx, text_col="text", key_cols=("doc_id",),
+                    segment_docs=SEG_DOCS, **build_kwargs)
+    return IndexSearcher(idx)
+
+
+def _q_granular_range(sf_dir: str):
+    """Numeric-trie granular range (``by_granular_range`` decomposition
+    over the n_chars trie terms) — same answer set as the pushdown
+    ``numeric_range_match`` but through the term dictionary path."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.GranularRange("n_chars", 100, 300))
+
+
+def _q_same_position(sf_dir: str):
+    """``by_same_position`` over an edge-ngram index: grams of one word
+    share its position, so SamePosition(['cu','cust']) == docs with a
+    token starting 'cust' (SQL: term LIKE 'cust%' on the raw tokens)."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "edgegram",
+        analyzer="text",
+        analyzer_options={"min_gram": 2, "max_gram": 4, "stemming": False,
+                          "stopwords": [], "preserve_original": True},
+    )
+    return match_frame(s, F.SamePosition(["cu", "cust"]))
+
+
+def _add_opt_tag(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    opt = pc.if_else(pc.greater(batch.column("n_chars"), 200),
+                     batch.column("lang"),
+                     pa.nulls(batch.num_rows, pa.string()))
+    return batch.append_column("opt_tag", opt)
+
+
+def _q_column_existence(sf_dir: str):
+    """``by_column_existence`` over a nullable stored column (opt_tag =
+    lang when n_chars > 200 else NULL)."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "opttag", transform=_add_opt_tag,
+        columns=("doc_id", "text", "lang", "n_chars"),
+        stored_cols=("doc_id", "opt_tag"),
+    )
+    return match_frame(s, F.ColumnExistence("opt_tag"))
+
+
+def _accentize(batch):
+    import pyarrow.compute as pc
+
+    txt = pc.replace_substring(batch.column("text"), "a", "á")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", txt)
+
+
+def _q_accent_fold(sf_dir: str):
+    """Accent folding end-to-end: every 'a' in the corpus becomes 'á'
+    before indexing; the ``text`` analyzer's NFKD fold must recover the
+    plain term, so Term('table') matches exactly the docs whose ORIGINAL
+    text tokenizes to 'table'."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "accents", transform=_accentize,
+        analyzer="text",
+        analyzer_options={"stemming": False, "stopwords": []},
+    )
+    return match_frame(s, F.Term("table"))
+
+
 def _q_transcripts_flagship(sf_dir: str):
     """Full transcript pipeline on the synthetic corpus (schema =
     BASELINE.json input hint); non-SQL (uses generated data, not sf
@@ -600,6 +704,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
+        "granular_range_match": _q_granular_range,
+        "same_position_match": _q_same_position,
+        "column_existence_match": _q_column_existence,
+        "accent_fold_match": _q_accent_fold,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -686,6 +794,19 @@ FROM df ORDER BY term
         "numeric_range_match": """
 SELECT doc_id FROM documents
 WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id
+""",
+        "granular_range_match": """
+SELECT doc_id FROM documents
+WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id
+""",
+        "same_position_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE 'cust%' ORDER BY doc_id
+""",
+        "column_existence_match": """
+SELECT doc_id FROM documents WHERE n_chars > 200 ORDER BY doc_id
+""",
+        "accent_fold_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table' ORDER BY doc_id
 """,
         "lang_field_stats": """
 SELECT lang AS term, count(*) AS doc_freq

@@ -22,7 +22,7 @@ def documents_index_dir(sf_dir: str, segment_docs: int = 200) -> str:
     from iresearch_ray.index.segment import FORMAT_VERSION
 
     slug = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}:{segment_docs}:v{FORMAT_VERSION}:offs"
+        f"{os.path.abspath(sf_dir)}:{segment_docs}:v{FORMAT_VERSION}:offs:nch"
         .encode()
     ).hexdigest()[:12]
     return os.path.join(_CACHE_ROOT, f"documents-{slug}")
@@ -44,6 +44,10 @@ def documents_searcher(sf_dir: str, segment_docs: int = 200) -> IndexSearcher:
             key_cols=("doc_id",),
             stored_cols=("doc_id", "lang", "source", "n_chars", "text"),
             exact_fields=("lang", "source"),
+            # n_chars gets numeric-trie terms too, so GranularRange
+            # (trie decomposition) is exercised next to the pushdown
+            # NumericRange over the same stored column
+            numeric_fields=("n_chars",),
             segment_docs=segment_docs,
             # store per-occurrence char spans: highlight becomes a pure
             # index read (OFFS feature)

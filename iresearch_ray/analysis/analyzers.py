@@ -60,7 +60,10 @@ def _flatten_tokens(
     flat = pc.list_flatten(lists)
     counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
     counts = np.nan_to_num(counts, nan=0).astype(np.int64)  # null text -> 0 tokens
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    # int32 token-table dtype: a batch holds < 2^31 docs/tokens by
+    # construction, and halving the (doc_idx, pos) traffic matters in
+    # the inversion sort+gather hot path
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
     keep = pc.and_(pc.is_valid(flat), pc.not_equal(flat, "")).to_numpy(
         zero_copy_only=False
     )
@@ -71,10 +74,11 @@ def _flatten_tokens(
     # positions: occurrence index within each doc (doc_idx is nondecreasing)
     n = doc_idx.size
     if n == 0:
-        return doc_idx, flat, np.empty(0, dtype=np.int64)
+        return doc_idx, flat, np.empty(0, dtype=np.int32)
     starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
     run_lens = np.diff(np.append(starts, n))
-    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, run_lens)
+    pos = np.arange(n, dtype=np.int32) \
+        - np.repeat(starts.astype(np.int32), run_lens)
     return doc_idx, flat, pos
 
 
@@ -132,7 +136,7 @@ def _split_with_offsets(
         texts = texts.combine_chunks()
     n = len(texts)
     if n == 0:
-        e = np.empty(0, np.int64)
+        e = np.empty(0, np.int32)
         return (e, pa.array([], type=pa.string()), e.copy(), e.copy(),
                 e.copy())
     padded = pc.binary_join_element_wise(
@@ -170,14 +174,16 @@ def _split_with_offsets(
     # token-count positions + exclusive sums of kept token lengths
     nk = doc_idx.size
     if nk == 0:
-        e = np.empty(0, np.int64)
+        e = np.empty(0, np.int32)
         return e, tokens, e.copy(), e.copy(), e.copy()
     k_starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
     k_lens = np.diff(np.append(k_starts, nk))
-    pos = np.arange(nk, dtype=np.int64) - np.repeat(k_starts, k_lens)
+    pos = np.arange(nk, dtype=np.int32) \
+        - np.repeat(k_starts.astype(np.int32), k_lens)
     t_excl = _reset_cumsum_excl(t_lens, k_starts, k_lens)
-    start = pair + t_excl - len(pad)
-    return doc_idx, tokens, pos, start, start + t_lens
+    start = (pair + t_excl - len(pad)).astype(np.int32, copy=False)
+    return (doc_idx.astype(np.int32, copy=False), tokens, pos, start,
+            start + t_lens.astype(np.int32, copy=False))
 
 
 def _ascii_token_mask(
@@ -229,7 +235,7 @@ def _ascii_tokenize(texts: pa.Array, word_break: str, case: str,
     data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
     lo_b, hi_b = int(offs[0]), int(offs[-1])
     if hi_b == lo_b:
-        e = np.empty(0, np.int64)
+        e = np.empty(0, np.int32)
         return (e, pa.array([], type=pa.string()), e.copy(), e.copy(),
                 e.copy())
     if lo_b or hi_b != data.size:  # sliced array: restrict to its bytes
@@ -266,15 +272,18 @@ def _ascii_tokenize(texts: pa.Array, word_break: str, case: str,
     tokens = pa.Array.from_buffers(
         pa.string(), lens.size,
         [None, pa.py_buffer(offs32), pa.py_buffer(tok_bytes)])
-    # tokens per doc -> doc_idx + per-doc positions
+    # tokens per doc -> doc_idx + per-doc positions (int32 token-table
+    # dtype: string-array byte offsets are int32 by construction)
     cum = np.searchsorted(tok_start, offs[1:])
     counts = np.diff(np.concatenate(([0], cum)))
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int32), counts)
     d_starts = np.concatenate(([0], cum[:-1]))
-    pos = np.arange(tok_start.size, dtype=np.int64) \
-        - np.repeat(d_starts, counts)
-    start_rel = tok_start - offs[:-1][doc_idx]  # char offset within doc
-    return doc_idx, tokens, pos, start_rel, lens
+    pos = np.arange(tok_start.size, dtype=np.int32) \
+        - np.repeat(d_starts.astype(np.int32), counts)
+    start_rel = (tok_start - offs[:-1][doc_idx]).astype(np.int32,
+                                                        copy=False)
+    return doc_idx, tokens, pos, start_rel, lens.astype(np.int32,
+                                                        copy=False)
 
 
 @dataclass
@@ -482,8 +491,8 @@ class TextAnalyzer(SegmentationAnalyzer):
                 idx_parts.append(po)
                 term_parts.append(terms.take(pa.array(po)))
         if not idx_parts:
-            return (np.empty(0, np.int64), pa.array([], type=pa.string()),
-                    np.empty(0, np.int64), tuple(x[:0] for x in extras))
+            return (np.empty(0, np.int32), pa.array([], type=pa.string()),
+                    np.empty(0, np.int32), tuple(x[:0] for x in extras))
         src = np.concatenate(idx_parts)  # source-token index per gram
         t = pa.concat_arrays([x.combine_chunks() if
                               isinstance(x, pa.ChunkedArray) else x
@@ -726,8 +735,8 @@ class NgramAnalyzer(Analyzer):
                 doc_parts.append(po.astype(np.int64))
                 pos_parts.append(np.zeros(po.size, dtype=np.int64))
         if not doc_parts:
-            return (np.empty(0, np.int64), pa.array([], type=pa.string()),
-                    np.empty(0, np.int64))
+            return (np.empty(0, np.int32), pa.array([], type=pa.string()),
+                    np.empty(0, np.int32))
         doc_idx = np.concatenate(doc_parts)
         pos = np.concatenate(pos_parts)
         terms = pa.concat_arrays([p.combine_chunks() if

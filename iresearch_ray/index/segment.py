@@ -81,8 +81,8 @@ def invert_batch(
         raise NotImplementedError("offsets+payloads together not supported yet")
     if offsets:
         doc_idx, terms, pos, start, end = analyzer.tokenize_offsets(texts)
-        extras["offs_start"] = start.astype(np.int64)
-        extras["offs_len"] = (end - start).astype(np.int64)
+        extras["offs_start"] = start.astype(np.int32, copy=False)
+        extras["offs_len"] = (end - start).astype(np.int32, copy=False)
     elif payloads:
         doc_idx, terms, pos, pays = analyzer.tokenize_payloads(texts)
         extras["pay"] = pays.astype(np.int64)
@@ -115,13 +115,16 @@ def invert_tokens(
     dict_arr = pc.dictionary_encode(terms)
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # keep Arrow's native int32 dictionary codes: the stable sort and
+    # the (code, doc, pos) gathers below are the memory-traffic peak of
+    # the build, and int32 halves it
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False)
     vocab = dict_arr.dictionary
     # byte-sorted term order (reference flushes terms in byte order:
     # core/index/field_data.cpp get_sorted_postings)
     sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
-    rank = np.empty(len(vocab), dtype=np.int64)
-    rank[sort_idx] = np.arange(len(vocab), dtype=np.int64)
+    rank = np.empty(len(vocab), dtype=np.int32)
+    rank[sort_idx] = np.arange(len(vocab), dtype=np.int32)
     codes = rank[codes]
     vocab_sorted = vocab.take(pa.array(sort_idx))
     # tokens arrive doc-major with ascending positions, so ONE stable

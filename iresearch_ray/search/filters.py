@@ -938,7 +938,7 @@ class PreparedNGramSimilarity(Prepared):
         if self._thr_fn is not None:
             thr = self._thr_fn()
             if np.isfinite(thr):
-                keep = ssum > thr  # score = ssum * ratio <= ssum
+                keep = ssum >= thr  # score = ssum * ratio <= ssum
                 sdocs, ssum = sdocs[keep], ssum[keep]
                 if sdocs.size == 0:
                     return _empty(self.dtype)

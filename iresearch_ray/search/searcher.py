@@ -53,10 +53,22 @@ class TopK:
     the buffer exceeds ~max(4096, 4k) candidates, so per-block pushes in
     the WAND loop cost O(batch) amortized. Between compactions
     ``threshold`` is a valid (stale, lower) bound — pruning with it is
-    always safe."""
+    always safe.
+
+    ORDER-INDEPENDENT by construction: pushes keep score ``>=``
+    threshold (ties survive) and compaction retains every tie of the
+    kth score (bounded by the buffer limit, which is >= 4k, so the k
+    lowest-doc ties can never be evicted). The final (docs, scores)
+    are the lexsort-by-(score desc, doc asc) top k — identical no
+    matter which order segments push, which makes parallel segment
+    execution rank-identical to the sequential scan. Pushes are
+    lock-serialized; ``threshold`` reads stay lock-free (monotone
+    lower bound, safe when stale)."""
 
     def __init__(self, k: int, dtype=np.float32,
                  initial_threshold: float = -np.inf):
+        import threading
+
         self.k = k
         self.dtype = dtype
         self._bufs: list[tuple[np.ndarray, np.ndarray]] = []
@@ -64,9 +76,10 @@ class TopK:
         self._limit = max(4096, 4 * k)
         # a seeded threshold (cross-shard WAND exchange) prunes from the
         # first segment; valid as long as the seed is <= the global kth
-        # score under the strict > push rule
+        # score under the >= push rule
         self._thr = float(initial_threshold)
         self._seen = 0
+        self._lock = threading.Lock()
 
     @property
     def threshold(self) -> float:
@@ -76,47 +89,68 @@ class TopK:
         if docs.size == 0:
             return
         if np.isfinite(self._thr):
-            keep = scores > self._thr  # strict: ties keep the earlier doc
+            keep = scores >= self._thr  # ties kept: order-independent
             if not keep.all():
                 docs, scores = docs[keep], scores[keep]
             if docs.size == 0:
                 return
-        self._bufs.append((docs, scores))
-        self._buffered += docs.size
-        self._seen += docs.size
-        if self._buffered > self._limit:
-            self._compact()
+        with self._lock:
+            self._bufs.append((docs, scores))
+            self._buffered += docs.size
+            self._seen += docs.size
+            if self._buffered > self._limit:
+                self._compact()
 
     def _compact(self) -> None:
         docs = np.concatenate([d for d, _ in self._bufs])
         scores = np.concatenate([s for _, s in self._bufs])
-        order = np.lexsort((docs, -scores.astype(np.float64)))[: self.k]
+        order = np.lexsort((docs, -scores.astype(np.float64)))
+        if order.size > self.k:
+            s_sorted = scores[order].astype(np.float64)
+            kth = s_sorted[self.k - 1]
+            # keep ALL ties of the kth score (capped at the buffer
+            # limit >= 4k: the k lowest-doc ties always survive)
+            cut = int(np.searchsorted(-s_sorted, -kth, side="right"))
+            order = order[: min(cut, self._limit)]
         docs, scores = docs[order], scores[order]
         self._bufs = [(docs, scores)]
         self._buffered = docs.size
         if docs.size >= self.k:
-            self._thr = float(scores[-1])
+            self._thr = float(scores[self.k - 1])
 
     @property
     def docs(self) -> np.ndarray:
-        self._compact() if self._bufs else None
-        return self._bufs[0][0] if self._bufs else np.empty(0, dtype=np.int64)
+        with self._lock:
+            self._compact() if self._bufs else None
+            return (self._bufs[0][0][: self.k] if self._bufs
+                    else np.empty(0, dtype=np.int64))
 
     @property
     def scores(self) -> np.ndarray:
-        self._compact() if self._bufs else None
-        return self._bufs[0][1] if self._bufs else np.empty(0, dtype=self.dtype)
+        with self._lock:
+            self._compact() if self._bufs else None
+            return (self._bufs[0][1][: self.k] if self._bufs
+                    else np.empty(0, dtype=self.dtype))
 
 
 class IndexSearcher:
     def __init__(self, index_dir: str, segment_subset: set | None = None,
-                 stats_override: dict | None = None):
+                 stats_override: dict | None = None,
+                 query_threads: int | None = None):
         """``segment_subset``: open only these segment names but keep
         GLOBAL doc bases (a shard view of the index).
         ``stats_override``: {"fields": {field: (dwf, ttf)},
         "terms": {(field, term): docs_with_term}} — index-wide collector
         results injected by a sharded/distributed searcher so per-shard
-        scoring uses global IDF (collector semantics are associative)."""
+        scoring uses global IDF (collector semantics are associative).
+        ``query_threads``: per-query segment parallelism (default 1 =
+        sequential). Results are rank-identical at any setting — the
+        TopK collector is order-independent — but in-process threads
+        measured SLOWER here (3-10x): per-segment work is thousands of
+        small numpy/arrow ops whose GIL ping-pong dominates. Process
+        parallelism across segments is ``ShardedSearcher`` (Ray
+        actors); this knob exists for big-segment layouts where each
+        task is one long GIL-releasing decode."""
         self.index_dir = index_dir
         self._segment_subset = segment_subset
         self.manifest = Manifest.load(index_dir)
@@ -137,6 +171,8 @@ class IndexSearcher:
         # prepare so a distributed coordinator can build global
         # scored_sets overrides (see filters._multiterm)
         self._multiterm_matched: dict = {}
+        self.query_threads = max(1, int(query_threads or 1))
+        self._pool = None
 
     def reopen(self) -> bool:
         """Re-open at the latest manifest generation (the reference's
@@ -268,30 +304,62 @@ class IndexSearcher:
         if mode == "strict" and hasattr(prepared, "bind_threshold"):
             prepared.bind_threshold(lambda: col.threshold)
         is_tdis = self._is_term_disjunction(prepared)
-        for i in range(len(self.segments)):
-            base = int(self.doc_bases[i])
-            if mode == "strict":
-                thr = col.threshold
-                # cross-segment pruning: skip a whole segment whose
-                # score upper bound cannot beat the running threshold.
-                # (Not for term disjunctions: their bound needs one
-                # cursor per child per segment — more expensive than the
-                # cached merge it would skip.)
-                if not is_tdis and np.isfinite(thr) \
-                        and prepared.max_score(i) <= thr:
-                    continue
-                if isinstance(prepared, PreparedTerm):
-                    self._wand_term(prepared, i, base, col)
-                    continue
-                if is_tdis:
-                    self._maxscore_or(prepared, i, base, col)
-                    continue
-                if self._is_term_conjunction(prepared):
-                    self._wand_and(prepared, i, base, col)
-                    continue
-            docs, scores = self.segments[i].filter_live(*prepared.execute(i))
-            col.push(docs + base, scores)
+        is_tconj = self._is_term_conjunction(prepared)
+        nseg = len(self.segments)
+        nthreads = min(self.query_threads, nseg)
+        if nthreads > 1:
+            # parallel per-segment execution (the reference's query
+            # thread pool, ``utils/index-search.cpp`` async mode): the
+            # order-independent TopK makes results rank-identical to
+            # the sequential scan; the shared threshold still prunes
+            # across segments, just with whatever order finishes first.
+            list(self._executor(nthreads).map(
+                lambda i: self._search_segment(prepared, i, col, mode,
+                                               is_tdis, is_tconj),
+                range(nseg)))
+        else:
+            for i in range(nseg):
+                self._search_segment(prepared, i, col, mode, is_tdis,
+                                     is_tconj)
         return self._result_frame(col.docs, col.scores, columns)
+
+    def _search_segment(self, prepared, i: int, col: "TopK", mode: str,
+                        is_tdis: bool, is_tconj: bool) -> None:
+        base = int(self.doc_bases[i])
+        if mode == "strict":
+            thr = col.threshold
+            # cross-segment pruning: skip a whole segment whose
+            # score upper bound cannot beat the running threshold.
+            # (Not for term disjunctions: their bound needs one
+            # cursor per child per segment — more expensive than the
+            # cached merge it would skip.)
+            if not is_tdis and np.isfinite(thr) \
+                    and prepared.max_score(i) < thr:
+                return
+            if isinstance(prepared, PreparedTerm):
+                self._wand_term(prepared, i, base, col)
+                return
+            if is_tdis:
+                self._maxscore_or(prepared, i, base, col)
+                return
+            if is_tconj:
+                self._wand_and(prepared, i, base, col)
+                return
+        docs, scores = self.segments[i].filter_live(*prepared.execute(i))
+        col.push(docs + base, scores)
+
+    def _executor(self, nthreads: int):
+        """Persistent query thread pool (created lazily, sized once)."""
+        import concurrent.futures as cf
+
+        pool = self._pool
+        if pool is None or pool._max_workers < nthreads:
+            if pool is not None:
+                pool.shutdown(wait=False)
+            pool = self._pool = cf.ThreadPoolExecutor(
+                max_workers=nthreads,
+                thread_name_prefix="iresearch-query")
+        return pool
 
     @staticmethod
     def _is_term_disjunction(prepared) -> bool:
@@ -319,10 +387,17 @@ class IndexSearcher:
         """All matching global doc ids (unscored path)."""
         scorer = self._scorer(scorer)
         prepared = flt.prepare(self, scorer)
-        out = []
-        for i in range(len(self.segments)):
-            docs, scores = self.segments[i].filter_live(*prepared.execute(i))
-            out.append(docs + int(self.doc_bases[i]))
+        nseg = len(self.segments)
+
+        def one(i: int) -> np.ndarray:
+            docs, _ = self.segments[i].filter_live(*prepared.execute(i))
+            return docs + int(self.doc_bases[i])
+
+        nthreads = min(self.query_threads, nseg)
+        if nthreads > 1:
+            out = list(self._executor(nthreads).map(one, range(nseg)))
+        else:
+            out = [one(i) for i in range(nseg)]
         return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
     def count(self, flt: Filter) -> int:
@@ -430,7 +505,7 @@ class IndexSearcher:
             chunk = np.arange(start, min(start + C, cur.n_blocks))
             thr = col.threshold
             if np.isfinite(thr):
-                kept = chunk[ubs[chunk] > thr]
+                kept = chunk[ubs[chunk] >= thr]
                 if kept.size < chunk.size:
                     decoded_all = False
                 chunk = kept
@@ -491,7 +566,7 @@ class IndexSearcher:
                         children[int(oj)].max_score(seg_ord) for oj in order[1:]
                     )
                     ubs = c.scorer.upper_bound_many(c.ctx, cur.max_tf, cur.min_dl)
-                    keep = np.flatnonzero(ubs + ub_rest > thr)
+                    keep = np.flatnonzero(ubs + ub_rest >= thr)
                     if keep.size == 0:
                         return
                     d, t = cur.decode_blocks(keep)

@@ -282,3 +282,29 @@ def test_or_minmatch_strict_identical(searcher):
         assert a["doc_id"].tolist() == b["doc_id"].tolist()
         np.testing.assert_array_equal(a["score"].to_numpy(),
                                       b["score"].to_numpy())
+
+
+def test_parallel_query_threads_rank_identical(small_index):
+    """query_threads > 1 must return bit-identical frames to the
+    sequential scan for every query shape (order-independent TopK)."""
+    import pandas as pd
+
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    seq = IndexSearcher(small_index, query_threads=1)
+    par = IndexSearcher(small_index, query_threads=4)
+    queries = [
+        F.Term("ref"),
+        F.Or([F.Term("ref"), F.Term("deploy"), F.Term("ok")]),
+        F.And([F.Term("the"), F.Term("ref")]),
+        F.Phrase(["deploy", "target"]),
+        F.Prefix("dep"),
+        F.Or([F.Term("the"), F.Phrase(["deploy", "target"])]),
+    ]
+    for flt in queries:
+        for mode in ("strict", "all"):
+            a = seq.search(flt, k=15, mode=mode)
+            b = par.search(flt, k=15, mode=mode)
+            pd.testing.assert_frame_equal(a, b), (flt, mode)
+    for flt in queries:
+        assert ids(seq.match_docs(flt)) == ids(par.match_docs(flt))

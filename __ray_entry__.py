@@ -660,6 +660,35 @@ def _q_accent_fold(sf_dir: str):
     return match_frame(s, F.Term("table"))
 
 
+def _q_classification_lang(sf_dir: str):
+    """``classification`` analyzer end-to-end (fastText-shaped model:
+    random-indexing word vectors + nearest label centroid): fit on the
+    documents (text, lang) pairs, then emit each doc's predicted lang
+    label token. Model-dependent -> rows-only (no SQL oracle). NOTE:
+    the synthetic corpus draws text independently of lang, so accuracy
+    is necessarily ~chance here; tests/test_embeddings.py shows the
+    same model separating correlated classes cleanly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.analysis.embeddings import WordEmbeddingModel
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    texts = t.column("text").combine_chunks()
+    model = WordEmbeddingModel.fit(texts, t.column("lang").to_pylist(),
+                                   dim=24)
+    an = get_analyzer("classification",
+                      {"model_location": model, "top_k": 1})
+    d, labels, _ = an.tokenize(texts)
+    ids = t.column("doc_id").to_numpy()
+    return pd.DataFrame({
+        "doc_id": ids[d].astype("int64"),
+        "lang_pred": labels.to_pylist(),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_transcripts_flagship(sf_dir: str):
     """Full transcript pipeline on the synthetic corpus (schema =
     BASELINE.json input hint); non-SQL (uses generated data, not sf
@@ -715,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": _q_simhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
+        "classification_lang": _q_classification_lang,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,

@@ -854,6 +854,16 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
             opts["case"] = opts.pop("case")
         if "break" in opts:
             opts["word_break"] = opts.pop("break")
+    if name in ("classification", "nearest_neighbors"):
+        # registered lazily (numpy model module import on first use)
+        from iresearch_ray.analysis.embeddings import (
+            ClassificationAnalyzer,
+            NearestNeighborsAnalyzer,
+        )
+
+        cls = (ClassificationAnalyzer if name == "classification"
+               else NearestNeighborsAnalyzer)
+        return cls(**opts)
     cls = _REGISTRY[name]
     return cls(**opts)
 

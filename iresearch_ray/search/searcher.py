@@ -548,50 +548,79 @@ class IndexSearcher:
         if min(costs) == 0:
             return  # a required term is absent from this segment
         order = np.argsort(np.asarray(costs), kind="stable")
-        docs = None
-        tf_by_child: dict[int, np.ndarray] = {}
-        for oi in order:
-            c = children[int(oi)]
-            row = int(c.state.rows[seg_ord])
-            pl = seg._pl_cache.get((row, False)) or seg._pl_cache.get((row, True))
-            if docs is None:
-                # driving list: block-max prune against the threshold
-                thr = col.threshold
-                if pl is not None or not np.isfinite(thr):
+        # structural cache (the _maxscore_or amortization): the
+        # intersected doc set + per-child tfs are pure functions of the
+        # (segment, term rows); only SCORES depend on collector stats.
+        # A cache-miss evaluation still block-max prunes the driving
+        # list against the live threshold, and the result is cached
+        # ONLY when nothing was pruned (the _wand_term decoded_all
+        # rule) — so the cache always holds COMPLETE intersections,
+        # cold queries keep WAND pruning, and repeat queries skip the
+        # decode wherever the threshold didn't bite (measured: decode
+        # was ~90% of warm AndHighHigh).
+        cache = getattr(seg, "_conj_cache", None)
+        if cache is None:
+            cache = seg._conj_cache = {}
+        key = tuple(int(c.state.rows[seg_ord]) for c in children)
+        hit = cache.get(key)
+        complete = True
+        if hit is None:
+            docs = None
+            tf_by_child: dict[int, np.ndarray] = {}
+            for oi in order:
+                c = children[int(oi)]
+                row = int(c.state.rows[seg_ord])
+                pl = seg._pl_cache.get((row, False)) \
+                    or seg._pl_cache.get((row, True))
+                if docs is None:
+                    # driving list: block-max prune vs the threshold
+                    thr = col.threshold
+                    if pl is not None or not np.isfinite(thr):
+                        pl = seg.postings(row)
+                        docs, tf_by_child[int(oi)] = pl.docs, pl.tfs
+                        continue
+                    cur = seg.cursor(row)
+                    ub_rest = sum(
+                        children[int(oj)].max_score(seg_ord)
+                        for oj in order[1:])
+                    ubs = c.scorer.upper_bound_many(
+                        c.ctx, cur.max_tf, cur.min_dl)
+                    keep = np.flatnonzero(ubs + ub_rest >= thr)
+                    if keep.size < cur.n_blocks:
+                        complete = False
+                    if keep.size == 0:
+                        return
+                    docs, tf_by_child[int(oi)] = cur.decode_blocks(keep)
+                    continue
+                if pl is not None or costs[int(oi)] <= 2 * BLOCK_SIZE:
                     pl = seg.postings(row)
                     d, t = pl.docs, pl.tfs
                 else:
+                    # leapfrog: decode only blocks containing candidates
                     cur = seg.cursor(row)
-                    ub_rest = sum(
-                        children[int(oj)].max_score(seg_ord) for oj in order[1:]
-                    )
-                    ubs = c.scorer.upper_bound_many(c.ctx, cur.max_tf, cur.min_dl)
-                    keep = np.flatnonzero(ubs + ub_rest >= thr)
-                    if keep.size == 0:
-                        return
-                    d, t = cur.decode_blocks(keep)
-                docs = d
-                tf_by_child[int(oi)] = t
-                continue
-            if pl is not None or costs[int(oi)] <= 2 * BLOCK_SIZE:
-                pl = seg.postings(row)
-                d, t = pl.docs, pl.tfs
-            else:
-                # leapfrog: decode only blocks containing candidates
-                cur = seg.cursor(row)
-                blocks = np.unique(np.searchsorted(cur.last_doc, docs, side="left"))
-                blocks = blocks[blocks < cur.n_blocks]
-                d, t = cur.decode_blocks(blocks)
-            idx = np.searchsorted(d, docs)
-            valid = idx < d.size
-            match = np.zeros(docs.size, dtype=bool)
-            match[valid] = d[idx[valid]] == docs[valid]
-            docs = docs[match]
-            if docs.size == 0:
-                return
-            for k in tf_by_child:
-                tf_by_child[k] = tf_by_child[k][match]
-            tf_by_child[int(oi)] = t[idx[match]]
+                    blocks = np.unique(
+                        np.searchsorted(cur.last_doc, docs, side="left"))
+                    blocks = blocks[blocks < cur.n_blocks]
+                    d, t = cur.decode_blocks(blocks)
+                idx = np.searchsorted(d, docs)
+                valid = idx < d.size
+                match = np.zeros(docs.size, dtype=bool)
+                match[valid] = d[idx[valid]] == docs[valid]
+                docs = docs[match]
+                if docs.size == 0:
+                    break
+                for k in tf_by_child:
+                    tf_by_child[k] = tf_by_child[k][match]
+                tf_by_child[int(oi)] = t[idx[match]]
+            hit = (docs if docs is not None and docs.size else None,
+                   tf_by_child)
+            if complete:
+                if len(cache) >= 16:
+                    cache.pop(next(iter(cache)))
+                cache[key] = hit
+        docs, tf_by_child = hit
+        if docs is None:
+            return
         scores = None
         for oi in order:
             c = children[int(oi)]

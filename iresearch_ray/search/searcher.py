@@ -673,17 +673,38 @@ class IndexSearcher:
             if len(cache) >= 16:
                 cache.pop(next(iter(cache)))
             cache[key] = hit
-        layout, order, out_docs, starts = hit
-        score_parts = []
-        for ci, tfs, dls in layout:
-            c = children[ci]
-            score_parts.append(c.scorer.score(c.ctx, tfs, dls))
-        scores = np.concatenate(score_parts)[order]
-        out_scores = np.add.reduceat(scores, starts).astype(prepared.dtype)
-        if prepared.min_match > 1:
-            counts = np.diff(np.append(starts, scores.size))
-            keep = counts >= prepared.min_match
-            out_docs, out_scores = out_docs[keep], out_scores[keep]
+        # scored second-level cache: on a FIXED snapshot every child's
+        # ScoreCtx is constant (idf/avgdl are index-wide stats of the
+        # snapshot), so (docs, summed scores) is a pure function of
+        # (rows, min_match, ctx constants) — fingerprint the constants
+        # so a reopen (which changes global stats) naturally misses.
+        # Deletes are NOT cached: filter_live runs per query.
+        sc_cache = getattr(seg, "_scored_disj_cache", None)
+        if sc_cache is None:
+            sc_cache = seg._scored_disj_cache = {}
+        ctx_fp = tuple(
+            (float(c.ctx.c0), float(c.ctx.norm_const),
+             float(c.ctx.norm_length)) for c in children)
+        skey = (key, prepared.min_match, np.dtype(prepared.dtype).str,
+                ctx_fp)
+        scored = sc_cache.get(skey)
+        if scored is None:
+            layout, order, out_docs, starts = hit
+            score_parts = []
+            for ci, tfs, dls in layout:
+                c = children[ci]
+                score_parts.append(c.scorer.score(c.ctx, tfs, dls))
+            scores = np.concatenate(score_parts)[order]
+            out_scores = np.add.reduceat(scores, starts).astype(prepared.dtype)
+            if prepared.min_match > 1:
+                counts = np.diff(np.append(starts, scores.size))
+                keep = counts >= prepared.min_match
+                out_docs, out_scores = out_docs[keep], out_scores[keep]
+            scored = (out_docs, out_scores)
+            if len(sc_cache) >= 8:
+                sc_cache.pop(next(iter(sc_cache)))
+            sc_cache[skey] = scored
+        out_docs, out_scores = scored
         docs, scores = seg.filter_live(out_docs, out_scores)
         col.push(docs + base, scores)
 

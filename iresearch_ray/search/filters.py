@@ -810,7 +810,8 @@ class PreparedPhrase(Prepared):
             pm_cache = seg._phrase_match_cache = {}
         ck = self._cache_key(seg_ord) if cand is None else None
         if ck is not None and ck in pm_cache:
-            return self._frame_common(seg, pm_cache[ck])
+            common, docs, tfs = pm_cache[ck]
+            return self._frame_common(seg, common, docs, tfs)
         # two-phase evaluation (reference phrase_iterator over the .pos
         # skip data): doc-level conjunction of the slots first, then
         # decode positions ONLY for blocks containing candidate docs
@@ -867,17 +868,27 @@ class PreparedPhrase(Prepared):
             hit[valid] = ks[idx[valid]] == common[valid]
             common = common[hit]
         if ck is not None:
+            docs, tfs = self._docs_tfs(common)
             if len(pm_cache) >= 64:
                 pm_cache.pop(next(iter(pm_cache)))
-            pm_cache[ck] = common
+            # (docs, tfs) are structural too — caching them skips the
+            # per-query unique/sort over the key set (was ~half of the
+            # warm n-gram cost)
+            pm_cache[ck] = (common, docs, tfs)
+            return self._frame_common(seg, common, docs, tfs)
         return self._frame_common(seg, common)
 
-    def _frame_common(self, seg, common: np.ndarray):
+    @staticmethod
+    def _docs_tfs(common: np.ndarray):
+        docs_all = (common >> np.int64(32)).astype(np.int64)
+        return np.unique(docs_all, return_counts=True)
+
+    def _frame_common(self, seg, common: np.ndarray, docs=None, tfs=None):
         """(docs, scores, keys) from the match key set."""
         if common.size == 0:
             return (*_empty(self.dtype), _EMPTY_I)
-        docs_all = (common >> np.int64(32)).astype(np.int64)
-        docs, tfs = np.unique(docs_all, return_counts=True)
+        if docs is None:
+            docs, tfs = self._docs_tfs(common)
         dls = seg.field_norms(self.field)[docs - 1]
         return docs, self.scorer.score(self.ctx, tfs, dls), common
 

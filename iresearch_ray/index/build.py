@@ -111,7 +111,8 @@ def build_index(
     index_features: tuple = (),
     base_segments: list | None = None,
     commit_every: int | None = None,
-) -> Manifest:
+    commit: bool = True,
+) -> "Manifest | list[dict]":
     """Build a committed index under ``index_dir``.
 
     ``source`` is a ``ray.data.Dataset`` or a parquet path/list. Input
@@ -218,7 +219,12 @@ def build_index(
     for r in summaries.iter_rows():
         metas.append(json.loads(r["meta_json"]))
         since_commit += 1
-        if commit_every and since_commit >= commit_every:
+        if commit and commit_every and since_commit >= commit_every:
             Manifest.commit(index_dir, _combined(metas))
             since_commit = 0
+    if not commit:
+        # staged build (IndexWriter.Transaction): segments are on disk
+        # (resumable via _SUCCESS markers) but NO manifest generation is
+        # published — the transaction's own commit is the only publish
+        return metas
     return Manifest.commit(index_dir, _combined(metas))

@@ -54,23 +54,29 @@ class IndexWriter:
                            **build_kwargs)
 
     # -- remove -----------------------------------------------------------
-    def delete(self, flt, scorer=None) -> Manifest:
-        """Mark all docs matched by ``flt`` deleted; commit a new
-        generation. Returns the new manifest."""
+    def _removal_metas(self, removes: list, gen: int) -> list[dict]:
+        """Per-segment metas of the current committed snapshot with the
+        union of ``removes`` = [(filter, scorer), ...] applied as new
+        delete-mask files. Writes only files (additive, unreferenced
+        until a manifest commit points at them) — the caller owns the
+        single publish step."""
         man = Manifest.load(self.index_dir)
         searcher = IndexSearcher(self.index_dir)
-        gen = man.generation + 1
-        prepared = flt.prepare(searcher, searcher._scorer(scorer))
+        prepareds = [
+            flt.prepare(searcher, searcher._scorer(scorer))
+            for flt, scorer in removes
+        ]
         metas = []
         for i, (seg_meta, seg) in enumerate(zip(man.segments, searcher.segments)):
-            docs, _ = prepared.execute(i)
             meta = dict(seg_meta)
             old_mask = seg.deleted_mask
             new_del = np.zeros(seg.docs_count, dtype=bool)
             if old_mask is not None:
                 new_del |= old_mask
-            if docs.size:
-                new_del[docs - 1] = True
+            for prepared in prepareds:
+                docs, _ = prepared.execute(i)
+                if docs.size:
+                    new_del[docs - 1] = True
             n_del = int(new_del.sum())
             if n_del and (old_mask is None or n_del != int(old_mask.sum())):
                 fname = f"deletes-{gen}.parquet"
@@ -85,7 +91,14 @@ class IndexWriter:
             metas.append(meta)
         for m in metas:
             m.pop("doc_base", None)
-        return Manifest.commit(self.index_dir, metas)
+        return metas
+
+    def delete(self, flt, scorer=None) -> Manifest:
+        """Mark all docs matched by ``flt`` deleted; commit a new
+        generation. Returns the new manifest."""
+        gen = Manifest.load(self.index_dir).generation + 1
+        return Manifest.commit(self.index_dir,
+                               self._removal_metas([(flt, scorer)], gen))
 
     # -- replace ----------------------------------------------------------
     def replace(self, flt, source, scorer=None, **build_kwargs) -> Manifest:
@@ -94,8 +107,88 @@ class IndexWriter:
         self.delete(flt, scorer=scorer)
         return self.add(source, **build_kwargs)
 
+    # -- two-phase transaction -------------------------------------------
+    def begin(self) -> "Transaction":
+        """Open a two-phase batch (the reference ``GetBatch()`` ->
+        ``Transaction`` -> ``Commit/Rollback`` surface,
+        ``core/index/index_writer.hpp:346-470``)."""
+        return Transaction(self)
+
     # -- maintenance ------------------------------------------------------
     def consolidate(self, **kwargs) -> Manifest:
         from iresearch_ray.index.merge import consolidate
 
         return consolidate(self.index_dir, **kwargs)
+
+
+class Transaction:
+    """Two-phase batch of inserts and removes.
+
+    ``insert`` builds segments to disk immediately but publishes NO
+    manifest generation; ``remove`` is staged as a filter. ``commit``
+    evaluates the staged removes against the committed snapshot, then
+    publishes ONE manifest generation containing (old segments with new
+    delete masks) + (all staged segments) — so readers observe the
+    whole batch atomically, and a crash at any earlier point leaves the
+    last committed generation untouched. ``rollback`` discards staged
+    segment directories (never ones referenced by a manifest — the
+    content-digest checkpoint may resolve an insert to an existing
+    LIVE segment, which must survive).
+
+    Divergence from the reference: removals see the committed snapshot,
+    not same-transaction earlier inserts (the reference orders
+    intra-transaction ops by tick, ``index_writer.hpp:536-561``).
+    """
+
+    def __init__(self, writer: IndexWriter):
+        self._writer = writer
+        self._staged: list[dict] = []
+        self._removes: list = []
+        self._closed = False
+
+    def insert(self, source, **build_kwargs) -> "Transaction":
+        assert not self._closed, "transaction already committed/rolled back"
+        metas = build_index(source, self._writer.index_dir, commit=False,
+                            **build_kwargs)
+        self._staged.extend(metas)
+        return self
+
+    def remove(self, flt, scorer=None) -> "Transaction":
+        assert not self._closed, "transaction already committed/rolled back"
+        self._removes.append((flt, scorer))
+        return self
+
+    def commit(self) -> Manifest:
+        assert not self._closed, "transaction already committed/rolled back"
+        self._closed = True
+        idx = self._writer.index_dir
+        has_base = Manifest.exists(idx)
+        if self._removes and has_base:
+            gen = Manifest.load(idx).generation + 1
+            old = self._writer._removal_metas(self._removes, gen)
+        elif has_base:
+            old = [dict(s) for s in Manifest.load(idx).segments]
+            for m in old:
+                m.pop("doc_base", None)
+        else:
+            old = []
+        by_name = {m["name"]: m for m in old}
+        for m in self._staged:
+            by_name.setdefault(m["name"], dict(m))
+        return Manifest.commit(idx, list(by_name.values()))
+
+    def rollback(self) -> None:
+        assert not self._closed, "transaction already committed/rolled back"
+        self._closed = True
+        import shutil
+
+        idx = self._writer.index_dir
+        live = set()
+        if Manifest.exists(idx):
+            live = {s["name"] for s in Manifest.load(idx).segments}
+        for m in self._staged:
+            if m["name"] not in live:
+                shutil.rmtree(os.path.join(idx, m["name"]),
+                              ignore_errors=True)
+        self._staged.clear()
+        self._removes.clear()

@@ -299,3 +299,57 @@ def test_numeric_nulls_survive_merge(tmp_path):
     vals = s.segments[0].docmap.column("v").to_pylist()
     exp = sorted(i + 1 for i, v in enumerate(vals) if v is not None)
     assert got == exp
+
+
+def test_transaction_two_phase(ray_session, half_index, small_corpus, tmp_path):
+    """begin() -> insert + remove -> commit publishes ONE generation
+    with both effects; rollback publishes nothing and removes staged
+    segment dirs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = small_corpus.num_rows
+    second = small_corpus.slice(n // 2)
+    p = str(tmp_path / "second.parquet")
+    pq.write_table(second, p)
+
+    w = IndexWriter(half_index)
+    gen0 = Manifest.load(half_index).generation
+    docs0 = Manifest.load(half_index).total_docs
+
+    # rollback: staged segments vanish, manifest untouched
+    txn = w.begin()
+    txn.insert(p, segment_docs=1 << 20, concurrency=1)
+    staged_names = [m["name"] for m in txn._staged]
+    assert staged_names
+    txn.rollback()
+    man = Manifest.load(half_index)
+    assert man.generation == gen0 and man.total_docs == docs0
+    for name in staged_names:
+        if name not in {s["name"] for s in man.segments}:
+            assert not os.path.exists(os.path.join(half_index, name))
+
+    # commit: one new generation, insert + remove visible atomically
+    before = IndexSearcher(half_index)
+    n_ref_before = len(before.match_docs(F.Term("ref")))
+    txn = w.begin()
+    txn.insert(p, segment_docs=1 << 20, concurrency=1)
+    txn.remove(F.Term("ref"))
+    man2 = txn.commit()
+    assert man2.generation == gen0 + 1  # exactly one publish
+    s = IndexSearcher(half_index)
+    assert s.manifest.total_docs == n
+    # read-committed remove: every OLD-half 'ref' match is deleted, so
+    # all survivors live in the newly inserted (conv_id, turn_idx) rows
+    got = s.match_docs(F.Term("ref"))
+    stored = s.fetch_stored(got, ("conv_id", "turn_idx"))
+    new_rows = set(zip(second.column("conv_id").to_pylist(),
+                       second.column("turn_idx").to_pylist()))
+    survivors = set(zip(stored["conv_id"], stored["turn_idx"]))
+    assert survivors <= new_rows
+    assert n_ref_before > 0  # the remove actually removed something
+
+    # double-commit / use-after-close guarded
+    with pytest.raises(AssertionError):
+        txn.commit()

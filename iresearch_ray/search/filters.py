@@ -109,6 +109,23 @@ class Terms(Filter):
         return PreparedDisjunction(children, self.min_match, scorer)
 
 
+def _cached_scan(searcher, key: tuple, compute) -> list[str]:
+    """Memoize a full-dictionary predicate scan (fuzzy/wildcard term
+    expansion) on the searcher snapshot: the matched term set is a pure
+    function of (pattern, dictionary), and the scan — not the postings
+    — dominates these queries warm. Cleared on reopen()."""
+    cache = getattr(searcher, "_scan_cache", None)
+    if cache is None:
+        return compute()
+    hit = cache.get(key)
+    if hit is None:
+        hit = compute()
+        if len(cache) >= 32:
+            cache.pop(next(iter(cache)))
+        cache[key] = hit
+    return hit
+
+
 def _prefix_successor(p: str) -> str | None:
     """Smallest string greater than every string with prefix ``p`` (the
     exclusive upper bound of the prefix's dictionary range); None when
@@ -208,13 +225,16 @@ class Wildcard(Filter):
         lit = _like_literal_prefix(like)
         if lit == like:  # no metachars: exact term
             return Term(lit, self.boost, self.field).prepare(searcher, scorer, boost)
-        matched = searcher.scan_terms(
-            _wildcard_pred(like), self.field,
-            lo=lit or None, hi=_prefix_successor(lit) if lit else None,
-            inc_hi=False)
+        nk = ("wildcard", self.field, like)
+        matched = _cached_scan(
+            searcher, nk,
+            lambda: searcher.scan_terms(
+                _wildcard_pred(like), self.field,
+                lo=lit or None, hi=_prefix_successor(lit) if lit else None,
+                inc_hi=False))
         return _multiterm(searcher, scorer, matched, boost * self.boost,
                           self.field, self.scored_terms_limit,
-                          node_key=("wildcard", self.field, like))
+                          node_key=nk)
 
 
 @dataclass
@@ -247,14 +267,17 @@ class Fuzzy(Filter):
             dist = _levenshtein_many(target, cands, d)
             return [t for t, dd in zip(cands, dist) if dd <= d]
 
-        matched = searcher.scan_terms(
-            pred, self.field,
-            lo=self.prefix or None,
-            hi=_prefix_successor(self.prefix) if self.prefix else None,
-            inc_hi=False)
+        nk = ("fuzzy", self.field, target, d, self.prefix)
+        matched = _cached_scan(
+            searcher, nk,
+            lambda: searcher.scan_terms(
+                pred, self.field,
+                lo=self.prefix or None,
+                hi=_prefix_successor(self.prefix) if self.prefix else None,
+                inc_hi=False))
         return _multiterm(searcher, scorer, matched, boost * self.boost,
                           self.field, self.scored_terms_limit,
-                          node_key=("fuzzy", self.field, target, d, self.prefix))
+                          node_key=nk)
 
 
 @dataclass

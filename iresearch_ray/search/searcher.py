@@ -173,6 +173,8 @@ class IndexSearcher:
         self._multiterm_matched: dict = {}
         self.query_threads = max(1, int(query_threads or 1))
         self._pool = None
+        # fuzzy/wildcard dictionary-scan memo (filters._cached_scan)
+        self._scan_cache: dict = {}
 
     def reopen(self) -> bool:
         """Re-open at the latest manifest generation (the reference's
@@ -208,6 +210,7 @@ class IndexSearcher:
         self._term_cache.clear()
         self._match_cache.clear()
         self._multiterm_matched.clear()
+        self._scan_cache.clear()
         return True
 
     # -- stats (collector merge) ------------------------------------------

@@ -750,8 +750,29 @@ class PreparedPhrase(Prepared):
         """(docs, scores, match_keys) evaluated only over candidate docs
         ``cand`` (sorted) — per-doc results identical to the full
         evaluation for docs in ``cand`` (the n-gram DP's prefilter
-        path). Not memoized: each n-gram query hits it once."""
-        return self._execute_impl(seg_ord, cand=cand)
+        path). Memoized on the SEGMENT (survives across queries) keyed
+        by (phrase rows, candidate-set fingerprint): the candidate set
+        comes from memoized doc-level conjunctions, so repeat n-gram
+        queries pass an identical ``cand`` and skip the position
+        decode. Scores are recomputed by the caller's DP; the cached
+        (docs, tfs->scores, keys) triple's score part depends on ctx —
+        so the SCORE array is keyed by ctx constants too."""
+        seg = self.searcher.segments[seg_ord]
+        pm_cache = getattr(seg, "_phrase_match_cache", None)
+        if pm_cache is None:
+            pm_cache = seg._phrase_match_cache = {}
+        ck = self._cache_key(seg_ord)
+        fp = (ck, "restricted", cand.size,
+              hash(cand.tobytes()) if cand.size else 0,
+              float(self.ctx.c0), float(self.ctx.norm_const),
+              float(self.ctx.norm_length))
+        hit = pm_cache.get(fp)
+        if hit is None:
+            hit = self._execute_impl(seg_ord, cand=cand)
+            if len(pm_cache) >= 64:
+                pm_cache.pop(next(iter(pm_cache)))
+            pm_cache[fp] = hit
+        return hit
 
     def doc_candidates(self, seg_ord) -> np.ndarray:
         """Doc-level conjunction prefilter (sorted local ids): docs

@@ -492,8 +492,12 @@ class IndexSearcher:
         # blocks (WAND pruning saves nothing once decode is free)
         pl = seg._pl_cache.get((int(row), False)) or seg._pl_cache.get((int(row), True))
         if pl is not None:
-            scores = prepared.scorer.score(prepared.ctx, pl.tfs,
-                                           norms[pl.docs - 1])
+            scores = self._scored_cached(
+                seg, ("t", int(row), float(prepared.ctx.c0),
+                      float(prepared.ctx.norm_const),
+                      float(prepared.ctx.norm_length)),
+                lambda: prepared.scorer.score(prepared.ctx, pl.tfs,
+                                              norms[pl.docs - 1]))
             docs, scores = seg.filter_live(pl.docs, scores)
             col.push(docs + base, scores)
             return
@@ -624,14 +628,46 @@ class IndexSearcher:
         docs, tf_by_child = hit
         if docs is None:
             return
-        scores = None
-        for oi in order:
-            c = children[int(oi)]
-            dls = seg.field_norms(c.field)[docs - 1]
-            s = c.scorer.score(c.ctx, tf_by_child[int(oi)], dls)
-            scores = s if scores is None else scores + s
-        docs, scores = seg.filter_live(docs, scores.astype(prepared.dtype))
+
+        def fold():
+            scores = None
+            for oi in order:
+                c = children[int(oi)]
+                dls = seg.field_norms(c.field)[docs - 1]
+                s = c.scorer.score(c.ctx, tf_by_child[int(oi)], dls)
+                scores = s if scores is None else scores + s
+            return scores.astype(prepared.dtype)
+
+        if complete and hit is cache.get(key):
+            # scored layer over the COMPLETE cached intersection (same
+            # snapshot-constant-ctx argument as _maxscore_or)
+            ctx_fp = tuple(
+                (float(c.ctx.c0), float(c.ctx.norm_const),
+                 float(c.ctx.norm_length)) for c in children)
+            scores = self._scored_cached(
+                seg, ("conj", key, np.dtype(prepared.dtype).str, ctx_fp),
+                fold)
+        else:
+            scores = fold()
+        docs, scores = seg.filter_live(docs, scores)
         col.push(docs + base, scores)
+
+    @staticmethod
+    def _scored_cached(seg, key, compute):
+        """Segment-level scored-result memo: valid because every
+        ScoreCtx constant is embedded in ``key`` and stats are fixed on
+        a snapshot (a reopen changes the constants -> natural miss).
+        Cached arrays are only ever read (push/compact copy)."""
+        cache = getattr(seg, "_scored_cache", None)
+        if cache is None:
+            cache = seg._scored_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            hit = compute()
+            if len(cache) >= 32:
+                cache.pop(next(iter(cache)))
+            cache[key] = hit
+        return hit
 
     def _maxscore_or(self, prepared, seg_ord: int, base: int, col: TopK):
         """Scored pure-term disjunction with a per-segment cached merge

@@ -37,8 +37,15 @@ def test_kill_restart_resumes(tmp_path, ray_session):
 
     # run a build in a subprocess and kill it once some segments exist
     code = BUILD_SNIPPET.format(repo=repo, corpus=corpus, idx=idx_killed)
+    # start_new_session: the subprocess's ray.init(address="local")
+    # spawns raylet/worker children in ITS process group — killing only
+    # the driver leaves orphaned encoder actors that keep writing
+    # segments and race the resumed build (observed flake). Kill the
+    # whole group.
     proc = subprocess.Popen([sys.executable, "-c", code],
-                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
     deadline = time.time() + 120
     killed_mid_flight = False
     while time.time() < deadline:
@@ -49,14 +56,45 @@ def test_kill_restart_resumes(tmp_path, ray_session):
                 os.path.exists(os.path.join(idx_killed, d, "_SUCCESS"))] \
             if os.path.isdir(idx_killed) else []
         if len(done) >= 2:
-            proc.send_signal(signal.SIGKILL)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
             proc.wait()
             killed_mid_flight = True
             break
         time.sleep(0.1)
     else:
-        proc.kill()
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            proc.kill()
         proc.wait()
+
+    # belt and braces: wait until nothing is still mutating the index
+    # dir (a surviving worker's in-flight segment write settles or dies)
+    def _dir_state():
+        if not os.path.isdir(idx_killed):
+            return ()
+        out = []
+        for root, _, files in os.walk(idx_killed):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                    out.append((p, st.st_size, st.st_mtime_ns))
+                except OSError:
+                    pass
+        return tuple(sorted(out))
+
+    prev = _dir_state()
+    settle_deadline = time.time() + 30
+    while time.time() < settle_deadline:
+        time.sleep(1.0)
+        cur = _dir_state()
+        if cur == prev:
+            break
+        prev = cur
 
     pre = {d for d in os.listdir(idx_killed) if d.startswith("seg-")} \
         if os.path.isdir(idx_killed) else set()

@@ -308,7 +308,8 @@ def _q_minhash(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return minhash_candidates(ds).to_pandas()
+    return minhash_candidates(ds).to_pandas() \
+        .sort_values(["band", "band_key", "dup_id"]).reset_index(drop=True)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -396,9 +397,12 @@ def _q_highlight(sf_dir: str):
     stored = s.fetch_stored(out["doc_id"].to_numpy(), ("doc_id",))
     return pd.DataFrame({
         "doc_id": stored["doc_id"].astype("int64"),
-        "n_hits": [len(o) for o in out["offsets"]],
-        "first_start": [int(o[0][0]) if o else -1 for o in out["offsets"]],
-    })
+        "n_hits": np.asarray([len(o) for o in out["offsets"]],
+                             dtype=np.int64),
+        "first_start": np.asarray(
+            [int(o[0][0]) if o else -1 for o in out["offsets"]],
+            dtype=np.int64),
+    }).sort_values("doc_id").reset_index(drop=True)
 
 
 def _tag_position_payloads(batch):
@@ -756,6 +760,167 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 
+def _hash_sql(col: str) -> str:
+    """DuckDB replica of ``pipelines.dedup._hash_strings`` (polynomial
+    FNV-style fold over 8-byte little-endian words, xor byte length) —
+    verified bit-exact against the numpy kernel. ASCII input assumed
+    (``ord`` = byte value), which holds for the synthetic corpus."""
+    return f"""
+xor(
+  list_reduce(
+    list_prepend(
+      CAST(14695981039346656037 AS UBIGINT),
+      list_transform(
+        range(CAST((length({col})+7)//8 AS BIGINT)),
+        wi -> CAST(
+          list_sum(list_transform(range(8), bi ->
+            CASE WHEN wi*8+bi < length({col})
+                 THEN CAST(ord(substr({col}, CAST(wi*8+bi+1 AS INTEGER), 1)) AS HUGEINT)
+                      * (CAST(1 AS HUGEINT) << CAST(8*bi AS INTEGER))
+                 ELSE 0 END))
+          AS UBIGINT)
+      )
+    ),
+    (acc, x) -> xor(CAST(mod(CAST(acc AS HUGEINT) * 1099511628211,
+                             18446744073709551616::HUGEINT) AS UBIGINT), x)
+  ),
+  CAST(length({col}) AS UBIGINT)
+)"""
+
+
+def _simhash_fp_cte() -> str:
+    """Shared CTE chain ending in ``fpv(doc_id, simhash)`` — the
+    engine's SimHash fingerprint (per-occurrence token-hash bit votes,
+    majority, little-endian packed, int64 wraparound)."""
+    return _TOK_SQL + f"""
+, tokh AS (
+  SELECT doc_id, {_hash_sql('term')} AS h FROM term_pos
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+             THEN 1 ELSE 0 END) AS v,
+         COUNT(*) AS n
+  FROM tokh CROSS JOIN (SELECT unnest(range(64)) AS j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2*v > n
+             THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+             ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+),
+fpv AS (
+  SELECT d.doc_id AS doc_id,
+    CAST(CASE WHEN COALESCE(f.u, 0) >= 9223372036854775808::HUGEINT
+         THEN COALESCE(f.u, 0) - 18446744073709551616::HUGEINT
+         ELSE COALESCE(f.u, 0) END AS BIGINT) AS simhash,
+    CAST(COALESCE(f.u, 0) AS UBIGINT) AS uhash
+  FROM documents d LEFT JOIN fp f USING (doc_id)
+)"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_fp_cte() + """
+SELECT doc_id, simhash FROM fpv ORDER BY doc_id
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    """Exact hamming<=2 pair set == the engine's banded+verified output
+    (banding over 4 x 16-bit bands is complete for hamming <= 3)."""
+    return _simhash_fp_cte() + """
+SELECT a.doc_id AS rep_id, b.doc_id AS dup_id,
+       CAST(bit_count(xor(a.uhash, b.uhash)) AS BIGINT) AS hamming
+FROM fpv a JOIN fpv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.uhash, b.uhash)) <= 2
+ORDER BY rep_id, dup_id
+"""
+
+
+_MINHASH_SQL = None
+
+
+def _minhash_sql() -> str:
+    """MinHash-LSH band buckets oracle, bit-exact vs
+    ``pipelines.dedup.MinHasher`` / ``minhash_candidates`` defaults
+    (K=64, B=16, R=4, word shingles of 3): token hash -> rolling
+    3-token shingle fold -> 64 affine permutations mod M61 (with the
+    engine's uint64 wraparound) -> per-band polynomial bucket key ->
+    per-bucket (rep=min id, dup) pairs. Permutation constants are
+    inlined from the SAME numpy seeded generator the engine uses."""
+    global _MINHASH_SQL
+    if _MINHASH_SQL is not None:
+        return _MINHASH_SQL
+    rng = np.random.default_rng(7)
+    M61 = (1 << 61) - 1
+    a = rng.integers(1, M61, size=64, dtype=np.uint64)
+    b = rng.integers(0, M61, size=64, dtype=np.uint64)
+    perm_rows = ",\n    ".join(
+        f"({k}, {int(a[k])}::UBIGINT, {int(b[k])}::UBIGINT)"
+        for k in range(64))
+    W = "18446744073709551616::HUGEINT"
+    P = "1099511628211"
+    wrapmul = (lambda x: f"CAST(mod(CAST({x} AS HUGEINT) * {P}, {W}) AS UBIGINT)")
+    _MINHASH_SQL = _TOK_SQL + f"""
+, tokh AS (
+  SELECT doc_id, pos, {_hash_sql('term')} AS h FROM term_pos
+),
+sh AS (
+  SELECT t1.doc_id,
+         xor({wrapmul(f"xor({wrapmul('t1.h')}, t2.h)")}, t3.h) AS s
+  FROM tokh t1
+  JOIN tokh t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN tokh t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+  UNION ALL
+  SELECT doc_id,
+         list_reduce(list(h ORDER BY pos),
+                     (acc, x) -> xor({wrapmul('acc')}, x)) AS s
+  FROM tokh GROUP BY doc_id HAVING COUNT(*) < 3
+),
+perm(k, a, b) AS (
+  VALUES {perm_rows}
+),
+sig AS (
+  SELECT d.doc_id, p.k,
+         COALESCE(
+           MIN(CAST(mod(mod(mod(CAST(s.s AS HUGEINT) * p.a, {W}) + p.b,
+                            {W}), 2305843009213693951::HUGEINT)
+                    AS UBIGINT)),
+           18446744073709551615::UBIGINT) AS s
+  FROM documents d
+  CROSS JOIN perm p
+  LEFT JOIN sh s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.k
+),
+bandk AS (
+  SELECT doc_id, k // 4 AS band,
+         list_reduce(list(s ORDER BY k),
+                     (acc, x) -> xor({wrapmul('acc')}, x)) AS bu
+  FROM sig GROUP BY doc_id, k // 4
+),
+bk AS (
+  SELECT doc_id, CAST(band AS BIGINT) AS band,
+         CAST(CASE WHEN bu >= 9223372036854775808::HUGEINT
+              THEN CAST(bu AS HUGEINT) - {W}
+              ELSE CAST(bu AS HUGEINT) END AS BIGINT) AS band_key
+  FROM bandk
+),
+g AS (
+  SELECT band, band_key, doc_id,
+         MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep_id,
+         COUNT(*) OVER (PARTITION BY band, band_key) AS c
+  FROM bk
+)
+SELECT band, band_key, CAST(rep_id AS BIGINT) AS rep_id,
+       CAST(doc_id AS BIGINT) AS dup_id
+FROM g WHERE c >= 2 AND doc_id <> rep_id
+ORDER BY band, band_key, dup_id
+"""
+    return _MINHASH_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     topk = (
         _TOK_SQL
@@ -937,5 +1102,36 @@ ORDER BY id_a, id_b
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n, ROUND(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "simhash_fingerprints": _simhash_sql(),
+        "minhash_lsh_buckets": _minhash_sql(),
+        "simhash_near_pairs": _simhash_pairs_sql(),
+        # offsets are SQL-reconstructible because the synthetic text is
+        # strictly single-space-joined lowercase alnum words (verified:
+        # zero rows match '[^a-z0-9 ]' or double spaces) — so the OFFS
+        # stream's char spans equal prior-token (len+1) prefix sums
+        "highlight_snippets": _TOK_SQL + """
+, offs AS (
+  SELECT doc_id, term,
+         SUM(length(term) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM term_pos
+),
+hl AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE term = 'scan') AS n_hits,
+         MIN(CASE WHEN term = 'scan' THEN COALESCE(prior, 0) END)
+           AS first_start
+  FROM offs GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id FROM scored WHERE term = 'scan'
+  ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT t.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(h.first_start AS BIGINT) AS first_start
+FROM top t JOIN hl h USING (doc_id)
+ORDER BY t.doc_id
 """,
     }

@@ -543,6 +543,12 @@ def _q_multimodal_decode(sf_dir: str):
 
 
 def _q_embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs at cosine >= 0.8. The synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.51 at
+    sf0.01, checked in DuckDB), so ZERO pairs is the correct output
+    here; tests/test_multimodal.py::test_embedding_near_dups exercises
+    the same pipeline on planted duplicates and asserts it finds
+    them."""
     import ray.data
 
     from iresearch_ray.pipelines.dedup import embedding_near_dups

@@ -670,6 +670,32 @@ def _q_accent_fold(sf_dir: str):
     return match_frame(s, F.Term("table"))
 
 
+def _q_bpe_token_stats(sf_dir: str):
+    """Whitespace + BPE-ish pre-tokenizer piece counts per doc (token
+    budgeting for training-data pipelines)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import bpe_token_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_stats, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (rolling k-gram hash, window-min) fingerprints —
+    SIGMOD'03 local document sketch."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import winnow_fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(winnow_fingerprints, batch_format="pyarrow") \
+        .to_pandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
 def _q_classification_lang(sf_dir: str):
     """``classification`` analyzer end-to-end (fastText-shaped model:
     random-indexing word vectors + nearest label centroid): fit on the
@@ -755,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
         "classification_lang": _q_classification_lang,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
@@ -925,6 +953,54 @@ FROM g WHERE c >= 2 AND doc_id <> rep_id
 ORDER BY band, band_key, dup_id
 """
     return _MINHASH_SQL
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    """Winnowing oracle: codepoint-polynomial k-gram rolling hash (the
+    ``_char_ngram_hashes`` fold), per-doc window-of-w minima, distinct.
+    Assumes every doc has length >= k (true for the synthetic corpus:
+    n_chars >= 100); docs with fewer than w grams fall back to their
+    overall minimum, mirroring the engine's short-doc rule."""
+    W = "18446744073709551616::HUGEINT"
+    P = "1099511628211"
+
+    def wrapmul(x):
+        return f"CAST(mod(CAST({x} AS HUGEINT) * {P}, {W}) AS UBIGINT)"
+
+    def cp(j):
+        return (f"CAST(ord(substr(text, CAST(i + {j + 1} AS INTEGER), 1))"
+                " AS UBIGINT)")
+
+    acc = cp(0)
+    for j in range(1, k):
+        acc = f"xor({wrapmul(acc)}, {cp(j)})"
+    return f"""
+WITH ch AS (
+  SELECT doc_id, i, {acc} AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(length(text) - {k - 1})) AS i
+        FROM documents WHERE length(text) >= {k})
+),
+gr AS (
+  SELECT doc_id, i, h, COUNT(*) OVER (PARTITION BY doc_id) AS m FROM ch
+),
+winmin AS (
+  SELECT doc_id, i, m,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS f
+  FROM gr
+),
+fps AS (
+  SELECT DISTINCT doc_id, f FROM winmin WHERE m >= {w} AND i <= m - {w}
+  UNION
+  SELECT doc_id, MIN(h) AS f FROM gr WHERE m < {w} GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+            THEN CAST(f AS HUGEINT) - {W}
+            ELSE CAST(f AS HUGEINT) END AS BIGINT) AS fp
+FROM fps ORDER BY doc_id, fp
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1112,6 +1188,15 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
         "simhash_fingerprints": _simhash_sql(),
         "minhash_lsh_buckets": _minhash_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
+        "winnow_fingerprints": _winnow_sql(),
+        "bpe_token_stats": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS BIGINT)
+         AS bpe_pieces
+FROM documents ORDER BY doc_id
+""",
         # offsets are SQL-reconstructible because the synthetic text is
         # strictly single-space-joined lowercase alnum words (verified:
         # zero rows match '[^a-z0-9 ]' or double spaces) — so the OFFS

@@ -122,3 +122,74 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     return batch.append_column(
         out_col, pa.array(_hash_strings(batch.column(text_col)).astype(np.int64))
     )
+
+
+# GPT-2-ish pre-tokenizer, RE2-safe (the canonical pattern's trailing
+# lookahead is dropped; identical on single-space text): a piece is an
+# optional leading space + letter run / digit run / punct run, or a
+# whitespace run.
+BPE_PIECE_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc token counts for training-data budgeting: whitespace
+    tokens and BPE-ish pre-tokenizer pieces (``BPE_PIECE_RE``), both as
+    one vectorized ``count_substring_regex`` pass."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ws = pc.count_substring_regex(texts, r"\S+")
+    bpe = pc.count_substring_regex(texts, BPE_PIECE_RE)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "ws_tokens": pc.cast(ws, pa.int64()),
+        "bpe_pieces": pc.cast(bpe, pa.int64()),
+    })
+
+
+def winnow_fingerprints(batch: pa.Table, text_col: str = "text",
+                        k: int = 5, w: int = 4) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling char k-gram hashes, then the MIN hash of every
+    window of ``w`` consecutive grams, deduplicated per doc — the
+    standard local-similarity sketch for plagiarism/near-dup detection.
+    Fully columnar: one flat rolling-hash pass + one sliding-window
+    minimum over the concatenated gram hashes (windows crossing doc
+    boundaries masked out). Output: exploded sorted (doc_id, fp) rows
+    (fp reinterpreted int64)."""
+    from iresearch_ray.pipelines.dedup import _char_ngram_hashes
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    d, h = _char_ngram_hashes(texts.to_pylist(), k)
+    n = len(ids)
+    if h.size == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "fp": pa.array([], type=pa.int64())})
+    T = h.size
+    if T >= w:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        mins = win.min(axis=1)
+        valid = d[: T - w + 1] == d[w - 1:]
+        wd, wf = d[: T - w + 1][valid], mins[valid]
+    else:
+        wd = np.empty(0, np.int64)
+        wf = np.empty(0, np.uint64)
+    # docs with < w grams fingerprint their overall min (whole doc is
+    # one window), mirroring the short-doc rule of the shingle kernels
+    counts = np.bincount(d, minlength=n)
+    short = np.flatnonzero((counts > 0) & (counts < w))
+    if short.size:
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        smin = np.minimum.reduceat(h, starts[short])
+        wd = np.concatenate([wd, short])
+        wf = np.concatenate([wf, smin])
+    pairs = np.stack([wd.astype(np.int64),
+                      wf.view(np.int64)], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    return pa.table({
+        "doc_id": pa.array(ids[uniq[:, 0]].astype(np.int64)),
+        "fp": pa.array(uniq[:, 1]),
+    })

@@ -277,3 +277,45 @@ def test_simhash_near_pairs(ray_session):
     assert not any(3 in p or 4 in p for p in pairs)
     # pair dedup across bands: each pair appears once
     assert len(out) == len(out.drop_duplicates(["rep_id", "dup_id"]))
+
+
+def test_winnow_and_bpe_stats(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import (
+        bpe_token_stats,
+        winnow_fingerprints,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog",
+                          "the quick brown fox jumps over the lazy dog",
+                          "completely different content here xyz"]),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        winnow_fingerprints, batch_format="pyarrow").to_pandas()
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    f3 = set(out[out.doc_id == 3].fp)
+    assert f1 == f2                      # identical docs -> identical sketch
+    assert len(f1 & f3) < len(f1) / 2    # different docs -> mostly disjoint
+    # winnowing guarantee: every window of w grams contributes a min,
+    # so a doc with >= k+w-1 chars has at least one fingerprint
+    assert f1 and f3
+
+    st = ray.data.from_arrow(t).map_batches(
+        bpe_token_stats, batch_format="pyarrow").to_pandas()
+    assert st.loc[st.doc_id == 1, "ws_tokens"].iloc[0] == 9
+    # single-space text: pieces == words (each " word" is one piece)
+    assert st.loc[st.doc_id == 1, "bpe_pieces"].iloc[0] == 9
+    mixed = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["abc123 x-y!"]),
+    })
+    st2 = ray.data.from_arrow(mixed).map_batches(
+        bpe_token_stats, batch_format="pyarrow").to_pandas()
+    # abc|123| x|-|y|! -> 6 pieces, 2 ws tokens
+    assert st2.ws_tokens.iloc[0] == 2 and st2.bpe_pieces.iloc[0] == 6

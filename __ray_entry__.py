@@ -501,6 +501,32 @@ def _q_ann_partitioned(sf_dir: str):
     return out[["vec_id", "cosine_r"]].reset_index(drop=True)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF (k-means coarse quantizer) partitioned ANN — the FAISS
+    IVFFlat layout as Ray Data + partitioned Parquet; probed at
+    n_probe == n_lists here, so the result set equals exact brute
+    force and the plain cosine-top-k SQL is a valid oracle."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import build_ivf_index, ivf_topk
+
+    slug = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/iresearch_ray_cache/ivfidx-{slug}"
+    if not os.path.exists(os.path.join(idx, "ivf_meta.json")):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(ds, idx, n_lists=8)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)[None, :]
+    out = ivf_topk(idx, q, k=10, n_probe=8)
+    out["cosine_r"] = np.floor(out["cosine"] * 1e5 + 0.5) / 1e5
+    return out[["vec_id", "cosine_r"]].reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """All doc pairs with char-3-gram Jaccard >= 0.5 — exact
     prefix-filtering similarity join (PPJoin-style: rarity-ordered
@@ -769,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
+        "ann_ivf_topk": _q_ann_ivf,
         "granular_range_match": _q_granular_range,
         "same_position_match": _q_same_position,
         "column_existence_match": _q_column_existence,
@@ -1189,6 +1216,18 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
         "minhash_lsh_buckets": _minhash_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "ann_ivf_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+             * 100000 + 0.5) / 100000 AS cosine_r
+FROM embeddings e CROSS JOIN q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         vec_id
+LIMIT 10
+""",
         "bpe_token_stats": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,

@@ -70,7 +70,10 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
         CosineTopK,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # elastic pool (min 1): a fixed pool equal to the session CPU
+        # count starves the upstream read tasks (deadlock on small
+        # sessions -- the actor-starvation pitfall)
+        concurrency=(1, concurrency),
     )
     # tiny result: Q * k * n_blocks rows -> driver merge
     pdf = local.to_pandas()
@@ -270,3 +273,119 @@ def ann_index_topk(index_dir: str, queries: np.ndarray, k: int = 10,
     ds = ray.data.read_parquet(paths)
     return cosine_topk(ds, q, k=k, id_col=id_col, vec_col=vec_col,
                        concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + partitioned lists
+# ---------------------------------------------------------------------------
+
+
+def _spherical_kmeans(x: np.ndarray, n_lists: int, iters: int = 10,
+                      seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means (cosine geometry): unit-normalize,
+    seeded init, Lloyd iterations with re-normalized means; empty
+    clusters re-seed from the farthest points (deterministic)."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(n_lists, n)
+    c = xn[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        sims = xn @ c.T
+        assign = sims.argmax(axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, xn)
+        sizes = np.bincount(assign, minlength=k)
+        empty = np.flatnonzero(sizes == 0)
+        if empty.size:
+            # farthest-from-own-centroid points re-seed empties
+            worst = np.argsort(sims[np.arange(n), assign])[: empty.size]
+            newc[empty] = xn[worst]
+            sizes[empty] = 1
+        c = newc / np.maximum(np.linalg.norm(newc, axis=1, keepdims=True),
+                              1e-12)
+    return c
+
+
+class _AddIvfList:
+    """map_batches actor: nearest-centroid list id per vector (the IVF
+    coarse quantizer), centroids broadcast once via ``ray.put``."""
+
+    def __init__(self, centroids_ref, vec_col: str):
+        c = (ray.get(centroids_ref)
+             if not isinstance(centroids_ref, np.ndarray) else centroids_ref)
+        self.c = c
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(self.vec_col))
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        assign = ((m / norms) @ self.c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(assign))
+
+
+def build_ivf_index(ds, index_dir: str, n_lists: int = 16,
+                    sample: int = 4096, iters: int = 10, seed: int = 7,
+                    vec_col: str = "embedding",
+                    concurrency: int = 4) -> dict:
+    """Materialize an IVF-partitioned ANN index (the FAISS ``IVFFlat``
+    layout re-expressed as Ray Data + partitioned Parquet): a k-means
+    coarse quantizer is trained on a bounded head sample on the driver
+    (small side), centroids broadcast via ``ray.put``, every vector
+    assigned its nearest list in one ``map_batches`` pass, and lists
+    written as Parquet partitions — a query reads ONLY its ``n_probe``
+    nearest lists. Size ``n_lists ~ sqrt(N)`` at scale so a list fits a
+    worker."""
+    import json
+    import os
+
+    head = ds.limit(sample).to_pandas()
+    x = np.asarray(head[vec_col].to_list(), dtype=np.float64)
+    centroids = _spherical_kmeans(x, n_lists, iters, seed)
+    ref = ray.put(centroids)
+    ds.map_batches(
+        _AddIvfList,
+        fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    ).write_parquet(index_dir, partition_cols=["ivf_list"])
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    meta = {"n_lists": int(centroids.shape[0]), "vec_col": vec_col,
+            "seed": seed}
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_topk(index_dir: str, queries: np.ndarray, k: int = 10,
+             n_probe: int = 4, id_col: str = "vec_id",
+             concurrency: int = 4):
+    """Approximate cosine top-k over a ``build_ivf_index`` directory:
+    scores centroids on the driver (tiny), reads only the union of each
+    query's ``n_probe`` nearest lists, exact-scores those candidates.
+    ``n_probe == n_lists`` degrades gracefully to exact brute force."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    c = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = qn @ c.T
+    n_probe = min(n_probe, c.shape[0])
+    probe = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+    wanted = sorted(set(int(b) for b in probe.ravel()))
+    dirs = [os.path.join(index_dir, f"ivf_list={b}") for b in wanted]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        import pandas as pd
+
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+    ds = ray.data.read_parquet(paths)
+    return cosine_topk(ds, q, k=k, id_col=id_col,
+                       vec_col=meta["vec_col"], concurrency=concurrency)

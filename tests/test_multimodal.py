@@ -150,3 +150,51 @@ def test_ppm_media_pipeline(ray_session):
         ImageResizer, fn_constructor_kwargs=dict(max_side=16, backend="ppm"),
         batch_format="pyarrow", batch_size=8, concurrency=2).to_pandas()
     assert (resized["width"].max() <= 16) and (resized["height"].max() <= 16)
+
+
+def test_ivf_index_topk(ray_session, tmp_path):
+    """IVF partitioned ANN: full probing == exact brute force; 1-probe
+    finds the planted cluster neighbors while reading one list."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    # 4 well-separated clusters in 16d
+    centers = rng.standard_normal((4, 16)) * 4
+    vecs = np.concatenate([
+        centers[i] + 0.05 * rng.standard_normal((50, 16))
+        for i in range(4)
+    ])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(),
+                              type=pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_arrow(t), idx, n_lists=4, sample=200)
+    assert os.path.exists(os.path.join(idx, "ivf_meta.json"))
+
+    q = vecs[[3, 77]]  # one query in cluster 0, one in cluster 1
+    exact = cosine_topk(ray.data.from_arrow(t), q, k=5)
+    full = ivf_topk(idx, q, k=5, n_probe=4)
+    for qi in (0, 1):
+        e = exact[exact.query_id == qi].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])
+        f = full[full.query_id == qi].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True])
+        assert e.vec_id.tolist() == f.vec_id.tolist()
+
+    probe1 = ivf_topk(idx, q, k=5, n_probe=1)
+    got0 = set(probe1[probe1.query_id == 0].vec_id)
+    assert got0 and got0 <= set(range(0, 50))       # stays in cluster 0
+    got1 = set(probe1[probe1.query_id == 1].vec_id)
+    assert got1 and got1 <= set(range(50, 100))     # cluster 1

@@ -153,6 +153,17 @@ def _q_fuzzy(sf_dir: str):
     return match_frame(s, F.Fuzzy("scan", 1))
 
 
+def _q_fuzzy_damerau(sf_dir: str):
+    """``by_edit_distance`` with ``with_transpositions`` (Damerau/OSA;
+    identical to unrestricted Damerau at d=1, which DuckDB's
+    damerau_levenshtein oracles exactly)."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Fuzzy("sacn", 1, transpositions=True))
+
+
 def _q_range(sf_dir: str):
     from iresearch_ray.api import documents_searcher, match_frame
     from iresearch_ray.search import filters as F
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_match": _q_prefix,
         "wildcard_match": _q_wildcard,
         "fuzzy_match": _q_fuzzy,
+        "fuzzy_damerau_match": _q_fuzzy_damerau,
         "range_match": _q_range,
         "minmatch_2of3": _q_minmatch,
         "not_match": _q_not,
@@ -1073,6 +1085,10 @@ SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE '%an%' ORDER BY doc_id
         "fuzzy_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos
 WHERE levenshtein(term, 'scan') <= 1 ORDER BY doc_id
+""",
+        "fuzzy_damerau_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE damerau_levenshtein(term, 'sacn') <= 1 ORDER BY doc_id
 """,
         "range_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos

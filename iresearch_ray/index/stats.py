@@ -18,9 +18,19 @@ from ray.data.aggregate import Sum
 from iresearch_ray.index.manifest import Manifest
 
 
-def term_stats_dataset(index_dir: str, field: str | None = None) -> "ray.data.Dataset":
+def term_stats_dataset(index_dir: str, field: str | None = None,
+                       salt: int = 0) -> "ray.data.Dataset":
     """-> Dataset(term, doc_freq, total_tf) for one field, aggregated
-    across segments (row-group predicate pushdown on the field column)."""
+    across segments (row-group predicate pushdown on the field column).
+
+    ``salt > 1`` enables the two-stage salted reduce for hot-term skew:
+    after the in-batch combiner, each row gets a round-robin salt id,
+    stage 1 aggregates on (term, salt) — so one hot term's rows spread
+    over ``salt`` reducers instead of one straggler — and stage 2
+    collapses the <= ``salt`` partials per term. The associative-sum
+    semantics make the result identical. Worth it only at extreme
+    segment counts (the combiner already caps a hot term at one row
+    per input batch); default off."""
     import pyarrow.compute as _pc
 
     man = Manifest.load(index_dir)
@@ -43,6 +53,25 @@ def term_stats_dataset(index_dir: str, field: str | None = None) -> "ray.data.Da
         ).rename_columns(["term", "doc_freq", "total_tf"])
 
     ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=262144)
+    if salt and salt > 1:
+        def add_salt(batch):
+            import numpy as _np
+            import pyarrow as _pa
+
+            return batch.append_column(
+                "salt", _pa.array(_np.arange(batch.num_rows) % salt))
+
+        partial = (
+            ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["term", "salt"])
+            .aggregate(Sum("doc_freq", alias_name="doc_freq"),
+                       Sum("total_tf", alias_name="total_tf"))
+            .drop_columns(["salt"])
+        )
+        return partial.groupby("term").aggregate(
+            Sum("doc_freq", alias_name="doc_freq"),
+            Sum("total_tf", alias_name="total_tf"),
+        )
     return ds.groupby("term").aggregate(
         Sum("doc_freq", alias_name="doc_freq"),
         Sum("total_tf", alias_name="total_tf"),

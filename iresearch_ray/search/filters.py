@@ -250,6 +250,7 @@ class Fuzzy(Filter):
     boost: float = 1.0
     field: str | None = None
     scored_terms_limit: int | None = None
+    transpositions: bool = False  # Damerau/OSA (with_transpositions)
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         target = self.term
@@ -264,10 +265,12 @@ class Fuzzy(Filter):
             cands = terms[keep].tolist()
             if not cands:
                 return []
-            dist = _levenshtein_many(target, cands, d)
+            dist = _levenshtein_many(target, cands, d,
+                                     transpositions=self.transpositions)
             return [t for t, dd in zip(cands, dist) if dd <= d]
 
-        nk = ("fuzzy", self.field, target, d, self.prefix)
+        nk = ("fuzzy", self.field, target, d, self.prefix,
+              self.transpositions)
         matched = _cached_scan(
             searcher, nk,
             lambda: searcher.scan_terms(
@@ -1261,9 +1264,13 @@ class PreparedUnscoredUnion(Prepared):
         return docs, np.zeros(docs.size, dtype=self.dtype)
 
 
-def _levenshtein_many(target: str, cands: list[str], dmax: int) -> np.ndarray:
-    """Levenshtein distance of ``target`` vs many candidates, vectorized
-    across candidates (DP over target chars; numpy over candidates)."""
+def _levenshtein_many(target: str, cands: list[str], dmax: int,
+                      transpositions: bool = False) -> np.ndarray:
+    """Levenshtein (or, with ``transpositions``, OSA/Damerau) distance
+    of ``target`` vs many candidates, vectorized across candidates (DP
+    over target chars; numpy over candidates). The reference's
+    ``with_transpositions`` option (``by_edit_distance``): adjacent
+    transposition costs 1. OSA == unrestricted Damerau for d <= 1."""
     tcp = np.frombuffer(target.encode("utf-32-le"), dtype=np.uint32)
     maxlen = max(len(c) for c in cands)
     mat = np.zeros((len(cands), maxlen), dtype=np.uint32)
@@ -1274,14 +1281,22 @@ def _levenshtein_many(target: str, cands: list[str], dmax: int) -> np.ndarray:
         lens[i] = cp.size
     n = len(cands)
     prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int64), (n, maxlen + 1)).copy()
+    prevprev = None
     for i, tc in enumerate(tcp, start=1):
         cur = np.empty_like(prev)
         cur[:, 0] = i
         sub = prev[:, :-1] + (mat != tc)
         dele = prev[:, 1:] + 1
         np.minimum(sub, dele, out=sub)
+        if transpositions and i >= 2 and maxlen >= 2:
+            # OSA: target[i-2:i] swapped equals cand[j-2:j]
+            swap = (mat[:, 1:] == tcp[i - 2]) & (mat[:, :-1] == tc)
+            tr = prevprev[:, :-2] + 1
+            sub[:, 1:] = np.where(swap, np.minimum(sub[:, 1:], tr),
+                                  sub[:, 1:])
         # insertion needs a left-to-right scan; do it with cummin trick
         for j in range(1, maxlen + 1):
             cur[:, j] = np.minimum(sub[:, j - 1], cur[:, j - 1] + 1)
+        prevprev = prev
         prev = cur
     return prev[np.arange(n), lens]

@@ -308,3 +308,41 @@ def test_parallel_query_threads_rank_identical(small_index):
             pd.testing.assert_frame_equal(a, b), (flt, mode)
     for flt in queries:
         assert ids(seq.match_docs(flt)) == ids(par.match_docs(flt))
+
+
+def test_levenshtein_transpositions_kernel():
+    """OSA/Damerau option of the fuzzy kernel vs a scalar reference."""
+    import random
+
+    from iresearch_ray.search.filters import _levenshtein_many
+
+    assert _levenshtein_many("scan", ["sacn"], 2,
+                             transpositions=True)[0] == 1
+    assert _levenshtein_many("scan", ["sacn"], 2)[0] == 2  # plain = 2
+
+    def osa(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + cost)
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+        return d[la][lb]
+
+    rng = random.Random(9)
+    for _ in range(300):
+        a = "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7)))
+        bs = ["".join(rng.choice("abc")
+                      for _ in range(rng.randrange(1, 7)))
+              for _ in range(5)]
+        got = _levenshtein_many(a, bs, 6, transpositions=True)
+        for b, g in zip(bs, got):
+            assert int(g) == osa(a, b), (a, b)

@@ -319,3 +319,15 @@ def test_winnow_and_bpe_stats(ray_session):
         bpe_token_stats, batch_format="pyarrow").to_pandas()
     # abc|123| x|-|y|! -> 6 pieces, 2 ws tokens
     assert st2.ws_tokens.iloc[0] == 2 and st2.bpe_pieces.iloc[0] == 6
+
+
+def test_term_stats_salted_equals_plain(ray_session, small_index):
+    """The salted two-stage reduce must produce identical stats (sum is
+    associative; salting only changes the shuffle layout)."""
+    from iresearch_ray.index.stats import term_stats_dataset
+
+    plain = term_stats_dataset(small_index).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    salted = term_stats_dataset(small_index, salt=4).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    assert plain.equals(salted)

@@ -32,6 +32,7 @@ from iresearch_ray.index.manifest import Manifest
 from iresearch_ray.index.segment import (
     SUCCESS_MARKER,
     SegmentReader,
+    _write_norms_npz,
     encode_field_tables,
     segment_name,
 )
@@ -181,6 +182,7 @@ def merge_segments(index_dir: str, group: list[dict],
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"),
                    row_group_size=1024)
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
+    _write_norms_npz(norms_table, tmp_dir)
     docmap = pa.concat_tables([
         r.docmap if idmap is None
         else r.docmap.take(pa.array(np.flatnonzero(~idmap[0])))

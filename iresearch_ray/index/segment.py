@@ -49,6 +49,23 @@ FORMAT_VERSION = 2  # v2: multi-field term dictionary (field column)
 SUCCESS_MARKER = "_SUCCESS"
 
 
+def _write_norms_npz(norms_table: pa.Table, out_dir: str) -> None:
+    """Sidecar ``norms.npz`` next to norms.parquet: ``np.load`` costs
+    ~0.1ms vs ~1.3ms of parquet footer parse per file, and the first
+    scored query touches EVERY segment's norms — at 300 segments that
+    parse alone was ~0.4s of cold-query latency. Parquet stays the
+    canonical (portable) form; readers fall back to it when the
+    sidecar is absent (older segments)."""
+    import numpy as _np
+
+    arrays = {
+        name: norms_table.column(name).to_numpy(zero_copy_only=False)
+        .astype(_np.float32)
+        for name in norms_table.column_names
+    }
+    _np.savez(os.path.join(out_dir, "norms.npz"), **arrays)
+
+
 # ---------------------------------------------------------------------------
 # inversion
 # ---------------------------------------------------------------------------
@@ -633,6 +650,7 @@ def write_segment(
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"),
                    row_group_size=1024)
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
+    _write_norms_npz(norms_table, tmp_dir)
     stored = list(stored_cols) if stored_cols is not None else batch.column_names
     pq.write_table(batch.select(stored), os.path.join(tmp_dir, "docmap.parquet"))
     elapsed = time.time() - t0
@@ -751,6 +769,15 @@ class SegmentReader:
         field = field or self.default_field
         arr = self._norms.get(field)
         if arr is None:
+            npz_path = os.path.join(self.dir, "norms.npz")
+            if os.path.exists(npz_path):
+                z = np.load(npz_path)
+                col = f"len_{field}" if f"len_{field}" in z.files else "doc_len"
+                arr = (np.asarray(z[col], dtype=np.float32)
+                       if col in z.files
+                       else np.zeros(self.docs_count, dtype=np.float32))
+                self._norms[field] = arr
+                return arr
             t = pq.read_table(os.path.join(self.dir, "norms.parquet"))
             col = f"len_{field}" if f"len_{field}" in t.column_names else "doc_len"
             if col in t.column_names:

@@ -353,3 +353,34 @@ def test_transaction_two_phase(ray_session, half_index, small_corpus, tmp_path):
     # double-commit / use-after-close guarded
     with pytest.raises(AssertionError):
         txn.commit()
+
+
+def test_warm_caches_respect_deletes_after_reopen(ray_session, half_index):
+    """Scored/structural segment caches are keyed on snapshot-constant
+    inputs; deletes are applied OUTSIDE the caches (filter_live per
+    query). Warm every cache shape, delete, reopen the SAME searcher,
+    and verify every query shape drops the deleted docs."""
+    s = IndexSearcher(half_index)
+    queries = [
+        F.Term("ref"),
+        F.Or([F.Term("ref"), F.Term("deploy")]),
+        F.And([F.Term("the"), F.Term("ref")]),
+        F.Phrase(["deploy", "target"]),
+        F.Fuzzy("ref", 1),
+    ]
+    for q in queries:  # warm all caches
+        s.search(q, k=10)
+        s.search(q, k=10)
+    victims = s.match_docs(F.Term("ref"))[:3]
+    assert victims.size == 3
+
+    w = IndexWriter(half_index)
+    w.delete(F.Term("ref"))
+    assert s.reopen()
+    for q in queries:
+        res = s.search(q, k=1000)
+        got = set(res["doc_id"].tolist())
+        assert not (got & set(victims.tolist())), q
+    # ref is gone entirely; conjunction/phrase containing ref empty too
+    assert len(s.search(F.Term("ref"), k=10)) == 0
+    assert len(s.search(F.And([F.Term("the"), F.Term("ref")]), k=10)) == 0

@@ -733,33 +733,65 @@ def _q_winnow_fingerprints(sf_dir: str):
         .to_pandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
 
 
+class _ClassifyBatch:
+    """map_batches actor: model loaded once per actor in __init__ (the
+    stateful-analyzer actor-pool shape), label prediction per batch."""
+
+    def __init__(self, model_path: str):
+        from iresearch_ray.analysis.analyzers import get_analyzer
+
+        self.an = get_analyzer("classification",
+                               {"model_location": model_path, "top_k": 1})
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        d, labels, _ = self.an.tokenize(texts)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[d].astype("int64")),
+            "lang_pred": labels,
+        })
+
+
 def _q_classification_lang(sf_dir: str):
     """``classification`` analyzer end-to-end (fastText-shaped model:
-    random-indexing word vectors + nearest label centroid): fit on the
-    documents (text, lang) pairs, then emit each doc's predicted lang
-    label token. Model-dependent -> rows-only (no SQL oracle). NOTE:
-    the synthetic corpus draws text independently of lang, so accuracy
-    is necessarily ~chance here; tests/test_embeddings.py shows the
-    same model separating correlated classes cleanly."""
-    import pandas as pd
+    random-indexing word vectors + nearest label centroid): FIT on a
+    bounded driver-side sample of (text, lang) pairs — model training
+    is a sampling step at any scale — then PREDICT distributed via an
+    actor-pool ``map_batches`` (model loaded once per actor).
+    Model-dependent -> rows-only (no SQL oracle). NOTE: the synthetic
+    corpus draws text independently of lang, so accuracy is necessarily
+    ~chance here; tests/test_embeddings.py shows the same model
+    separating correlated classes cleanly."""
+    import hashlib
+    import os
+
     import pyarrow.parquet as pq
+    import ray.data
 
     from iresearch_ray.analysis.embeddings import WordEmbeddingModel
-    from iresearch_ray.analysis.analyzers import get_analyzer
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "text", "lang"])
-    texts = t.column("text").combine_chunks()
-    model = WordEmbeddingModel.fit(texts, t.column("lang").to_pylist(),
-                                   dim=24)
-    an = get_analyzer("classification",
-                      {"model_location": model, "top_k": 1})
-    d, labels, _ = an.tokenize(texts)
-    ids = t.column("doc_id").to_numpy()
-    return pd.DataFrame({
-        "doc_id": ids[d].astype("int64"),
-        "lang_pred": labels.to_pylist(),
-    }).sort_values("doc_id").reset_index(drop=True)
+    slug = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    mp = f"/tmp/iresearch_ray_cache/langmodel-{slug}.npz"
+    if not os.path.exists(mp):
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        # bounded training sample (full table at these sf sizes)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text", "lang"]).slice(0, 65536)
+        model = WordEmbeddingModel.fit(t.column("text").combine_chunks(),
+                                       t.column("lang").to_pylist(),
+                                       dim=24)
+        model.save(mp)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(_ClassifyBatch,
+                         fn_constructor_kwargs=dict(model_path=mp),
+                         batch_format="pyarrow", concurrency=(1, 4))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_transcripts_flagship(sf_dir: str):

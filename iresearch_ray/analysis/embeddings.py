@@ -37,16 +37,33 @@ import pyarrow as pa
 from iresearch_ray.analysis.analyzers import Analyzer, SegmentationAnalyzer
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer — turns (hash, counter) pairs
+    into well-mixed uint64 streams."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _hash_vectors(words: np.ndarray, dim: int, seed: int = 7) -> np.ndarray:
-    """Deterministic random-indexing vectors: one Gaussian draw per
-    word, seeded by a stable content hash (process-salt-free)."""
-    out = np.empty((words.size, dim), dtype=np.float32)
-    for i, w in enumerate(words):
-        h = np.uint64(1469598103934665603)
-        for b in str(w).encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        rng = np.random.default_rng(int(h) ^ seed)
-        out[i] = rng.standard_normal(dim, dtype=np.float32)
+    """Deterministic random-indexing vectors, fully vectorized: per-word
+    content hash (columnar kernel) -> counter-based SplitMix64 streams
+    -> Box-Muller Gaussians. No per-word Python loop, no RNG objects."""
+    import pyarrow as _pa
+
+    from iresearch_ray.pipelines.dedup import _hash_strings
+
+    base = _hash_strings(_pa.array([str(w) for w in words],
+                                   type=_pa.string())) ^ np.uint64(seed)
+    # two uniform streams per output dim (Box-Muller needs pairs)
+    ctr = np.arange(2 * dim, dtype=np.uint64)[None, :]
+    bits = _splitmix64(base[:, None] * np.uint64(0x9E3779B97F4A7C15) + ctr)
+    u = (bits >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+    u1 = np.clip(u[:, :dim], 1e-12, 1.0)
+    u2 = u[:, dim:]
+    out = (np.sqrt(-2.0 * np.log(u1))
+           * np.cos(2.0 * np.pi * u2)).astype(np.float32)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     return out / np.maximum(norms, 1e-12)
 

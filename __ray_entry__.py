@@ -1074,6 +1074,47 @@ FROM fps ORDER BY doc_id, fp
 """
 
 
+def _langid_sql() -> str:
+    """LangId heuristic oracle: per-doc count of DISTINCT tokens in
+    each language's stopword profile (letters-only tokenizer), argmax
+    with alphabetical tie-break, 'unk' when no profile hits. Profiles
+    inlined from the SAME table the engine uses. (The engine dedupes
+    (doc, token) via a 64-bit hash; a collision would diverge — with
+    <= a few hundred tokens/doc the probability is ~2^-50.)"""
+    from iresearch_ray.pipelines.textstats import _LANG_PROFILES
+
+    rows = ",\n    ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lang]))
+    return f"""
+WITH prof(lang, term) AS (
+  VALUES {rows}
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, p.lang, count(DISTINCT t.term) AS c
+  FROM tok t JOIN prof p ON t.term = p.term
+  GROUP BY t.doc_id, p.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang ASC) AS rn
+  FROM hits WHERE c > 0
+)
+SELECT d.doc_id, COALESCE(b.lang, 'unk') AS lang_pred
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+  USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     topk = (
         _TOK_SQL
@@ -1264,6 +1305,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
         "minhash_lsh_buckets": _minhash_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "lang_id": _langid_sql(),
         "ann_ivf_topk": """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

@@ -286,14 +286,87 @@ class ImageResizer:
         })
 
 
+def split_ppmv(b: bytes) -> list[bytes]:
+    """Split a ``ppmv`` container (back-to-back P6 frames) into frame
+    payloads by parsing each frame's own header — no codec library."""
+    out = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        if b[pos:pos + 2] != b"P6":
+            raise ValueError("ppmv: bad frame magic")
+        # header: magic + 3 whitespace-separated ints (w, h, maxval)
+        # + exactly one whitespace byte before the raster (same framing
+        # as decode_ppm)
+        toks, i = [], pos + 2
+        while len(toks) < 3:
+            while b[i] in b" \t\r\n":
+                i += 1
+            j = i
+            while b[j] not in b" \t\r\n":
+                j += 1
+            toks.append(int(b[i:j]))
+            i = j
+        w, h = toks[0], toks[1]
+        end = i + 1 + 3 * w * h
+        out.append(b[pos:end])
+        pos = end
+    return out
+
+
+def encode_ppmv(frames: list[np.ndarray]) -> bytes:
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def make_ppmv_media(n: int, seed: int = 0, n_frames: int = 8,
+                    width: int = 24, height: int = 16,
+                    fps: int = 4) -> pa.Table:
+    """Deterministic synthetic videos: each payload is a REAL ppmv
+    stream of ``n_frames`` P6 frames (a drifting gradient)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+    for i in range(n):
+        base = rng.integers(0, 200, size=(height, width, 3), dtype=np.uint8)
+        frames = [((base.astype(np.int32) + 7 * j) % 256).astype(np.uint8)
+                  for j in range(n_frames)]
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(encode_ppmv(frames))
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(int(n_frames * 1000 / fps))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], type=pa.int64()),
+        "kind": pa.array(rows["kind"], type=pa.string()),
+        "payload": pa.array(rows["payload"], type=pa.binary()),
+        "width": pa.array(rows["width"], type=pa.int32()),
+        "height": pa.array(rows["height"], type=pa.int32()),
+        "sample_rate": pa.array(rows["sample_rate"], type=pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], type=pa.int32()),
+    })
+
+
 class FrameSampler:
     """Video frame sampling: emits one row per sampled frame (flat-map
-    shape: one input row -> k output rows)."""
+    shape: one input row -> k output rows).
+
+    ``backend="ppmv"`` is the REAL path: frames are recovered by
+    parsing each embedded P6 header (``split_ppmv``), the sampling
+    stride comes from the container's duration/frame count, and every
+    emitted payload is a standalone decodable PPM (chains into
+    ``MediaDecoder(backend="ppm")`` / ``ImageResizer(backend="ppm")``).
+    ``backend="fake"`` keeps the byte-chunk stand-in for compressed
+    containers (no codec libs in this environment)."""
 
     def __init__(self, every_ms: int = 1000, backend: str = "fake"):
-        if backend != "fake":
-            raise NotImplementedError("video codecs unavailable; backend='fake'")
+        if backend not in ("fake", "ppmv"):
+            raise NotImplementedError(
+                "compressed video codecs unavailable; backend='ppmv' "
+                "(real, concatenated PPM frames) or 'fake'")
         self.every_ms = every_ms
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_idx, ts_ms, payloads = [], [], [], []
@@ -302,6 +375,16 @@ class FrameSampler:
             batch.column("duration_ms").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
+            if self.backend == "ppmv":
+                frames = split_ppmv(b)
+                frame_ms = max(1, int(dur) // max(1, len(frames)))
+                stride = max(1, self.every_ms // frame_ms)
+                for j in range(0, len(frames), stride):
+                    ids.append(mid)
+                    frame_idx.append(j)
+                    ts_ms.append(j * frame_ms)
+                    payloads.append(frames[j])
+                continue
             n_frames = max(1, int(dur) // self.every_ms)
             chunks = np.array_split(np.frombuffer(b, dtype=np.uint8), n_frames)
             for j, ch in enumerate(chunks):
@@ -331,11 +414,11 @@ def decode_features(ds, backend: str = "fake", concurrency: int = 4,
 
 
 def sample_frames(ds, every_ms: int = 1000, concurrency: int = 4,
-                  batch_size: int = 32):
+                  batch_size: int = 32, backend: str = "fake"):
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_kwargs=dict(every_ms=every_ms),
+        fn_constructor_kwargs=dict(every_ms=every_ms, backend=backend),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

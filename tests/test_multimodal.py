@@ -198,3 +198,37 @@ def test_ivf_index_topk(ray_session, tmp_path):
     assert got0 and got0 <= set(range(0, 50))       # stays in cluster 0
     got1 = set(probe1[probe1.query_id == 1].vec_id)
     assert got1 and got1 <= set(range(50, 100))     # cluster 1
+
+
+def test_ppmv_frame_sampling_real_path(ray_session):
+    """Real video path: concatenated-PPM container -> header-parsed
+    frame split -> sampled frames decode as standalone PPMs."""
+    import numpy as np
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        decode_ppm,
+        make_ppmv_media,
+        sample_frames,
+        split_ppmv,
+    )
+
+    t = make_ppmv_media(6, seed=2, n_frames=8, fps=4)  # 2000ms each
+    # round-trip: split recovers exactly 8 frames with right shape
+    frames = split_ppmv(t.column("payload")[0].as_py())
+    assert len(frames) == 8
+    px = decode_ppm(frames[3])
+    assert px.shape == (16, 24, 3)
+
+    out = sample_frames(ray.data.from_arrow(t), every_ms=500,
+                        backend="ppmv").to_pandas()
+    # 2000ms / 8 frames = 250ms/frame; stride = 500/250 = 2 -> 4 rows
+    assert (out.groupby("media_id").size() == 4).all()
+    assert sorted(out[out.media_id == 0].frame_idx) == [0, 2, 4, 6]
+    # every sampled payload is a standalone decodable PPM
+    for b in out.payload:
+        assert decode_ppm(bytes(b)).shape == (16, 24, 3)
+    # frames differ (drifting gradient), so features would too
+    a = decode_ppm(bytes(out.payload.iloc[0]))
+    b2 = decode_ppm(bytes(out.payload.iloc[1]))
+    assert not np.array_equal(a, b2)

@@ -60,19 +60,29 @@ def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a varint blob back to uint64 values (vectorized)."""
+    """Decode a varint blob back to uint64 values (vectorized).
+
+    Allocation-lean: per-value lengths are computed with one subtract
+    into a preallocated buffer (``np.append`` + ``np.diff`` copied the
+    start array twice per call, which dominated cold position decodes
+    on multi-MB streams)."""
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     cont = (raw & 0x80) != 0
     is_start = np.empty(raw.shape, dtype=bool)
     is_start[0] = True
-    is_start[1:] = ~cont[:-1]
+    np.logical_not(cont[:-1], out=is_start[1:])
     starts = np.flatnonzero(is_start)
     if count is not None:
         starts = starts[:count]
-    lengths = np.diff(np.append(starts, raw.size))
-    vals = np.zeros(starts.size, dtype=np.uint64)
+    n = starts.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.empty(n, dtype=np.int64)
+    np.subtract(starts[1:], starts[:-1], out=lengths[:-1])
+    lengths[-1] = raw.size - starts[-1]
+    vals = np.zeros(n, dtype=np.uint64)
     # gather only the bytes of the values still active at byte j —
     # materializing (raw & 0x7F) as uint64 for the WHOLE blob would be
     # an 8x memory-traffic blowup (the merge path is bandwidth-bound)

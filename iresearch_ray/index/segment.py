@@ -981,7 +981,7 @@ class SegmentReader:
         if positions:
             pos_row = self._posting_row(idx, "pos")
             pos_blob = self._row_blob(pos_row, "pos_blob")
-            pos_deltas = varint_decode(pos_blob).astype(np.int64)
+            pos_deltas = varint_decode(pos_blob).view(np.int64)
             run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
             pos = np.cumsum(pos_deltas)
             # reset cumulative sum at each run start
@@ -1004,7 +1004,7 @@ class SegmentReader:
         if blob.size == 0:
             raise KeyError(
                 f"segment {self.meta['name']} has no OFFS stream for term {idx}")
-        inter = varint_decode(blob).astype(np.int64)
+        inter = varint_decode(blob).view(np.int64)
         sd, lens = inter[0::2], inter[1::2]
         tfs = pl.tfs
         run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
@@ -1106,8 +1106,8 @@ class SegmentReader:
         if small.any():
             s_df = df[small]
             s_starts = np.concatenate(([0], np.cumsum(s_df)[:-1]))
-            s_deltas = varint_decode(gather(d_offs, d_data, small)).astype(np.int64)
-            s_tfs = varint_decode(gather(f_offs, f_data, small)).astype(np.int64)
+            s_deltas = varint_decode(gather(d_offs, d_data, small)).view(np.int64)
+            s_tfs = varint_decode(gather(f_offs, f_data, small)).view(np.int64)
             s_docs = reset_cumsum(s_deltas, s_starts, s_df)
             out_idx = np.repeat(term_starts[small] - s_starts, s_df) \
                 + np.arange(s_docs.size)
@@ -1208,7 +1208,7 @@ class SegmentReader:
         lens = eb - sb
         out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         gidx = np.repeat(sb - out_starts, lens) + np.arange(int(lens.sum()))
-        deltas = varint_decode(blob[gidx]).astype(np.int64)
+        deltas = varint_decode(blob[gidx]).view(np.int64)
         run_starts = np.concatenate(([0], np.cumsum(t)[:-1]))
         cum = np.cumsum(deltas)
         base = np.repeat(cum[run_starts] - deltas[run_starts], t)
@@ -1278,29 +1278,51 @@ def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndar
 def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """Decode many full bitpacked blocks at once -> (n, BLOCK_SIZE) int64.
 
-    Groups blocks by bit width: ONE unpackbits call per distinct width
-    instead of one per block (the numpy stand-in for the reference's
-    SIMD batch unpack, ``core/utils/simd_utils.hpp``)."""
+    Groups blocks by bit width (the numpy stand-in for the reference's
+    SIMD batch unpack, ``core/utils/simd_utils.hpp``). For widths <= 56
+    each value is read as ONE unaligned little-endian uint64 window at
+    its starting byte, then shift+mask — pure integer ops, ~2 KB of
+    memory traffic per block (the previous unpackbits + float-matmul
+    recomposition moved ~100 KB per block and dominated cold decode).
+    Widths > 56 (never produced by 32k-doc segments) take an exact
+    float64 matmul fallback."""
     n = offs.size
     out = np.empty((n, BLOCK_SIZE), dtype=np.int64)
     widths = blob[offs].astype(np.int64)
-    for w in np.unique(widths):
+    uniq = np.unique(widths)
+    win = None
+    if (uniq <= 56).any():
+        # 8-byte zero pad so the last value's uint64 window never runs
+        # off the buffer; the unaligned overlapping uint64 view costs
+        # nothing to build (stride 1 byte over the padded bytes)
+        pad = np.empty(blob.size + 8, np.uint8)
+        pad[:blob.size] = blob
+        pad[blob.size:] = 0
+        win = np.ndarray(shape=(pad.size - 7,), dtype="<u8",
+                         buffer=pad.data, strides=(1,))
+    idx = np.arange(BLOCK_SIZE, dtype=np.int64)
+    for w in uniq:
         g = np.flatnonzero(widths == w)
-        nb = (BLOCK_SIZE * int(w) + 7) // 8
-        gather = (offs[g][:, None] + 1 + np.arange(nb)).ravel()
-        bits = np.unpackbits(
-            blob[gather].reshape(g.size, nb), axis=1,
-            count=BLOCK_SIZE * int(w), bitorder="little",
-        ).reshape(-1, int(w))
-        # bit recomposition as a BLAS matmul — float32 for widths <= 24
-        # (exact; halves the memory traffic of the bandwidth-bound merge
-        # path), float64 above (exact to 52 bits)
-        if w <= 24:
-            powers32 = (2.0 ** np.arange(int(w))).astype(np.float32)
-            vals_f = bits.astype(np.float32) @ powers32
+        w = int(w)
+        if w == 0:
+            out[g] = 0
+        elif w <= 56:
+            bit = idx * w
+            byte_off = bit >> 3
+            shift = (bit & 7).astype(np.uint64)
+            starts = offs[g][:, None] + 1 + byte_off[None, :]
+            words = win[starts.ravel()].reshape(g.size, BLOCK_SIZE)
+            out[g] = ((words >> shift[None, :])
+                      & np.uint64((1 << w) - 1)).astype(np.int64)
         else:
-            vals_f = bits.astype(np.float64) @ (2.0 ** np.arange(int(w)))
-        out[g] = vals_f.reshape(g.size, BLOCK_SIZE).astype(np.int64)
+            nb = (BLOCK_SIZE * w + 7) // 8
+            gather = (offs[g][:, None] + 1 + np.arange(nb)).ravel()
+            bits = np.unpackbits(
+                blob[gather].reshape(g.size, nb), axis=1,
+                count=BLOCK_SIZE * w, bitorder="little",
+            ).reshape(-1, w)
+            vals_f = bits.astype(np.float64) @ (2.0 ** np.arange(w))
+            out[g] = vals_f.reshape(g.size, BLOCK_SIZE).astype(np.int64)
     return out
 
 

@@ -1154,12 +1154,61 @@ def _keys_in_docs(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
 
 
 def _merge_disjunction(parts, min_match, score_merge, dtype):
-    """Shared disjunction merge kernel: concat children in child order,
-    stable sort by doc, reduceat per doc run. NOTE: numpy reduceat uses
-    pairwise summation — any alternative scored path (e.g. the MAXSCORE
-    pruned evaluation) must reuse THIS kernel or drift by 1 float32 ulp."""
+    """Shared disjunction merge kernel. Every scored disjunction-shaped
+    path (Or, multiterm, ngram gram-union, the strict MAXSCORE
+    evaluation) MUST go through this one function: the per-doc float32
+    sum order is an implementation detail, so two different merge
+    algorithms drift by 1 ulp and break rank-identity between paths.
+
+    Two deterministic strategies, chosen only from the input sizes (so
+    the same (segment, query) always takes the same path):
+
+    - DENSE (the common case for segment-local doc ids): one
+      accumulator slot per doc id, children scattered in child order.
+      O(K·n_docs) sequential memory traffic — no concat, no argsort,
+      no gather — which is what makes COLD disjunctions cheap; doc ids
+      must be segment-local (bounded), which every caller passes.
+      Requires each child's docs to be unique (true of every Prepared
+      ``execute``: a filter matches a doc at most once).
+    - SPARSE (concat + stable argsort + reduceat) when the doc-id
+      bound is much larger than the posting mass, or for pathological
+      child counts.
+
+    Per-doc sums: dense accumulates sequentially in child order,
+    sparse reduceat is pairwise — the 1-ulp difference between the two
+    is fine ACROSS queries/segments (the choice is deterministic), it
+    would only break if the same inputs could take both paths."""
     if not parts:
         return _empty(dtype)
+    total = 0
+    max_doc = 0
+    for d, _ in parts:
+        total += d.size
+        if d.size:
+            last = int(d[-1])
+            if last > max_doc:
+                max_doc = last
+    if total == 0:
+        return _empty(dtype)
+    if max_doc + 1 <= 4 * total + 65536 and len(parts) < 60000:
+        sdt = parts[0][1].dtype
+        n = max_doc + 1
+        cnt = np.zeros(n, np.uint16)
+        if score_merge == "max":
+            acc = np.full(n, -np.inf, sdt)
+            for d, s in parts:
+                if d.size:
+                    acc[d] = np.maximum(acc[d], s)
+                    cnt[d] += 1
+        else:
+            acc = np.zeros(n, sdt)
+            for d, s in parts:
+                if d.size:
+                    acc[d] += s
+                    cnt[d] += 1
+        out_docs = np.flatnonzero(
+            cnt >= min_match if min_match > 1 else cnt)
+        return out_docs, acc[out_docs].astype(dtype, copy=False)
     docs = np.concatenate([d for d, _ in parts])
     scores = np.concatenate([s for _, s in parts])
     order = np.argsort(docs, kind="stable")

@@ -670,57 +670,31 @@ class IndexSearcher:
         return hit
 
     def _maxscore_or(self, prepared, seg_ord: int, base: int, col: TopK):
-        """Scored pure-term disjunction with a per-segment cached merge
-        PERMUTATION: the concat order, sorted doc sequence and per-doc
-        run boundaries of the disjunction merge are pure functions of
-        (segment, term rows), so they are computed once per index
-        lifetime (bounded cache — the structural analogue of Lucene's
-        per-segment query cache). Every query recomputes only per-child
-        SCORES (they depend on global collector stats), applies the
-        cached permutation and reduceat — arithmetically the exact
-        operations of ``_merge_disjunction``, so results stay
-        bit-identical to the exhaustive path. (Supersedes round 1's
-        MAXSCORE essential split, whose union pruning saved less than
-        this amortization; reference ``disjunction.hpp:1128-1168``.)"""
+        """Scored pure-term disjunction with two per-segment cache
+        levels (the structural analogue of Lucene's per-segment query
+        cache; reference ``disjunction.hpp:1128-1168``):
+
+        - STRUCTURAL: per-child decoded (docs, tfs, gathered norms) —
+          pure functions of (segment, term rows), cached once per index
+          lifetime.
+        - SCORED: the merged (docs, summed scores). On a FIXED snapshot
+          every child's ScoreCtx is constant (idf/avgdl are index-wide
+          stats of the snapshot), so the result is a pure function of
+          (rows, min_match, ctx constants) — the ctx fingerprint makes
+          a reopen (which changes global stats) naturally miss.
+          Deletes are NOT cached: filter_live runs per query.
+
+        The merge itself is ``_merge_disjunction`` — THE canonical
+        kernel every scored disjunction path shares, so strict results
+        stay bit-identical to the exhaustive path by construction."""
+        from iresearch_ray.search.filters import _merge_disjunction
+
         children = prepared.children
         seg = self.segments[seg_ord]
-        cache = getattr(seg, "_disj_cache", None)
-        if cache is None:
-            cache = seg._disj_cache = {}
-        key = tuple(int(c.state.rows[seg_ord]) for c in children)
-        hit = cache.get(key)
-        if hit is None:
-            plists = []
-            for ci, c in enumerate(children):
-                row = c.state.rows[seg_ord]
-                if row >= 0:
-                    plists.append((ci, seg.postings(int(row))))
-            if not plists:
-                return
-            docs_cat = np.concatenate([pl.docs for _, pl in plists])
-            order = np.argsort(docs_cat, kind="stable")
-            docs_sorted = docs_cat[order]
-            starts = np.flatnonzero(np.diff(docs_sorted, prepend=-1))
-            hit = (
-                [(ci, pl.tfs,
-                  seg.field_norms(children[ci].field)[pl.docs - 1])
-                 for ci, pl in plists],
-                order,
-                docs_sorted[starts],
-                starts,
-            )
-            if len(cache) >= 16:
-                cache.pop(next(iter(cache)))
-            cache[key] = hit
-        # scored second-level cache: on a FIXED snapshot every child's
-        # ScoreCtx is constant (idf/avgdl are index-wide stats of the
-        # snapshot), so (docs, summed scores) is a pure function of
-        # (rows, min_match, ctx constants) — fingerprint the constants
-        # so a reopen (which changes global stats) naturally misses.
-        # Deletes are NOT cached: filter_live runs per query.
         sc_cache = getattr(seg, "_scored_disj_cache", None)
         if sc_cache is None:
             sc_cache = seg._scored_disj_cache = {}
+        key = tuple(int(c.state.rows[seg_ord]) for c in children)
         ctx_fp = tuple(
             (float(c.ctx.c0), float(c.ctx.norm_const),
              float(c.ctx.norm_length)) for c in children)
@@ -728,18 +702,29 @@ class IndexSearcher:
                 ctx_fp)
         scored = sc_cache.get(skey)
         if scored is None:
-            layout, order, out_docs, starts = hit
-            score_parts = []
-            for ci, tfs, dls in layout:
-                c = children[ci]
-                score_parts.append(c.scorer.score(c.ctx, tfs, dls))
-            scores = np.concatenate(score_parts)[order]
-            out_scores = np.add.reduceat(scores, starts).astype(prepared.dtype)
-            if prepared.min_match > 1:
-                counts = np.diff(np.append(starts, scores.size))
-                keep = counts >= prepared.min_match
-                out_docs, out_scores = out_docs[keep], out_scores[keep]
-            scored = (out_docs, out_scores)
+            cache = getattr(seg, "_disj_cache", None)
+            if cache is None:
+                cache = seg._disj_cache = {}
+            hit = cache.get(key)
+            if hit is None:
+                hit = []
+                for ci, c in enumerate(children):
+                    row = c.state.rows[seg_ord]
+                    if row >= 0:
+                        pl = seg.postings(int(row))
+                        hit.append((ci, pl.docs, pl.tfs,
+                                    seg.field_norms(c.field)[pl.docs - 1]))
+                if len(cache) >= 16:
+                    cache.pop(next(iter(cache)))
+                cache[key] = hit
+            if not hit:
+                return
+            parts = [(docs, children[ci].scorer.score(children[ci].ctx,
+                                                      tfs, dls))
+                     for ci, docs, tfs, dls in hit]
+            scored = _merge_disjunction(parts, prepared.min_match,
+                                        prepared.score_merge,
+                                        prepared.dtype)
             if len(sc_cache) >= 8:
                 sc_cache.pop(next(iter(sc_cache)))
             sc_cache[skey] = scored

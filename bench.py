@@ -22,6 +22,20 @@ import subprocess
 import sys
 import time
 
+# glibc mmap()s allocations >128 KB and munmap()s them on free, so every
+# multi-MB numpy temporary page-faults afresh — on this VM faulting is
+# the single biggest cost of cold query decode (measured 2-3x on the
+# query set). Raise the thresholds so large buffers stay in the arena
+# and get reused; glibc only reads these at process start, hence the
+# self-exec.
+_MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+}
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None and sys.platform == "linux":
+    os.execve(sys.executable, [sys.executable] + sys.argv,
+              {**os.environ, **_MALLOC_TUNING})
+
 # corpus sizing per sf (turns ~= convs * 20.5). sf0.1 is sized so the
 # fixed per-session costs (28-actor pool startup, read ramp) amortize
 # the way they would on a real long build — at 4M turns they were ~20%

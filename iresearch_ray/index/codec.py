@@ -82,11 +82,26 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarr
     lengths = np.empty(n, dtype=np.int64)
     np.subtract(starts[1:], starts[:-1], out=lengths[:-1])
     lengths[-1] = raw.size - starts[-1]
+    maxlen = int(lengths.max())
+    if maxlen <= 8:
+        # fast path (every stream this codec writes: values < 2^56):
+        # ONE unaligned little-endian uint64 window per value, then
+        # shift/mask arithmetic — no per-byte gathers
+        pad = np.empty(raw.size + 8, np.uint8)
+        pad[:raw.size] = raw
+        pad[raw.size:] = 0
+        win = np.ndarray(shape=(pad.size - 7,), dtype="<u8",
+                         buffer=pad.data, strides=(1,))
+        words = win[starts]
+        vals = words & np.uint64(0x7F)
+        for j in range(1, maxlen):
+            contrib = ((words >> np.uint64(8 * j)) & np.uint64(0x7F)) \
+                << np.uint64(7 * j)
+            contrib *= lengths > j
+            vals |= contrib
+        return vals
     vals = np.zeros(n, dtype=np.uint64)
-    # gather only the bytes of the values still active at byte j —
-    # materializing (raw & 0x7F) as uint64 for the WHOLE blob would be
-    # an 8x memory-traffic blowup (the merge path is bandwidth-bound)
-    for j in range(int(lengths.max())):
+    for j in range(maxlen):
         act = lengths > j if j else slice(None)
         idx = starts[act] + j
         vals[act] |= (raw[idx] & np.uint8(0x7F)).astype(np.uint64) \

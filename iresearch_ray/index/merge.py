@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from iresearch_ray.index.manifest import Manifest
 from iresearch_ray.index.segment import (
+    FORMAT_VERSION,
     SUCCESS_MARKER,
     SegmentReader,
     _write_norms_npz,
@@ -192,7 +193,9 @@ def merge_segments(index_dir: str, group: list[dict],
     elapsed = time.time() - t0
     text_col = group[0].get("text_col", "text")
     meta = {
-        "format_version": group[0].get("format_version", 2),
+        # the merge WRITES the current format regardless of the inputs'
+        # version (this is also the v2 -> v3 migration path)
+        "format_version": FORMAT_VERSION,
         "name": name,
         "docs_count": total_docs,
         "docs_with_field": fields_meta[text_col]["docs_with_field"],

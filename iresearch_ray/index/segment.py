@@ -45,7 +45,11 @@ from iresearch_ray.index.codec import (
     varint_encode,
 )
 
-FORMAT_VERSION = 2  # v2: multi-field term dictionary (field column)
+FORMAT_VERSION = 3  # v2: multi-field term dictionary (field column)
+# v3: position streams are blocked (128-value bitpacked chunks + varint
+# tail, ``pos_chunk_off``/``block_pos_val`` columns) like doc/freq; v2
+# segments (flat-varint ``block_pos_off``) remain readable — readers
+# branch on column presence.
 SUCCESS_MARKER = "_SUCCESS"
 
 
@@ -244,7 +248,8 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
             "block_last_doc": _list_col(ei, ei),
             "block_doc_off": _list_col(ei, ei),
             "block_freq_off": _list_col(ei, ei),
-            "block_pos_off": _list_col(ei, ei),
+            "pos_chunk_off": _list_col(ei, ei),
+            "block_pos_val": _list_col(ei, ei),
             "block_max_tf": _list_col(ei, ei),
             "block_min_dl": _list_col(ei, ei),
         }
@@ -256,15 +261,21 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
             cols["block_pay_off"] = _list_col(ei, ei)
         return pa.table(cols)
 
-    # --- positions: ONE flat varint pass; per-term ranges contiguous
+    # --- positions (format v3): the SAME blocked-stream structure as
+    # doc/freq — full 128-VALUE bitpacked chunks + varint tail per term
+    # (``pos_chunk_off`` byte offsets per chunk incl. the tail entry),
+    # plus ``block_pos_val``: the position-VALUE index at each DOC
+    # block's first run, for block-restricted decode. v2 stored the
+    # whole stream as flat varint; its decode dominated cold phrase /
+    # n-gram queries and the merge read path.
     pos_deltas = delta_encode_lists(inv["pos_sorted"], inv["run_starts"])
-    pos_blob_all, pos_byte_starts = encode_lists_varint(
-        pos_deltas, inv["run_starts"], run_tf
-    )
-    pos_blob_all = np.frombuffer(pos_blob_all, dtype=np.uint8)
-    pos_total = pos_blob_all.size
-    t_pos_starts = pos_byte_starts[term_starts]
-    pos_offsets = np.append(t_pos_starts, pos_total)
+    pv = np.concatenate(([0], np.cumsum(run_tf)))  # value idx per run
+    pv_ts = pv[term_starts]                        # term value starts
+    pv_te = pv[np.append(term_starts[1:], n_runs)]
+    p_nbytes = varint_byte_lengths(pos_deltas)
+    pos_cum = np.concatenate(([0], np.cumsum(p_nbytes)))
+    pos_varint = np.frombuffer(varint_encode(pos_deltas, p_nbytes),
+                               dtype=np.uint8)
 
     # --- OFFS / PAY occurrence streams: same flat-varint layout as
     # positions (run-aligned byte starts -> per-term slices + per-block
@@ -365,6 +376,37 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
         has_tail = np.empty(0, bool)
         B = 0
 
+    # --- position chunking (independent of the doc-block split: a
+    # low-df high-tf term still gets chunks, and every df>=128 term is
+    # automatically pos-large since nvals >= df)
+    nvals = pv_te - pv_ts  # == total_tf
+    p_small = nvals < BLOCK_SIZE
+    p_large = np.flatnonzero(~p_small)
+    Lp = p_large.size
+    if Lp:
+        p_full = (nvals[p_large] // BLOCK_SIZE).astype(np.int64)
+        p_cut = p_full * BLOCK_SIZE
+        p_tail_n = nvals[p_large] - p_cut
+        p_has_tail = p_tail_n > 0
+        Bp = int(p_full.sum())
+        chunk_out0 = np.concatenate(([0], np.cumsum(p_cut)[:-1]))
+        pgidx = np.repeat(pv_ts[p_large] - chunk_out0, p_cut) \
+            + np.arange(int(p_cut.sum()))
+        p_packed, p_chunk_lens = bitpack_blocks_flat(
+            pos_deltas[pgidx].reshape(Bp, BLOCK_SIZE))
+        p_pk_starts = np.concatenate(([0], np.cumsum(p_chunk_lens)))
+        chunk_of_term0 = np.concatenate(([0], np.cumsum(p_full)[:-1]))
+        p_term_pk = p_pk_starts[chunk_of_term0]
+        p_term_pk_len = p_pk_starts[
+            np.concatenate((chunk_of_term0[1:], [Bp]))] - p_term_pk
+        p_tail_v0 = pv_ts[p_large] + p_cut
+        p_tail_v1 = pv_ts[p_large] + nvals[p_large]
+        p_tail_s, p_tail_e = pos_cum[p_tail_v0], pos_cum[p_tail_v1]
+    else:
+        p_full = p_cut = p_tail_n = np.empty(0, np.int64)
+        p_has_tail = np.empty(0, bool)
+        Bp = 0
+
     # --- per-term blob lengths + value-buffer assembly
     d_small_len = d_cum[term_ends] - d_cum[term_starts]
     f_small_len = f_cum[term_ends] - f_cum[term_starts]
@@ -375,36 +417,49 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
         f_len[large] = f_term_pk_len + (f_tail_e - f_tail_s)
     d_offsets = np.concatenate(([0], np.cumsum(d_len)))
     f_offsets = np.concatenate(([0], np.cumsum(f_len)))
+    p_len = pos_cum[pv_te] - pos_cum[pv_ts]
+    if Lp:
+        p_len[p_large] = p_term_pk_len + (p_tail_e - p_tail_s)
+    pos_offsets = np.concatenate(([0], np.cumsum(p_len)))
 
-    def assemble(flat, cum_vals, packed, term_pk, term_pk_len,
-                 tail_s, tail_e):
+    def assemble(flat, term_byte_bounds, large_arr, packed, term_pk,
+                 term_pk_len, tail_s, tail_e):
         """Value buffer in dictionary order: contiguous runs of small
         terms are single slices of the flat varint blob; each large term
         contributes [packed blocks][varint tail] (<= 3 slices per large
-        term, concatenated once in C)."""
-        if not L:
-            return flat[: int(cum_vals[-1])]
+        term, concatenated once in C). ``term_byte_bounds`` is the
+        (n_terms+1,) per-term byte range in the flat varint blob."""
+        nl = large_arr.size
+        if not nl:
+            return flat[: int(term_byte_bounds[-1])]
         pieces = []
-        prev = 0  # value-index boundary of the pending small run
-        for k in range(L):
-            t = large[k]
+        prev = 0  # term boundary of the pending small run
+        for k in range(nl):
+            t = large_arr[k]
             if t > prev:
-                pieces.append(flat[cum_vals[term_starts[prev]]:
-                                   cum_vals[term_starts[t]]])
+                pieces.append(flat[term_byte_bounds[prev]:
+                                   term_byte_bounds[t]])
             pieces.append(packed[term_pk[k]: term_pk[k] + term_pk_len[k]])
             if tail_e[k] > tail_s[k]:
                 pieces.append(flat[tail_s[k]: tail_e[k]])
             prev = t + 1
         if prev < n_terms:
-            pieces.append(flat[cum_vals[term_starts[prev]]:])
+            pieces.append(flat[term_byte_bounds[prev]:
+                               term_byte_bounds[-1]])
         return np.concatenate(pieces) if pieces else flat[:0]
 
-    doc_data = assemble(doc_blob_all, d_cum, d_packed, d_term_pk,
-                        d_term_pk_len, d_tail_s, d_tail_e) if L else \
-        doc_blob_all
-    freq_data = assemble(freq_blob_all, f_cum, f_packed, f_term_pk,
-                         f_term_pk_len, f_tail_s, f_tail_e) if L else \
-        freq_blob_all
+    d_bounds = d_cum[np.append(term_starts, n_runs)]
+    f_bounds = f_cum[np.append(term_starts, n_runs)]
+    p_bounds = pos_cum[np.append(pv_ts, pos_deltas.size)]
+    doc_data = assemble(doc_blob_all, d_bounds, large, d_packed,
+                        d_term_pk, d_term_pk_len, d_tail_s, d_tail_e) \
+        if L else doc_blob_all
+    freq_data = assemble(freq_blob_all, f_bounds, large, f_packed,
+                         f_term_pk, f_term_pk_len, f_tail_s, f_tail_e) \
+        if L else freq_blob_all
+    pos_data = assemble(pos_varint, p_bounds, p_large, p_packed,
+                        p_term_pk, p_term_pk_len, p_tail_s, p_tail_e) \
+        if Lp else pos_varint
 
     # --- block metadata (list<int64> columns), vectorized scatter
     n_blocks_per_term = np.ones(n_terms, dtype=np.int64)
@@ -418,7 +473,7 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
     mdl_v = np.empty(total_meta, np.int64)
     doff_v = np.zeros(total_meta, np.int64)
     foff_v = np.zeros(total_meta, np.int64)
-    poff_v = np.zeros(total_meta, np.int64)
+    pval_v = np.zeros(total_meta, np.int64)
     xoff_v = {nm: np.zeros(total_meta, np.int64) for nm in extras}
     # small terms: one entry each
     sm = np.flatnonzero(small)
@@ -438,12 +493,11 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
         f_in = f_pk_starts[:-1] - np.repeat(f_pk_starts[blk_of_term0], full)
         doff_v[blk_dest] = d_in
         foff_v[blk_dest] = f_in
-        # pos byte offset of each block's first run, relative to the
-        # term: block j of term k starts at run term_starts[k] + j*128
+        # position-VALUE index of each block's first run, relative to
+        # the term: block j of term k starts at run term_starts[k]+j*128
         intra = np.arange(B) - np.repeat(blk_of_term0, full)
         blk_run_idx = np.repeat(term_starts[large], full) + intra * BLOCK_SIZE
-        poff_v[blk_dest] = pos_byte_starts[blk_run_idx] \
-            - np.repeat(t_pos_starts[large], full)
+        pval_v[blk_dest] = pv[blk_run_idx] - np.repeat(pv_ts[large], full)
         for nm, (_xblob, xrbs) in extras.items():
             xoff_v[nm][blk_dest] = xrbs[blk_run_idx] \
                 - np.repeat(xrbs[term_starts][large], full)
@@ -456,10 +510,27 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
             mdl_v[tail_dest] = t_mdl[ht]
             doff_v[tail_dest] = d_term_pk_len[ht]
             foff_v[tail_dest] = f_term_pk_len[ht]
-            poff_v[tail_dest] = pos_byte_starts[tail_v0[ht]] - t_pos_starts[tl]
+            pval_v[tail_dest] = pv[tail_v0[ht]] - pv_ts[tl]
             for nm, (_xblob, xrbs) in extras.items():
                 xoff_v[nm][tail_dest] = xrbs[tail_v0[ht]] \
                     - xrbs[term_starts][tl]
+
+    # --- pos chunk byte-offset list (per 128-value chunk, + tail entry)
+    n_chunks_per_term = np.ones(n_terms, dtype=np.int64)
+    if Lp:
+        n_chunks_per_term[p_large] = p_full + p_has_tail.astype(np.int64)
+    chunk_meta_off = np.concatenate(([0], np.cumsum(n_chunks_per_term)))
+    pchunk_v = np.zeros(int(chunk_meta_off[-1]), np.int64)
+    if Lp:
+        p_in = p_pk_starts[:-1] - np.repeat(p_pk_starts[chunk_of_term0],
+                                            p_full)
+        pchunk_dest = np.repeat(chunk_meta_off[p_large] - chunk_of_term0,
+                                p_full) + np.arange(Bp)
+        pchunk_v[pchunk_dest] = p_in
+        pht = np.flatnonzero(p_has_tail)
+        if pht.size:
+            pchunk_v[chunk_meta_off[p_large[pht]] + p_full[pht]] = \
+                p_term_pk_len[pht]
 
     cols = {
         "term": vocab,
@@ -467,11 +538,12 @@ def encode_postings_table(inv: dict, with_offsets: bool | None = None,
         "total_tf": pa.array(total_tf, type=pa.int64()),
         "doc_blob": _bin_col(d_offsets, doc_data),
         "freq_blob": _bin_col(f_offsets, freq_data),
-        "pos_blob": _bin_col(pos_offsets, pos_blob_all),
+        "pos_blob": _bin_col(pos_offsets, pos_data),
         "block_last_doc": _list_col(n_blocks_per_term, last_v),
         "block_doc_off": _list_col(n_blocks_per_term, doff_v),
         "block_freq_off": _list_col(n_blocks_per_term, foff_v),
-        "block_pos_off": _list_col(n_blocks_per_term, poff_v),
+        "pos_chunk_off": _list_col(n_chunks_per_term, pchunk_v),
+        "block_pos_val": _list_col(n_blocks_per_term, pval_v),
         "block_max_tf": _list_col(n_blocks_per_term, mtf_v),
         "block_min_dl": _list_col(n_blocks_per_term, mdl_v),
     }
@@ -870,16 +942,21 @@ class SegmentReader:
         b = terms.size if hi is None else int(np.searchsorted(terms, hi, side="right" if inc_hi else "left"))
         return np.arange(f0 + a, f0 + b, dtype=np.int64)
 
+    # column groups are SUPERSETS across format versions — the actual
+    # read lists are intersected with the file's schema (v3 has
+    # pos_chunk_off/block_pos_val, v2 has block_pos_off)
     _POSTING_COLS = [
         "doc_blob", "freq_blob", "pos_blob",
         "block_last_doc", "block_doc_off", "block_freq_off",
-        "block_pos_off", "block_max_tf", "block_min_dl",
+        "block_pos_off", "pos_chunk_off", "block_pos_val",
+        "block_max_tf", "block_min_dl",
     ]
     # split so doc-level decodes never read the (largest) position data
     _BASE_COLS = ["doc_blob", "freq_blob", "block_last_doc",
                   "block_doc_off", "block_freq_off",
                   "block_max_tf", "block_min_dl"]
-    _POS_COLS = ["pos_blob", "block_pos_off"]
+    _POS_COLS = ["pos_blob", "block_pos_off", "pos_chunk_off",
+                 "block_pos_val"]
     _GROUP_COLS = {"base": _BASE_COLS, "pos": _POS_COLS,
                    "offs": ["offs_blob", "block_offs_off"],
                    "pay": ["pay_blob", "block_pay_off"]}
@@ -920,6 +997,7 @@ class SegmentReader:
         if not hasattr(self, "_pq_terms"):
             self._pq_terms = pq.ParquetFile(
                 pa.memory_map(os.path.join(self.dir, "terms.parquet")))
+            self._pq_names = set(self._pq_terms.schema_arrow.names)
             rows = [self._pq_terms.metadata.row_group(i).num_rows
                     for i in range(self._pq_terms.num_row_groups)]
             self._rg_starts = np.concatenate(
@@ -928,7 +1006,8 @@ class SegmentReader:
         rg = int(np.searchsorted(self._rg_starts, idx, side="right") - 1)
         tbl = self._rg_cache.get((rg, group))
         if tbl is None:
-            cols = self._GROUP_COLS[group]
+            cols = [c for c in self._GROUP_COLS[group]
+                    if c in self._pq_names]
             tbl = self._pq_terms.read_row_group(rg, columns=cols,
                                                 use_threads=False)
             if len(self._rg_cache) >= 32:
@@ -940,7 +1019,7 @@ class SegmentReader:
         if self._postings is None:
             path = os.path.join(self.dir, "terms.parquet")
             names = set(pq.read_schema(path).names)
-            cols = self._POSTING_COLS + [
+            cols = [c for c in self._POSTING_COLS if c in names] + [
                 c for c in ("offs_blob", "block_offs_off",
                             "pay_blob", "block_pay_off") if c in names]
             self._postings = pq.read_table(path, columns=cols)
@@ -981,7 +1060,13 @@ class SegmentReader:
         if positions:
             pos_row = self._posting_row(idx, "pos")
             pos_blob = self._row_blob(pos_row, "pos_blob")
-            pos_deltas = varint_decode(pos_blob).view(np.int64)
+            if "pos_chunk_off" in pos_row.column_names:
+                # v3: blocked stream, same decoder as doc/freq
+                pos_deltas = _decode_stream(
+                    pos_blob, self._row_list(pos_row, "pos_chunk_off"),
+                    int(self.total_tf[idx]))
+            else:  # v2: flat varint
+                pos_deltas = varint_decode(pos_blob).view(np.int64)
             run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
             pos = np.cumsum(pos_deltas)
             # reset cumulative sum at each run start
@@ -1118,11 +1203,54 @@ class SegmentReader:
             a, b = term_starts[k], term_starts[k] + df[k]
             out["docs"][a:b] = pl.docs
             out["tfs"][a:b] = pl.tfs
-        # positions: every pos blob is plain varint -> one decode over the
-        # field's whole contiguous pos buffer
         p_offs, p_data = col_view("pos_blob")
-        pos_deltas = varint_decode(
-            p_data[p_offs[0] : p_offs[-1]]).astype(np.int64)
+        if "pos_chunk_off" in t.column_names:
+            # v3 blocked streams: ONE batched bit-unpack over every
+            # term's full 128-value chunks + ONE varint pass over the
+            # gathered tails, then a vectorized interleave
+            ttf = self.total_tf[lo:hi].astype(np.int64)
+            ca = t.column("pos_chunk_off").combine_chunks()
+            lens_list = pc.list_value_length(ca).to_numpy().astype(np.int64)
+            l_off = np.concatenate(([0], np.cumsum(lens_list)))
+            cvals = ca.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n_full_t = ttf // BLOCK_SIZE
+            Btot = int(n_full_t.sum())
+            nv = int(ttf.sum())
+            pos_deltas = np.empty(nv, np.int64)
+            o = np.concatenate(([0], np.cumsum(ttf)))
+            fcnt = n_full_t * BLOCK_SIZE
+            if Btot:
+                fcum0 = np.concatenate(([0], np.cumsum(n_full_t)[:-1]))
+                term_rep = np.repeat(np.arange(nt), n_full_t)
+                intra = np.arange(Btot) - fcum0[term_rep]
+                abs_offs = p_offs[:-1][term_rep] \
+                    + cvals[l_off[term_rep] + intra]
+                full_vals = _batch_unpack_full(p_data, abs_offs).ravel()
+                vcum0 = np.concatenate(([0], np.cumsum(fcnt)[:-1]))
+                dest_full = np.repeat(o[:-1] - vcum0, fcnt) \
+                    + np.arange(int(fcnt.sum()))
+                pos_deltas[dest_full] = full_vals
+            tail_t = ttf - fcnt
+            has = np.flatnonzero(tail_t > 0)
+            if has.size:
+                tail_rel = cvals[l_off[has] + n_full_t[has]]
+                starts_b = p_offs[:-1][has] + tail_rel
+                ends_b = p_offs[1:][has]
+                lens_b = ends_b - starts_b
+                ob = np.concatenate(([0], np.cumsum(lens_b)[:-1]))
+                gidx = np.repeat(starts_b - ob, lens_b) \
+                    + np.arange(int(lens_b.sum()))
+                tail_vals = varint_decode(p_data[gidx]).view(np.int64)
+                tcum0 = np.concatenate(([0], np.cumsum(tail_t[has])[:-1]))
+                dest_tail = np.repeat((o[:-1] + fcnt)[has] - tcum0,
+                                      tail_t[has]) \
+                    + np.arange(int(tail_t[has].sum()))
+                pos_deltas[dest_tail] = tail_vals
+        else:
+            # v2: every pos blob is plain varint -> one decode over the
+            # field's whole contiguous pos buffer
+            pos_deltas = varint_decode(
+                p_data[p_offs[0] : p_offs[-1]]).astype(np.int64)
         run_starts = np.concatenate(([0], np.cumsum(out["tfs"])[:-1]))
         out["positions"] = reset_cumsum(pos_deltas, run_starts, out["tfs"])
         if extras:
@@ -1174,6 +1302,46 @@ class SegmentReader:
             self._pk_put(key, hit)
         return hit
 
+    def _pos_values_ranges(self, pos_row: pa.Table, blob: np.ndarray,
+                           total: int, v0: np.ndarray, v1: np.ndarray
+                           ) -> np.ndarray:
+        """Concatenated position-delta values for the VALUE ranges
+        [v0[i], v1[i]) of a v3 blocked position stream — decodes only
+        the 128-value chunks covering a requested range (+ the varint
+        tail when touched)."""
+        chunk_offs = self._row_list(pos_row, "pos_chunk_off")
+        n_full = total // BLOCK_SIZE
+        full_end = n_full * BLOCK_SIZE
+        # chunk ranges per value range (exclusive end), then the union
+        c0 = v0 // BLOCK_SIZE
+        c1 = (v1 + BLOCK_SIZE - 1) // BLOCK_SIZE
+        lens_c = c1 - c0
+        cumc = np.concatenate(([0], np.cumsum(lens_c)[:-1]))
+        flat_c = np.repeat(c0 - cumc, lens_c) + np.arange(int(lens_c.sum()))
+        sel = np.unique(flat_c)
+        sel_full = sel[sel < n_full]
+        vals_full = _batch_unpack_full(blob, chunk_offs[sel_full]) \
+            if sel_full.size else np.empty((0, BLOCK_SIZE), np.int64)
+        tail_vals = None
+        if (v1 > full_end).any():
+            tail_off = int(chunk_offs[n_full]) if n_full < chunk_offs.size \
+                else blob.size
+            tail_vals = varint_decode(blob[tail_off:],
+                                      count=total - full_end).view(np.int64)
+        lens_v = v1 - v0
+        out0 = np.concatenate(([0], np.cumsum(lens_v)[:-1]))
+        vidx = np.repeat(v0 - out0, lens_v) + np.arange(int(lens_v.sum()))
+        out = np.empty(vidx.size, np.int64)
+        in_full = vidx < full_end
+        vf = vidx[in_full]
+        if vf.size:
+            rows = np.searchsorted(sel_full, vf // BLOCK_SIZE)
+            out[in_full] = vals_full[rows, vf % BLOCK_SIZE]
+        vt = vidx[~in_full]
+        if vt.size:
+            out[~in_full] = tail_vals[vt - full_end]
+        return out
+
     def keys_for_docs(self, idx: int, docs: np.ndarray) -> np.ndarray:
         """Sorted ``(doc<<32)+pos`` keys of term ``idx`` restricted to
         the sorted doc set ``docs`` — decodes ONLY the 128-doc blocks
@@ -1202,13 +1370,24 @@ class SegmentReader:
         d, t = cur.decode_blocks(blocks)
         pos_row = self._posting_row(idx, "pos")
         blob = self._row_blob(pos_row, "pos_blob")
-        offs = self._row_list(pos_row, "block_pos_off")
-        ends = np.append(offs[1:], blob.size)
-        sb, eb = offs[blocks], ends[blocks]
-        lens = eb - sb
-        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        gidx = np.repeat(sb - out_starts, lens) + np.arange(int(lens.sum()))
-        deltas = varint_decode(blob[gidx]).view(np.int64)
+        if "pos_chunk_off" in pos_row.column_names:
+            # v3 blocked stream: per doc-block VALUE ranges -> decode
+            # only the covering 128-value chunks
+            pval = self._row_list(pos_row, "block_pos_val")
+            total = int(self.total_tf[idx])
+            v0 = pval[blocks]
+            v1 = np.append(pval[1:], total)[blocks]
+            deltas = self._pos_values_ranges(pos_row, blob, total, v0, v1)
+        else:
+            # v2 flat varint: per doc-block BYTE ranges
+            offs = self._row_list(pos_row, "block_pos_off")
+            ends = np.append(offs[1:], blob.size)
+            sb, eb = offs[blocks], ends[blocks]
+            lens = eb - sb
+            out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            gidx = np.repeat(sb - out_starts, lens) \
+                + np.arange(int(lens.sum()))
+            deltas = varint_decode(blob[gidx]).view(np.int64)
         run_starts = np.concatenate(([0], np.cumsum(t)[:-1]))
         cum = np.cumsum(deltas)
         base = np.repeat(cum[run_starts] - deltas[run_starts], t)
@@ -1263,8 +1442,9 @@ def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndar
     full = count // BLOCK_SIZE
     out = np.empty(count, dtype=np.int64)
     if full:
-        vals = _batch_unpack_full(blob, offsets[:full].astype(np.int64))
-        out[: full * BLOCK_SIZE] = vals.ravel()
+        _batch_unpack_full(blob, offsets[:full].astype(np.int64),
+                           out=out[: full * BLOCK_SIZE]
+                           .reshape(full, BLOCK_SIZE))
     pos = full * BLOCK_SIZE
     if pos < count:
         start = int(offsets[full]) if full < n_blocks else blob.size
@@ -1275,19 +1455,26 @@ def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndar
     return out
 
 
-def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray) -> np.ndarray:
-    """Decode many full bitpacked blocks at once -> (n, BLOCK_SIZE) int64.
+def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray,
+                       out: np.ndarray | None = None) -> np.ndarray:
+    """Decode many full bitpacked blocks at once -> (n, BLOCK_SIZE) int64
+    (written into ``out`` when given — callers pass a view of their
+    final buffer to skip a full-size copy).
 
     Groups blocks by bit width (the numpy stand-in for the reference's
     SIMD batch unpack, ``core/utils/simd_utils.hpp``). For widths <= 56
     each value is read as ONE unaligned little-endian uint64 window at
-    its starting byte, then shift+mask — pure integer ops, ~2 KB of
-    memory traffic per block (the previous unpackbits + float-matmul
-    recomposition moved ~100 KB per block and dominated cold decode).
+    its starting byte, then shift+mask — pure integer ops (the previous
+    unpackbits + float-matmul recomposition moved ~50x more memory and
+    dominated cold decode). Two loop orientations: small batches build
+    one (g, 128) index matrix; large batches iterate the 128 value
+    positions so every temporary stays cache-resident instead of
+    streaming multi-MB arrays through this VM's thin memory bus.
     Widths > 56 (never produced by 32k-doc segments) take an exact
     float64 matmul fallback."""
     n = offs.size
-    out = np.empty((n, BLOCK_SIZE), dtype=np.int64)
+    if out is None:
+        out = np.empty((n, BLOCK_SIZE), dtype=np.int64)
     widths = blob[offs].astype(np.int64)
     uniq = np.unique(widths)
     win = None
@@ -1306,6 +1493,19 @@ def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray) -> np.ndarray:
         w = int(w)
         if w == 0:
             out[g] = 0
+        elif w <= 56 and g.size >= 1024:
+            bit = idx * w
+            byte_off = bit >> 3
+            shift = (bit & 7).astype(np.uint64)
+            mask = np.uint64((1 << w) - 1)
+            off1 = offs[g] + 1
+            whole = g.size == n
+            for j in range(BLOCK_SIZE):
+                col = (win[off1 + byte_off[j]] >> shift[j]) & mask
+                if whole:
+                    out[:, j] = col.view(np.int64)
+                else:
+                    out[g, j] = col.view(np.int64)
         elif w <= 56:
             bit = idx * w
             byte_off = bit >> 3

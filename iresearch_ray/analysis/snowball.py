@@ -7,7 +7,8 @@ algorithms (snowballstem.org) are implemented directly. Each stemmer is
 a plain ``str -> str`` on a single lower-cased token; the analyzer
 dictionary-encodes per batch so each distinct token stems once.
 
-Implemented: de, da, no, sv, es, fr (+ en delegating to porter2).
+Implemented: de, da, no, sv, es, fr, it, pt, nl, ru (+ en delegating
+to porter2). Finnish remains unimplemented (KeyError fallback).
 ``get_stemmer(lang)`` raises KeyError for unsupported locales so the
 caller can fall back to no stemming (documented divergence).
 """
@@ -713,6 +714,528 @@ def stem_fr(word: str) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_DEACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+    "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+    "vele", "veli", "velo", "vene", "gli", "ci", "la", "le", "li",
+    "lo", "mi", "ne", "si", "ti", "vi",
+)
+_IT_STEP1_DEL_R2 = (
+    "atrice", "atrici", "abile", "abili", "ibile", "ibili", "anza",
+    "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste", "isti",
+    "istà", "istè", "istì", "mente", "ante", "anti", "ico", "ici",
+    "ica", "ice", "oso", "osi", "osa", "ose",
+)
+_IT_STEP1_AZIONE = ("azione", "azioni", "atore", "atori")
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "iamo", "Iamo", "immo",
+    "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere",
+    "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita",
+    "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir",
+)
+
+
+def _romance_rv(word: str, vowels: str) -> int:
+    """Shared Spanish/Italian/Portuguese RV definition."""
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in vowels:
+        for i in range(2, n):
+            if word[i] in vowels:
+                return i + 1
+        return n
+    if word[0] in vowels and word[1] in vowels:
+        for i in range(2, n):
+            if word[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+def stem_it(word: str) -> str:
+    """Snowball Italian (snowballstem.org/algorithms/italian/)."""
+    word = word.translate(_IT_DEACUTE)
+    # prelude: mark u after q and u/i between vowels as non-vowels
+    ch = list(word)
+    n = len(ch)
+    for i in range(n):
+        c = ch[i]
+        if c == "u" and i > 0 and word[i - 1] == "q":
+            ch[i] = "U"
+        elif c in "ui" and 0 < i < n - 1 \
+                and word[i - 1] in _IT_VOWELS and word[i + 1] in _IT_VOWELS:
+            ch[i] = c.upper()
+    word = "".join(ch)
+    rv = _romance_rv(word, _IT_VOWELS)
+    r1, r2 = _regions(word, _IT_VOWELS)
+
+    def in_rv(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= rv
+
+    def in_r2(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= r2
+
+    # step 0: attached pronouns after a verb ending
+    pron = _longest_suffix(word, _IT_PRON)
+    if pron:
+        base = word[: -len(pron)]
+        pre = _longest_suffix(base, ("ando", "endo", "ar", "er", "ir"))
+        if pre and len(base) - len(pre) >= rv:
+            word = base if pre in ("ando", "endo") else base + "e"
+
+    did1 = False
+    suf = _longest_suffix(
+        word, _IT_STEP1_DEL_R2 + _IT_STEP1_AZIONE
+        + ("logia", "logie", "uzione", "uzioni", "usione", "usioni",
+           "enza", "enze", "amento", "amenti", "imento", "imenti",
+           "amente", "ità", "ivo", "ivi", "iva", "ive"))
+    if suf:
+        if suf in _IT_STEP1_DEL_R2:
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+        elif suf in _IT_STEP1_AZIONE:
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+                if word.endswith("ic") and in_r2("ic"):
+                    word = word[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(suf):
+                word = word[: -len(suf)] + "log"
+                did1 = True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(suf):
+                word = word[: -len(suf)] + "u"
+                did1 = True
+        elif suf in ("enza", "enze"):
+            if in_r2(suf):
+                word = word[: -len(suf)] + "ente"
+                did1 = True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(suf):
+                word = word[: -len(suf)]
+                did1 = True
+        elif suf == "amente":
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)]
+                did1 = True
+                if word.endswith("iv") and in_r2("iv"):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2("at"):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if word.endswith(pre) and in_r2(pre):
+                            word = word[: -len(pre)]
+                            break
+        elif suf == "ità":
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(pre):
+                        word = word[: -len(pre)]
+                        break
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+                if word.endswith("at") and in_r2("at"):
+                    word = word[:-2]
+                    if word.endswith("ic") and in_r2("ic"):
+                        word = word[:-2]
+
+    if not did1:
+        suf = _longest_suffix(word, _IT_STEP2)
+        if suf and in_rv(suf):
+            word = word[: -len(suf)]
+
+    # step 3a: final vowel (and a preceding i) in RV
+    if word and word[-1] in "aeioàèìò" and in_rv(word[-1]):
+        word = word[:-1]
+        if word.endswith("i") and in_rv("i"):
+            word = word[:-1]
+    # step 3b: ch/gh -> c/g in RV
+    if (word.endswith("ch") or word.endswith("gh")) and in_rv("h"):
+        word = word[:-1]
+    return word.lower()
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP1_DEL_R2 = (
+    "amentos", "imentos", "amento", "imento", "adoras", "adores",
+    "aço~es", "ismos", "istas", "adora", "aça~o", "antes", "ância",
+    "ezas", "icos", "icas", "ismo", "ável", "ível", "ista", "osos",
+    "osas", "ador", "ante", "eza", "ico", "ica", "oso", "osa",
+)
+_PT_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+    "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+    "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+    "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+    "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+    "er", "ir", "as", "es", "is", "eu", "iu", "ou",
+)
+
+
+def stem_pt(word: str) -> str:
+    """Snowball Portuguese (snowballstem.org/algorithms/portuguese/)."""
+    word = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _romance_rv(word, _PT_VOWELS)
+    r1, r2 = _regions(word, _PT_VOWELS)
+
+    def in_rv(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= rv
+
+    def in_r2(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= r2
+
+    did1 = False
+    suf = _longest_suffix(
+        word, _PT_STEP1_DEL_R2
+        + ("logias", "logia", "uço~es", "uça~o", "ências", "ência",
+           "amente", "mente", "idades", "idade", "ivas", "ivos",
+           "iva", "ivo", "iras", "ira"))
+    if suf:
+        if suf in _PT_STEP1_DEL_R2:
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+        elif suf in ("logias", "logia"):
+            if in_r2(suf):
+                word = word[: -len(suf)] + "log"
+                did1 = True
+        elif suf in ("uço~es", "uça~o"):
+            if in_r2(suf):
+                word = word[: -len(suf)] + "u"
+                did1 = True
+        elif suf in ("ências", "ência"):
+            if in_r2(suf):
+                word = word[: -len(suf)] + "ente"
+                did1 = True
+        elif suf == "amente":
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)]
+                did1 = True
+                if word.endswith("iv") and in_r2("iv"):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2("at"):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and in_r2(pre):
+                            word = word[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+                for pre in ("ante", "avel", "ível"):
+                    if word.endswith(pre) and in_r2(pre):
+                        word = word[: -len(pre)]
+                        break
+        elif suf in ("idades", "idade"):
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(pre):
+                        word = word[: -len(pre)]
+                        break
+        elif suf in ("ivas", "ivos", "iva", "ivo"):
+            if in_r2(suf):
+                word = word[: -len(suf)]
+                did1 = True
+                if word.endswith("at") and in_r2("at"):
+                    word = word[:-2]
+        elif suf in ("iras", "ira"):
+            if in_rv(suf) and len(word) > len(suf) \
+                    and word[-len(suf) - 1] == "e":
+                word = word[: -len(suf)] + "ir"
+                did1 = True
+
+    did2 = False
+    if not did1:
+        suf = _longest_suffix(word, _PT_STEP2)
+        if suf and in_rv(suf):
+            word = word[: -len(suf)]
+            did2 = True
+
+    if did1 or did2:
+        # step 3: ci -> c
+        if word.endswith("i") and in_rv("i") and len(word) > 1 \
+                and word[-2] == "c":
+            word = word[:-1]
+    else:
+        # step 4: residual suffix
+        suf = _longest_suffix(word, ("os", "a", "i", "o", "á", "í", "ó"))
+        if suf and in_rv(suf):
+            word = word[: -len(suf)]
+
+    # step 5: residual final e / cedilla
+    if word and word[-1] in "eéê" and in_rv(word[-1]):
+        word = word[:-1]
+        if ((word.endswith("gu") and in_rv("u"))
+                or (word.endswith("ci") and in_rv("i"))):
+            word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_DEACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(word: str) -> str:
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def stem_nl(word: str) -> str:
+    """Snowball Dutch (snowballstem.org/algorithms/dutch/)."""
+    word = word.translate(_NL_DEACCENT)
+    # prelude: initial y, y after vowel, i between vowels -> upper case
+    ch = list(word)
+    n = len(ch)
+    for i in range(n):
+        c = ch[i]
+        prev_v = i > 0 and word[i - 1] in _NL_VOWELS
+        next_v = i + 1 < n and word[i + 1] in _NL_VOWELS
+        if c == "y" and (i == 0 or prev_v):
+            ch[i] = "Y"
+        elif c == "i" and prev_v and next_v:
+            ch[i] = "I"
+    word = "".join(ch)
+    r1, r2 = _regions(word, _NL_VOWELS)
+    r1 = max(r1, 3)
+
+    def in_r1(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= r1
+
+    def in_r2(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= r2
+
+    def valid_s_end(w):
+        return w and w[-1] not in _NL_VOWELS + "j"
+
+    def valid_en_end(w):
+        return w and w[-1] not in _NL_VOWELS and not w.endswith("gem")
+
+    def del_en(w):
+        suf = _longest_suffix(w, ("ene", "en"))
+        if suf and len(w) - len(suf) >= r1 \
+                and valid_en_end(w[: -len(suf)]):
+            return _nl_undouble(w[: -len(suf)])
+        return w
+
+    # step 1
+    suf = _longest_suffix(word, ("heden", "ene", "en", "se", "s"))
+    if suf == "heden":
+        if in_r1(suf):
+            word = word[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        word = del_en(word)
+    elif suf in ("se", "s"):
+        if in_r1(suf) and valid_s_end(word[: -len(suf)]):
+            word = word[: -len(suf)]
+
+    # step 2: final e
+    e_removed = False
+    if word.endswith("e") and in_r1("e") and len(word) > 1 \
+            and word[-2] not in _NL_VOWELS:
+        word = _nl_undouble(word[:-1])
+        e_removed = True
+
+    # step 3a: heid
+    if word.endswith("heid") and in_r2("heid") and len(word) > 4 \
+            and word[-5] != "c":
+        word = word[:-4]
+        word = del_en(word)
+
+    # step 3b: d-suffixes
+    suf = _longest_suffix(word, ("lijk", "baar", "end", "ing", "bar", "ig"))
+    if suf in ("end", "ing"):
+        if in_r2(suf):
+            word = word[: -len(suf)]
+            if word.endswith("ig") and in_r2("ig") and len(word) > 2 \
+                    and word[-3] != "e":
+                word = word[:-2]
+            else:
+                word = _nl_undouble(word)
+    elif suf == "ig":
+        if in_r2(suf) and len(word) > 2 and word[-3] != "e":
+            word = word[:-2]
+    elif suf == "lijk":
+        if in_r2(suf):
+            word = word[:-4]
+            if word.endswith("e") and in_r1("e") and len(word) > 1 \
+                    and word[-2] not in _NL_VOWELS:
+                word = _nl_undouble(word[:-1])
+    elif suf == "baar":
+        if in_r2(suf):
+            word = word[:-4]
+    elif suf == "bar":
+        if in_r2(suf) and e_removed:
+            word = word[:-3]
+
+    # step 4: undouble vowel (CVVD, D != I)
+    if len(word) >= 4:
+        c, v1, v2, d = word[-4], word[-3], word[-2], word[-1]
+        if (c not in _NL_VOWELS and d not in _NL_VOWELS and d != "I"
+                and v1 == v2 and v1 in "aeou"):
+            word = word[:-2] + word[-1]
+    return word.lower()
+
+
+# ---------------------------------------------------------------------------
+# Russian
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PG1 = ("вшись", "вши", "в")
+_RU_PG2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJ = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PART1 = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PART2 = ("ивш", "ывш", "ующ")
+_RU_VERB1 = (
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ей",
+    "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов",
+    "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом",
+    "ах", "ях", "ию", "ью", "ия", "ья", "а", "е", "и", "й", "о", "у",
+    "ы", "ь", "ю", "я",
+)
+
+
+def stem_ru(word: str) -> str:
+    """Snowball Russian (snowballstem.org/algorithms/russian/)."""
+    word = word.replace("ё", "е")
+    n = len(word)
+    rv = n
+    for i in range(n):
+        if word[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _regions(word, _RU_VOWELS)
+
+    def _match(w, sufs, need_ja=False):
+        """Longest suffix of ``sufs`` in RV (group-1 forms must follow
+        а/я, which stays on the word)."""
+        best = None
+        for s in sufs:
+            if not w.endswith(s) or len(w) - len(s) < rv:
+                continue
+            if need_ja:
+                k = len(w) - len(s)
+                if k == 0 or w[k - 1] not in "ая":
+                    continue
+            if best is None or len(s) > len(best):
+                best = s
+        return best
+
+    # step 1
+    suf = _match(word, _RU_PG2) or _match(word, _RU_PG1, need_ja=True)
+    if suf:
+        word = word[: -len(suf)]
+    else:
+        refl = _match(word, ("ся", "сь"))
+        if refl:
+            word = word[: -len(refl)]
+        adj = _match(word, _RU_ADJ)
+        if adj:
+            word = word[: -len(adj)]
+            part = _match(word, _RU_PART2) \
+                or _match(word, _RU_PART1, need_ja=True)
+            if part:
+                word = word[: -len(part)]
+        else:
+            verb = _match(word, _RU_VERB2) \
+                or _match(word, _RU_VERB1, need_ja=True)
+            if verb:
+                word = word[: -len(verb)]
+            else:
+                noun = _match(word, _RU_NOUN)
+                if noun:
+                    word = word[: -len(noun)]
+
+    # step 2: final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+    # step 3: derivational ость/ост in R2
+    suf = _longest_suffix(word, ("ость", "ост"))
+    if suf and len(word) - len(suf) >= r2:
+        word = word[: -len(suf)]
+    # step 4
+    if word.endswith("нн") and len(word) - 1 >= rv:
+        word = word[:-1]
+    else:
+        suf = _longest_suffix(word, ("ейше", "ейш"))
+        if suf and len(word) - len(suf) >= rv:
+            word = word[: -len(suf)]
+            if word.endswith("нн") and len(word) - 1 >= rv:
+                word = word[:-1]
+        elif word.endswith("ь") and len(word) - 1 >= rv:
+            word = word[:-1]
+    return word
+
+
 def _en(word: str) -> str:
     from iresearch_ray.analysis.porter2 import stem
 
@@ -727,6 +1250,10 @@ _STEMMERS = {
     "sv": stem_sv, "swedish": stem_sv,
     "es": stem_es, "spanish": stem_es,
     "fr": stem_fr, "french": stem_fr,
+    "it": stem_it, "italian": stem_it,
+    "pt": stem_pt, "portuguese": stem_pt,
+    "nl": stem_nl, "dutch": stem_nl,
+    "ru": stem_ru, "russian": stem_ru,
 }
 
 

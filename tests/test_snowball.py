@@ -15,7 +15,11 @@ from iresearch_ray.analysis.snowball import (
     stem_de,
     stem_es,
     stem_fr,
+    stem_it,
+    stem_nl,
     stem_no,
+    stem_pt,
+    stem_ru,
     stem_sv,
 )
 
@@ -40,11 +44,37 @@ FR = {
 DA = {"hundene": "hund", "bilerne": "bil", "kærlighed": "kær"}
 SV = {"bilarna": "bil", "flickorna": "flick", "vänligheten": "vän"}
 NO = {"bilene": "bil", "vakreste": "vakrest"}
+IT = {
+    "abbandonata": "abbandon", "abbandonando": "abbandon",
+    "pronto": "pront", "felicità": "felic", "continuità": "continu",
+    "caratterizzazione": "caratterizz", "nazionale": "nazional",
+    "mangiando": "mang", "parlare": "parl", "bellissimo": "bellissim",
+    "studiandolo": "stud", "amichevole": "amichevol",
+    "rapidamente": "rapid", "psicologia": "psicolog",
+}
+PT = {
+    "bondade": "bondad", "felicidade": "felic", "caminhando": "caminh",
+    "amoroso": "amor", "comunicação": "comunic", "nações": "naçõ",
+    "falar": "fal", "rapidamente": "rapid", "importância": "import",
+    "trabalhadores": "trabalh",
+}
+NL = {
+    "lichamelijk": "licham", "lichamelijkheden": "licham",
+    "gekken": "gek", "bedden": "bed", "lopen": "lop",
+    "grootte": "grot", "opheffen": "opheff", "katten": "kat",
+    "huizen": "huiz",
+}
+RU = {
+    "книгами": "книг", "красивый": "красив", "читала": "чита",
+    "важность": "важност", "бегущая": "бегущ", "делавшийся": "дела",
+    "лучший": "лучш", "словами": "слов",
+}
 
 
 @pytest.mark.parametrize("fn,cases", [
     (stem_de, DE), (stem_es, ES), (stem_fr, FR),
     (stem_da, DA), (stem_sv, SV), (stem_no, NO),
+    (stem_it, IT), (stem_pt, PT), (stem_nl, NL), (stem_ru, RU),
 ])
 def test_goldens(fn, cases):
     for word, expected in cases.items():
@@ -60,7 +90,8 @@ def test_idempotent_on_stems():
 
 
 def test_short_words_pass_through():
-    for fn in (stem_de, stem_es, stem_fr, stem_da, stem_sv, stem_no):
+    for fn in (stem_de, stem_es, stem_fr, stem_da, stem_sv, stem_no,
+               stem_it, stem_pt, stem_nl, stem_ru):
         assert fn("a") == "a"
         assert fn("ab") in ("ab", "a")
 
@@ -70,6 +101,10 @@ def test_registry_locale_forms():
     assert get_stemmer("german")("katzen") == "katz"
     assert get_stemmer("de_DE.UTF-8")("katzen") == "katz"
     assert get_stemmer("en")("running") == "run"
+    assert get_stemmer("it")("felicità") == "felic"
+    assert get_stemmer("pt_BR")("felicidade") == "felic"
+    assert get_stemmer("dutch")("grootte") == "grot"
+    assert get_stemmer("ru_RU.UTF-8")("книгами") == "книг"
     with pytest.raises(KeyError):
         get_stemmer("tlh")  # Klingon: unsupported
 

@@ -7,8 +7,8 @@ algorithms (snowballstem.org) are implemented directly. Each stemmer is
 a plain ``str -> str`` on a single lower-cased token; the analyzer
 dictionary-encodes per batch so each distinct token stems once.
 
-Implemented: de, da, no, sv, es, fr, it, pt, nl, ru (+ en delegating
-to porter2). Finnish remains unimplemented (KeyError fallback).
+Implemented: de, da, no, sv, es, fr, it, pt, nl, ru, fi (+ en
+delegating to porter2).
 ``get_stemmer(lang)`` raises KeyError for unsupported locales so the
 caller can fall back to no stemming (documented divergence).
 """
@@ -1133,6 +1133,145 @@ def stem_nl(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Finnish
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = "aeiouyäö"
+_FI_RESTRICTED = "aeiouäö"  # V: vowels other than y
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_STEP1_PART = ("kaan", "kään", "kin", "han", "hän", "ko", "kö",
+                  "pa", "pä")
+_FI_STEP3_PLAIN = ("ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+                   "ltä", "lle", "na", "nä", "ksi", "ine", "ta", "tä")
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "hyn": "y", "hän": "ä", "hön": "ö"}
+
+
+def stem_fi(word: str) -> str:
+    """Snowball Finnish (snowballstem.org/algorithms/finnish/).
+
+    Implemented from the published step description; steps 6a-d are
+    pattern matches restricted to R1, 6e is unrestricted.
+    """
+    r1, r2 = _regions(word, _FI_VOWELS)
+
+    def in_r1(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= r1
+
+    def in_r2(s, w=None):
+        w = word if w is None else w
+        return len(w) - len(s) >= r2
+
+    # step 1: particles
+    suf = _longest_suffix(word, _FI_STEP1_PART + ("sti",))
+    if suf == "sti":
+        if in_r2(suf):
+            word = word[:-3]
+    elif suf and in_r1(suf):
+        pre = word[-len(suf) - 1] if len(word) > len(suf) else ""
+        if pre and (pre in "nt" or pre in _FI_VOWELS):
+            word = word[: -len(suf)]
+
+    # step 2: possessives
+    suf = _longest_suffix(word, ("nsa", "nsä", "mme", "nne", "si",
+                                 "ni", "an", "än", "en"))
+    if suf and in_r1(suf):
+        base = word[: -len(suf)]
+        if suf == "si":
+            if not base.endswith("k"):
+                word = base
+        elif suf == "ni":
+            word = base[:-3] + "ksi" if base.endswith("kse") else base
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            word = base
+        elif suf == "an":
+            if base.endswith(("ta", "ssa", "sta", "lla", "lta", "na")):
+                word = base
+        elif suf == "än":
+            if base.endswith(("tä", "ssä", "stä", "llä", "ltä", "nä")):
+                word = base
+        elif suf == "en":
+            if base.endswith(("lle", "ine")):
+                word = base
+
+    # step 3: cases
+    ending_removed = False
+    suf = _longest_suffix(
+        word, tuple(_FI_HXN) + ("siin", "seen", "den", "tten")
+        + _FI_STEP3_PLAIN + ("tta", "ttä", "a", "ä", "n"))
+    if suf and in_r1(suf):
+        base = word[: -len(suf)]
+        if suf in _FI_HXN:
+            if base.endswith(_FI_HXN[suf]):
+                word, ending_removed = base, True
+        elif suf in ("siin", "den", "tten"):
+            if len(base) >= 2 and base[-1] == "i" \
+                    and base[-2] in _FI_RESTRICTED:
+                word, ending_removed = base, True
+        elif suf == "seen":
+            if base[-2:] in _FI_LONG:
+                word, ending_removed = base, True
+        elif suf in ("a", "ä"):
+            if len(base) >= 2 and base[-1] in _FI_VOWELS \
+                    and base[-2] not in _FI_VOWELS:
+                word, ending_removed = base, True
+        elif suf in ("tta", "ttä"):
+            if base.endswith("e"):
+                word, ending_removed = base, True
+        elif suf in _FI_STEP3_PLAIN:
+            word, ending_removed = base, True
+        elif suf == "n":
+            word, ending_removed = base, True
+            if word[-2:] in _FI_LONG or word.endswith("ie"):
+                word = word[:-1]
+
+    # step 4: other endings (comparatives), in R2
+    suf = _longest_suffix(word, ("impi", "impa", "impä", "immi",
+                                 "imma", "immä", "mpi", "mpa", "mpä",
+                                 "mmi", "mma", "mmä", "eja", "ejä"))
+    if suf and in_r2(suf):
+        if suf in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+            if not word[: -len(suf)].endswith("po"):
+                word = word[: -len(suf)]
+        else:
+            word = word[: -len(suf)]
+
+    # step 5: plurals
+    if ending_removed:
+        if word and word[-1] in "ij" and in_r1(word[-1]):
+            word = word[:-1]
+    else:
+        if word.endswith("t") and in_r1("t") and len(word) > 1 \
+                and word[-2] in _FI_VOWELS:
+            word = word[:-1]
+            suf = _longest_suffix(word, ("imma", "mma"))
+            if suf and in_r2(suf):
+                if suf == "imma" or not word[: -len(suf)].endswith("po"):
+                    word = word[: -len(suf)]
+
+    # step 6: tidy (a-d restricted to R1, e unrestricted)
+    if word[-2:] in _FI_LONG and len(word) - 2 >= r1:
+        word = word[:-1]
+    if len(word) >= 2 and len(word) - 2 >= r1 \
+            and word[-2] not in _FI_VOWELS and word[-1] in "aäei":
+        word = word[:-1]
+    if (word.endswith("oj") or word.endswith("uj")) \
+            and len(word) - 2 >= r1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word) - 2 >= r1:
+        word = word[:-1]
+    # e) double consonant followed by zero or more vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and word[i] not in _FI_VOWELS and word[i] == word[i - 1]:
+        word = word[:i] + word[i + 1:]
+    return word
+
+
+# ---------------------------------------------------------------------------
 # Russian
 # ---------------------------------------------------------------------------
 
@@ -1254,6 +1393,7 @@ _STEMMERS = {
     "pt": stem_pt, "portuguese": stem_pt,
     "nl": stem_nl, "dutch": stem_nl,
     "ru": stem_ru, "russian": stem_ru,
+    "fi": stem_fi, "finnish": stem_fi,
 }
 
 

@@ -14,6 +14,7 @@ from iresearch_ray.analysis.snowball import (
     stem_da,
     stem_de,
     stem_es,
+    stem_fi,
     stem_fr,
     stem_it,
     stem_nl,
@@ -64,6 +65,11 @@ NL = {
     "grootte": "grot", "opheffen": "opheff", "katten": "kat",
     "huizen": "huiz",
 }
+FI = {
+    "edeltäjistään": "edeltäj", "kirjoissa": "kirj", "kirja": "kirj",
+    "taloissa": "talo", "talossa": "talo", "tyttönsä": "tytö",
+    "suurimmat": "suurim", "kalaa": "kala", "aatonaatto": "aatonaato",
+}
 RU = {
     "книгами": "книг", "красивый": "красив", "читала": "чита",
     "важность": "важност", "бегущая": "бегущ", "делавшийся": "дела",
@@ -75,6 +81,7 @@ RU = {
     (stem_de, DE), (stem_es, ES), (stem_fr, FR),
     (stem_da, DA), (stem_sv, SV), (stem_no, NO),
     (stem_it, IT), (stem_pt, PT), (stem_nl, NL), (stem_ru, RU),
+    (stem_fi, FI),
 ])
 def test_goldens(fn, cases):
     for word, expected in cases.items():
@@ -91,7 +98,7 @@ def test_idempotent_on_stems():
 
 def test_short_words_pass_through():
     for fn in (stem_de, stem_es, stem_fr, stem_da, stem_sv, stem_no,
-               stem_it, stem_pt, stem_nl, stem_ru):
+               stem_it, stem_pt, stem_nl, stem_ru, stem_fi):
         assert fn("a") == "a"
         assert fn("ab") in ("ab", "a")
 
@@ -105,6 +112,7 @@ def test_registry_locale_forms():
     assert get_stemmer("pt_BR")("felicidade") == "felic"
     assert get_stemmer("dutch")("grootte") == "grot"
     assert get_stemmer("ru_RU.UTF-8")("книгами") == "книг"
+    assert get_stemmer("fi")("tyttönsä") == "tytö"
     with pytest.raises(KeyError):
         get_stemmer("tlh")  # Klingon: unsupported
 

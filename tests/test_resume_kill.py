@@ -14,7 +14,8 @@ import pytest
 
 BUILD_SNIPPET = """
 import sys, ray
-ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR", _temp_dir={tmp!r})
 sys.path.insert(0, {repo!r})
 from iresearch_ray.index.build import build_index
 build_index({corpus!r}, {idx!r}, segment_docs=256, concurrency=1)
@@ -36,7 +37,9 @@ def test_kill_restart_resumes(tmp_path, ray_session):
     idx_clean = str(tmp_path / "clean")
 
     # run a build in a subprocess and kill it once some segments exist
-    code = BUILD_SNIPPET.format(repo=repo, corpus=corpus, idx=idx_killed)
+    ray_tmp = str(tmp_path / "raytmp")
+    code = BUILD_SNIPPET.format(repo=repo, corpus=corpus, idx=idx_killed,
+                                tmp=ray_tmp)
     # start_new_session: the subprocess's ray.init(address="local")
     # spawns raylet/worker children in ITS process group — killing only
     # the driver leaves orphaned encoder actors that keep writing
@@ -86,6 +89,14 @@ def test_kill_restart_resumes(tmp_path, ray_session):
                 except OSError:
                     pass
         return tuple(sorted(out))
+
+    # kill any surviving workers of the dead driver's Ray session (a
+    # raylet may setpgrp its workers out of the driver's process group;
+    # observed in-suite flake: an orphan kept appending segments while
+    # the resumed build ran). The subprocess session got a private
+    # _temp_dir, so its raylet/workers carry that path in their cmdline.
+    subprocess.run(["pkill", "-9", "-f", ray_tmp], check=False)
+    time.sleep(0.5)
 
     prev = _dir_state()
     settle_deadline = time.time() + 30

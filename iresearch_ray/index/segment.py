@@ -1478,7 +1478,7 @@ def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray,
     widths = blob[offs].astype(np.int64)
     uniq = np.unique(widths)
     win = None
-    if (uniq <= 56).any():
+    if ((uniq > 8) & (uniq <= 56)).any():
         # 8-byte zero pad so the last value's uint64 window never runs
         # off the buffer; the unaligned overlapping uint64 view costs
         # nothing to build (stride 1 byte over the padded bytes)
@@ -1493,6 +1493,27 @@ def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray,
         w = int(w)
         if w == 0:
             out[g] = 0
+        elif w <= 8:
+            # dense-term fast path: at width <= 8 the packed payload is
+            # 16*w bytes/block, so one contiguous gather + ONE
+            # unpackbits call per width group moves up to 60x less
+            # memory than the per-value 8-byte window gather below
+            # (doc-delta streams of high-df terms are width 1-3, their
+            # tf streams width 4-6)
+            nb = (BLOCK_SIZE * w) // 8  # 128*w always divisible by 8
+            gather = (offs[g][:, None] + 1 + np.arange(nb)).ravel()
+            bits = np.unpackbits(blob[gather].reshape(g.size, nb),
+                                 axis=1, bitorder="little")
+            if w == 1:
+                out[g] = bits
+            else:
+                # recombine in uint8 (values < 2**8): 1/8 the temp
+                # traffic of int64 accumulation, one widening at the end
+                b3 = bits.reshape(g.size, BLOCK_SIZE, w)
+                acc = b3[:, :, 0].copy()
+                for b in range(1, w):
+                    acc |= b3[:, :, b] << b
+                out[g] = acc
         elif w <= 56 and g.size >= 1024:
             bit = idx * w
             byte_off = bit >> 3

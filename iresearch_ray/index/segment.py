@@ -794,13 +794,34 @@ class SegmentReader:
             os.path.join(seg_dir, "terms.parquet"),
             columns=["term", "doc_freq", "total_tf"],
         )
-        self.terms = np.asarray(self._dict.column("term").to_pylist(), dtype=object)
+        # the dictionary stays in its Arrow buffers (offsets + utf8
+        # data, zero-copy); point lookups / range bounds binary-search
+        # those buffers directly. The numpy object array (needed only
+        # by full-dictionary scans: fuzzy/wildcard/merge) is built
+        # lazily — materializing ~4k Python strings per segment at
+        # every open dominated IndexSearcher construction (1.9s of a
+        # 4s open at 301 segments / 1.2M terms).
+        col = self._dict.column("term")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.offset:
+            arr = pa.concat_arrays([arr[:]])  # rebase to offset 0
+        self._t_arr = arr
+        off_dt = np.int64 if pa.types.is_large_string(arr.type) \
+            or pa.types.is_large_binary(arr.type) else np.int32
+        self._t_offs = np.frombuffer(arr.buffers()[1], dtype=off_dt,
+                                     count=len(arr) + 1)
+        buf = arr.buffers()[2]
+        self._t_data = (np.frombuffer(buf, dtype=np.uint8)
+                        if buf is not None and buf.size
+                        else np.empty(0, np.uint8))
+        self._n_terms = len(arr)
+        self._terms_obj: np.ndarray | None = None
         self.doc_freq = self._dict.column("doc_freq").to_numpy()
         self.total_tf = self._dict.column("total_tf").to_numpy()
         self.fields: dict[str, dict] = self.meta.get("fields") or {
             self.default_field: {
                 "row_start": 0,
-                "row_end": self.terms.size,
+                "row_end": self._n_terms,
                 "docs_with_field": self.meta["docs_with_field"],
                 "sum_doc_len": self.meta["sum_doc_len"],
             }
@@ -913,6 +934,41 @@ class SegmentReader:
         return self.docs_count - int(mask.sum()) if mask is not None else self.docs_count
 
     # --- term dictionary --------------------------------------------------
+    @property
+    def terms(self) -> np.ndarray:
+        """Full dictionary as a numpy object array (lazy; only
+        full-scan consumers — fuzzy/wildcard candidate generation,
+        merge, stats — pay for it)."""
+        t = self._terms_obj
+        if t is None:
+            t = self._terms_obj = np.asarray(self._t_arr.to_pylist(),
+                                             dtype=object)
+        return t
+
+    def terms_at(self, rows: np.ndarray) -> np.ndarray:
+        """Decode only the given dictionary rows (bounded range scans
+        stay cheap without materializing the whole dictionary)."""
+        if self._terms_obj is not None:
+            return self._terms_obj[rows]
+        taken = self._t_arr.take(pa.array(rows, type=pa.int64()))
+        return np.asarray(taken.to_pylist(), dtype=object)
+
+    def _term_bytes(self, i: int) -> bytes:
+        o0, o1 = self._t_offs[i], self._t_offs[i + 1]
+        return self._t_data[o0:o1].tobytes()
+
+    def _bisect(self, key: bytes, lo: int, hi: int, right: bool) -> int:
+        """Insertion point of ``key`` in the byte-sorted dictionary
+        buffers (UTF-8 byte order == code-point order)."""
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            t = self._term_bytes(mid)
+            if t < key or (right and t == key):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
     def _field_range(self, field: str | None) -> tuple[int, int]:
         f = self.fields.get(field or self.default_field)
         if f is None:
@@ -923,8 +979,9 @@ class SegmentReader:
         """Row ordinal of (field, term), or -1 (binary search within the
         field's dictionary range)."""
         lo, hi = self._field_range(field)
-        i = lo + int(np.searchsorted(self.terms[lo:hi], term))
-        if i < hi and self.terms[i] == term:
+        key = term.encode() if isinstance(term, str) else bytes(term)
+        i = self._bisect(key, lo, hi, right=False)
+        if i < hi and self._term_bytes(i) == key:
             return i
         return -1
 
@@ -935,12 +992,16 @@ class SegmentReader:
     def term_range(self, lo: str | None, hi: str | None,
                    inc_lo: bool = True, inc_hi: bool = True,
                    field: str | None = None) -> np.ndarray:
-        """Row ordinals of terms in [lo, hi] within a field's dictionary."""
+        """Row ordinals of terms in [lo, hi] within a field's dictionary
+        (two binary searches over the Arrow buffers)."""
         f0, f1 = self._field_range(field)
-        terms = self.terms[f0:f1]
-        a = 0 if lo is None else int(np.searchsorted(terms, lo, side="left" if inc_lo else "right"))
-        b = terms.size if hi is None else int(np.searchsorted(terms, hi, side="right" if inc_hi else "left"))
-        return np.arange(f0 + a, f0 + b, dtype=np.int64)
+        a = f0 if lo is None else self._bisect(
+            lo.encode() if isinstance(lo, str) else bytes(lo),
+            f0, f1, right=not inc_lo)
+        b = f1 if hi is None else self._bisect(
+            hi.encode() if isinstance(hi, str) else bytes(hi),
+            f0, f1, right=inc_hi)
+        return np.arange(a, b, dtype=np.int64)
 
     # column groups are SUPERSETS across format versions — the actual
     # read lists are intersected with the file's schema (v3 has

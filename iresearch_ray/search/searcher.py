@@ -158,10 +158,22 @@ class IndexSearcher:
             s for s in self.manifest.segments
             if segment_subset is None or s["name"] in segment_subset
         ]
-        self.segments = [
-            SegmentReader(os.path.join(index_dir, s["name"]), meta=s)
-            for s in metas
-        ]
+        if len(metas) > 8:
+            # parquet footer/dictionary reads release the GIL; a small
+            # thread pool cuts many-segment open ~4x (open cost shows
+            # up in reopen, sharded-actor startup, and CLI latency)
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+                self.segments = list(ex.map(
+                    lambda s: SegmentReader(
+                        os.path.join(index_dir, s["name"]), meta=s),
+                    metas))
+        else:
+            self.segments = [
+                SegmentReader(os.path.join(index_dir, s["name"]), meta=s)
+                for s in metas
+            ]
         self.doc_bases = np.asarray([s["doc_base"] for s in metas], dtype=np.int64)
         self._field_stats: dict[str, FieldStats] = {}
         self._term_cache: dict[tuple, TermState] = {}
@@ -261,7 +273,7 @@ class IndexSearcher:
                 cands = seg.field_terms(field)
             else:
                 rows = seg.term_range(lo, hi, inc_lo, inc_hi, field)
-                cands = seg.terms[rows]
+                cands = seg.terms_at(rows)
             if cands.size:
                 seen.update(pred(cands))
         return sorted(seen)
@@ -276,7 +288,7 @@ class IndexSearcher:
         for seg in self.segments:
             rows = seg.term_range(lo, hi, inc_lo, inc_hi, field)
             if rows.size:
-                parts.append(seg.terms[rows])
+                parts.append(seg.terms_at(rows))
         if not parts:
             return []
         return np.unique(np.concatenate(parts)).tolist()

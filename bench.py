@@ -110,20 +110,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                           stored_cols=("conv_id", "turn_idx", "role", "ts"))
         build_sec = min(build_sec, time.time() - t0)
 
-    # query benchmark: topN=100, repeats, p50/p99 per category
-    searcher = IndexSearcher(index_dir)
     cats = reference_categories()
-    repeats = 5 if n_turns > 500_000 else 10
-    qtimes: dict[str, float] = {}
-    p99s: dict[str, float] = {}
-    for name, flt in cats.items():
-        samples = []
-        for _ in range(repeats):
-            tq = time.time()
-            searcher.search(flt, k=100, mode="strict")
-            samples.append(time.time() - tq)
-        qtimes[name] = round(statistics.median(samples), 4)
-        p99s[name] = round(max(samples), 4)
 
     # distributed serving sample: the same queries through segment-shard
     # actors (two-phase global-stats protocol)
@@ -167,6 +154,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     merge_docs_per_sec = round(merged_docs / merge_sec, 1)
     shutil.rmtree(merge_out, ignore_errors=True)
 
+    # query benchmark: topN=100, repeats, p50/p99 per category — AFTER
+    # ray.shutdown(): the query path is a single process (the reference
+    # runs index-search as a separate binary after index-put), and an
+    # in-process 32-cpu Ray session whose object store just streamed
+    # two 8M-turn builds distorts the first (cold) run per category by
+    # 10-30x (kernel reclaim against the live plasma mapping — measured
+    # Or6High4Med2Low 2.1s standalone vs 65s in-session on this VM).
+    ray.shutdown()
+    searcher = IndexSearcher(index_dir)
+    repeats = 5 if n_turns > 500_000 else 10
+    qtimes: dict[str, float] = {}
+    p99s: dict[str, float] = {}
+    for name, flt in cats.items():
+        samples = []
+        for _ in range(repeats):
+            tq = time.time()
+            searcher.search(flt, k=100, mode="strict")
+            samples.append(time.time() - tq)
+        qtimes[name] = round(statistics.median(samples), 4)
+        p99s[name] = round(max(samples), 4)
+
     query_total = sum(qtimes.values())
     result = {
         "metric": "index_build_sec",
@@ -186,7 +194,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "merge_docs_per_sec": merge_docs_per_sec,
         "merge_probe_docs": probe_docs,
     }
-    ray.shutdown()
     return result
 
 

@@ -807,17 +807,50 @@ class NormalizingAnalyzer(Analyzer):
         )
 
 
+# Per-locale primary tailoring (simplified DUCET tailoring; the
+# reference delegates to ICU, core/analysis/collation_token_stream.cpp).
+# Tailored letters map to key substrings whose code-point order realizes
+# the locale's alphabet order: U+E0xx slots sort after every Latin
+# letter (å/ä/ö/æ/ø are independent letters AFTER z in the Nordic
+# locales); German phonebook (DIN 5007-2) expands umlauts; Spanish ñ is
+# an independent letter between n and o.
+_COLLATION_TAILORING: dict[str, dict[str, str]] = {
+    "sv": {"å": "", "ä": "", "ö": ""},
+    "fi": {"å": "", "ä": "", "ö": ""},
+    "da": {"æ": "", "ø": "", "å": "",
+           "aa": ""},
+    "no": {"æ": "", "ø": "", "å": ""},
+    "nb": {"æ": "", "ø": "", "å": ""},
+    "de": {"ä": "ae", "ö": "oe", "ü": "ue", "ß": "ss"},
+    "es": {"ñ": "n"},
+}
+
+
 @dataclass
 class CollationAnalyzer(NormalizingAnalyzer):
-    """Locale-insensitive collation key as a single term (reference
-    ``collation_token_stream``; ICU collation replaced by casefold +
-    accent-stripped NFKD — a documented approximation: no locale
-    tailoring rules in this environment)."""
+    """Locale collation key as a single term (reference
+    ``collation_token_stream``). ICU is replaced by casefold +
+    accent-stripped NFKD plus per-locale primary tailoring
+    (``_COLLATION_TAILORING``): tailored letters keep their identity
+    and sort at their locale's alphabet position instead of folding to
+    the base letter; untailored locales fall back to the plain
+    casefolded key (documented approximation of full ICU rules)."""
+
+    locale: str = ""
 
     def _norm(self, s: str) -> str:
         import unicodedata
 
         s = s.casefold()
+        key = self.locale.lower().replace("-", "_").split("_")[0]
+        tail = _COLLATION_TAILORING.get(key)
+        if tail:
+            # protect tailored letters from NFKD accent stripping by
+            # substituting their key slots FIRST (longest pattern first
+            # for digraph rules like danish "aa")
+            for pat in sorted(tail, key=len, reverse=True):
+                if pat in s:
+                    s = s.replace(pat, tail[pat])
         s = "".join(
             ch for ch in unicodedata.normalize("NFKD", s)
             if not unicodedata.combining(ch)

@@ -210,3 +210,38 @@ def test_ascii_fast_path_differential():
     an = SegmentationAnalyzer(word_break="alpha")
     _, t, _ = an.tokenize(dash)
     assert t.to_pylist() == ["a", "b", "c"]
+
+
+def test_collation_locale_tailoring():
+    """Per-locale primary tailoring (reference delegates to ICU,
+    core/analysis/collation_token_stream.cpp): Nordic letters are
+    independent letters AFTER z; German phonebook expands umlauts;
+    Spanish ñ sorts between n and o; untailored locales keep the plain
+    casefolded accent-stripped key."""
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    def key_fn(locale):
+        an = get_analyzer("collation", {"locale": locale} if locale else {})
+
+        def key(w):
+            _, t, _ = an.tokenize(pa.array([w], type=pa.string()))
+            return t.to_pylist()[0]
+
+        return key
+
+    sv = key_fn("sv_SE.UTF-8")
+    assert sorted(["zebra", "åka", "ära", "öga", "anka"], key=sv) == \
+        ["anka", "zebra", "åka", "ära", "öga"]
+    da = key_fn("da_DK")
+    assert sorted(["ørn", "æble", "ål", "zebra"], key=da) == \
+        ["zebra", "æble", "ørn", "ål"]
+    de = key_fn("de_DE")
+    assert de("Müller") == de("mueller")
+    assert de("straße") == de("strasse")
+    es = key_fn("es")
+    assert sorted(["anuncio", "añejo", "aorta"], key=es) == \
+        ["anuncio", "añejo", "aorta"]
+    plain = key_fn(None)
+    assert plain("Ärger") == "arger"

@@ -134,3 +134,49 @@ def test_text_analyzer_stemmed_index_recall(tmp_path):
     assert got == [1, 2]
     got2 = sorted(s.match_docs(F.Term("cafe")).tolist())
     assert got2 == [3, 4]
+
+
+def test_dictionary_buffer_lookup_unicode(tmp_path, ray_session):
+    """The Arrow-buffer binary search must agree with Python str order
+    for non-ASCII terms (UTF-8 byte order == code-point order), and
+    terms_at must decode bounded row sets without materializing the
+    whole dictionary."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    words = ["zebra", "åka", "ära", "öga", "anka", "ärt", "étude",
+             "книга", "öl", "z", "a"]
+    rows = [{"doc_id": i, "text": " ".join(words[i % len(words):] )}
+            for i in range(24)]
+    src = str(tmp_path / "u.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    idx = str(tmp_path / "uidx")
+    build_index(src, idx, text_col="text", key_cols=("doc_id",),
+                stored_cols=("doc_id",), segment_docs=8)
+    s = IndexSearcher(idx)
+    seg = s.segments[0]
+    # every term present must be found; absent probes must return -1
+    for w in words:
+        r = seg.lookup(w)
+        assert r >= 0 and seg.terms[r] == w
+    assert seg.lookup("zzz-not-there") == -1
+    assert seg.lookup("") == -1
+    # terms_at decodes exactly the requested rows, pre- and post-
+    # materialization
+    rows2 = seg.term_range("a", "b")
+    sub = seg.terms_at(rows2)
+    assert all(a <= t < "b" for t in sub for a in ["a"])
+    _ = seg.terms  # force full materialization
+    sub2 = seg.terms_at(rows2)
+    assert list(sub) == list(sub2)
+    # range bounds agree with numpy searchsorted over the object array
+    t_all = seg.terms
+    for lo, hi in [("a", "b"), ("ä", "ö"), (None, "m"), ("å", None)]:
+        got = seg.term_range(lo, hi)
+        a = 0 if lo is None else int(np.searchsorted(t_all, lo, "left"))
+        b = t_all.size if hi is None else int(np.searchsorted(t_all, hi, "right"))
+        assert got.tolist() == list(range(a, b)), (lo, hi)

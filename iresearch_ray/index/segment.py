@@ -1259,11 +1259,32 @@ class SegmentReader:
                 + np.arange(s_docs.size)
             out["docs"][out_idx] = s_docs
             out["tfs"][out_idx] = s_tfs
-        for k in np.flatnonzero(~small):
-            pl = self._decode_postings(lo + int(k), positions=False)
-            a, b = term_starts[k], term_starts[k] + df[k]
-            out["docs"][a:b] = pl.docs
-            out["tfs"][a:b] = pl.tfs
+        large = np.flatnonzero(~small)
+        if large.size:
+            # df>=128 terms decode BATCHED too (same pattern as the v3
+            # position path below): one _batch_unpack_full over every
+            # large term's full blocks + one varint pass over the
+            # gathered tails — no per-term Python round-trips.
+            l_df = df[large]
+            for blob_off, blob_data, col, is_docs in (
+                    (d_offs, d_data, "block_doc_off", True),
+                    (f_offs, f_data, "block_freq_off", False)):
+                ca = t.column(col).combine_chunks()
+                clen = pc.list_value_length(ca).to_numpy().astype(np.int64)
+                coff = np.concatenate(([0], np.cumsum(clen)))
+                cvals = ca.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                vals = _bulk_decode_blocked(
+                    blob_off[:-1][large], blob_off[1:][large], blob_data,
+                    cvals, coff[large], l_df)
+                if is_docs:
+                    l_starts = np.concatenate(([0], np.cumsum(l_df)[:-1]))
+                    vals = reset_cumsum(vals, l_starts, l_df)
+                dest = np.repeat(
+                    term_starts[large]
+                    - np.concatenate(([0], np.cumsum(l_df)[:-1])), l_df) \
+                    + np.arange(int(l_df.sum()))
+                out["docs" if is_docs else "tfs"][dest] = vals
         p_offs, p_data = col_view("pos_blob")
         if "pos_chunk_off" in t.column_names:
             # v3 blocked streams: ONE batched bit-unpack over every
@@ -1274,39 +1295,8 @@ class SegmentReader:
             lens_list = pc.list_value_length(ca).to_numpy().astype(np.int64)
             l_off = np.concatenate(([0], np.cumsum(lens_list)))
             cvals = ca.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            n_full_t = ttf // BLOCK_SIZE
-            Btot = int(n_full_t.sum())
-            nv = int(ttf.sum())
-            pos_deltas = np.empty(nv, np.int64)
-            o = np.concatenate(([0], np.cumsum(ttf)))
-            fcnt = n_full_t * BLOCK_SIZE
-            if Btot:
-                fcum0 = np.concatenate(([0], np.cumsum(n_full_t)[:-1]))
-                term_rep = np.repeat(np.arange(nt), n_full_t)
-                intra = np.arange(Btot) - fcum0[term_rep]
-                abs_offs = p_offs[:-1][term_rep] \
-                    + cvals[l_off[term_rep] + intra]
-                full_vals = _batch_unpack_full(p_data, abs_offs).ravel()
-                vcum0 = np.concatenate(([0], np.cumsum(fcnt)[:-1]))
-                dest_full = np.repeat(o[:-1] - vcum0, fcnt) \
-                    + np.arange(int(fcnt.sum()))
-                pos_deltas[dest_full] = full_vals
-            tail_t = ttf - fcnt
-            has = np.flatnonzero(tail_t > 0)
-            if has.size:
-                tail_rel = cvals[l_off[has] + n_full_t[has]]
-                starts_b = p_offs[:-1][has] + tail_rel
-                ends_b = p_offs[1:][has]
-                lens_b = ends_b - starts_b
-                ob = np.concatenate(([0], np.cumsum(lens_b)[:-1]))
-                gidx = np.repeat(starts_b - ob, lens_b) \
-                    + np.arange(int(lens_b.sum()))
-                tail_vals = varint_decode(p_data[gidx]).view(np.int64)
-                tcum0 = np.concatenate(([0], np.cumsum(tail_t[has])[:-1]))
-                dest_tail = np.repeat((o[:-1] + fcnt)[has] - tcum0,
-                                      tail_t[has]) \
-                    + np.arange(int(tail_t[has].sum()))
-                pos_deltas[dest_tail] = tail_vals
+            pos_deltas = _bulk_decode_blocked(
+                p_offs[:-1], p_offs[1:], p_data, cvals, l_off[:-1], ttf)
         else:
             # v2: every pos blob is plain varint -> one decode over the
             # field's whole contiguous pos buffer
@@ -1495,6 +1485,52 @@ class SegmentReader:
             max_tf=self._row_list(row, "block_max_tf"),
             min_dl=self._row_list(row, "block_min_dl"),
         )
+
+
+def _bulk_decode_blocked(starts: np.ndarray, ends: np.ndarray,
+                         data: np.ndarray, chunk_vals: np.ndarray,
+                         chunk_off: np.ndarray,
+                         counts: np.ndarray) -> np.ndarray:
+    """Decode MANY terms' blocked streams in two batched passes.
+
+    ``starts``/``ends``: each term's blob byte range in ``data``;
+    ``chunk_vals``/``chunk_off``: flattened per-term block byte offsets
+    (relative to the term's blob start) and each term's first index in
+    that flat array; ``counts``: per-term value counts. One
+    ``_batch_unpack_full`` over every full 128-block of every term +
+    one ``varint_decode`` over the gathered tails. Returns the values
+    concatenated in term order."""
+    nt = counts.size
+    n_full = counts // BLOCK_SIZE
+    btot = int(n_full.sum())
+    vals = np.empty(int(counts.sum()), np.int64)
+    o = np.concatenate(([0], np.cumsum(counts)))
+    fcnt = n_full * BLOCK_SIZE
+    if btot:
+        fcum0 = np.concatenate(([0], np.cumsum(n_full)[:-1]))
+        term_rep = np.repeat(np.arange(nt), n_full)
+        intra = np.arange(btot) - fcum0[term_rep]
+        abs_offs = starts[term_rep] + chunk_vals[chunk_off[term_rep] + intra]
+        full_vals = _batch_unpack_full(data, abs_offs).ravel()
+        vcum0 = np.concatenate(([0], np.cumsum(fcnt)[:-1]))
+        dest = np.repeat(o[:-1] - vcum0, fcnt) + np.arange(int(fcnt.sum()))
+        vals[dest] = full_vals
+    tail = counts - fcnt
+    has = np.flatnonzero(tail > 0)
+    if has.size:
+        tail_rel = chunk_vals[chunk_off[has] + n_full[has]]
+        starts_b = starts[has] + tail_rel
+        ends_b = ends[has]
+        lens_b = ends_b - starts_b
+        ob = np.concatenate(([0], np.cumsum(lens_b)[:-1]))
+        gidx = np.repeat(starts_b - ob, lens_b) \
+            + np.arange(int(lens_b.sum()))
+        tail_vals = varint_decode(data[gidx]).view(np.int64)
+        tcum0 = np.concatenate(([0], np.cumsum(tail[has])[:-1]))
+        dest_tail = np.repeat((o[:-1] + fcnt)[has] - tcum0, tail[has]) \
+            + np.arange(int(tail[has].sum()))
+        vals[dest_tail] = tail_vals
+    return vals
 
 
 def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndarray:

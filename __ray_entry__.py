@@ -707,6 +707,37 @@ def _q_accent_fold(sf_dir: str):
     return match_frame(s, F.Term("table"))
 
 
+def _nordicize(batch):
+    """Replace text with a one-token 'title': the first word with
+    a->å and o->ö — a deterministic Nordic-letter corpus for the
+    collation tailoring query."""
+    import pyarrow.compute as pc
+
+    title = pc.replace_substring_regex(
+        batch.column("text"), r"^(\S+)[\S\s]*$", r"\1")
+    title = pc.replace_substring(
+        pc.replace_substring(title, "a", "å"), "o", "ö")
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", title)
+
+
+def _q_collation_order(sf_dir: str):
+    """Swedish collation tailoring end-to-end: titles are indexed as
+    their sv collation keys (å/ä/ö are independent letters AFTER z), so
+    Range(lo='z') matches exactly the å-/ö-initial titles. Without
+    tailoring the NFKD fold would send them to a/o (< z) and this query
+    would return nothing."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "collation", transform=_nordicize,
+        analyzer="collation",
+        analyzer_options={"locale": "sv_SE.UTF-8"},
+    )
+    return match_frame(s, F.Range(lo="z", hi=None, include_lo=False))
+
+
 def _q_bpe_token_stats(sf_dir: str):
     """Whitespace + BPE-ish pre-tokenizer piece counts per doc (token
     budgeting for training-data pipelines)."""
@@ -844,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "same_position_match": _q_same_position,
         "column_existence_match": _q_column_existence,
         "accent_fold_match": _q_accent_fold,
+        "collation_order_match": _q_collation_order,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1200,6 +1232,19 @@ SELECT doc_id FROM documents WHERE n_chars > 200 ORDER BY doc_id
 """,
         "accent_fold_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table' ORDER BY doc_id
+""",
+        # sv collation key replicated in SQL: title = nordicized first
+        # token (a->å, o->ö); tailoring maps å/ä/ö to U+E001..E003 so
+        # they sort AFTER z (chr() below = those code points)
+        "collation_order_match": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         replace(replace(lower(
+             replace(replace(split_part(text, ' ', 1), 'a', 'å'),
+                     'o', 'ö')),
+             'å', chr(57345)), 'ö', chr(57347)) AS ckey
+  FROM documents)
+WHERE ckey > 'z' ORDER BY doc_id
 """,
         "lang_field_stats": """
 SELECT lang AS term, count(*) AS doc_freq

@@ -1101,6 +1101,66 @@ class SegmentReader:
         self._pl_cache[key] = pl
         return pl
 
+    def postings_many(self, rows) -> list["PostingList"]:
+        """Decode several terms' (docs, tfs) at once; cache misses go
+        through ONE batched pass (``_bulk_decode_blocked``) instead of
+        per-term ``_decode_stream`` round-trips — a cold k-term
+        disjunction otherwise pays ~45us of numpy fixed cost x 2
+        streams x k x segments. Results land in the same FIFO cache
+        ``postings`` uses."""
+        out: dict[int, PostingList] = {}
+        missing: list[int] = []
+        for r in rows:
+            r = int(r)
+            hit = self._pl_cache.get((r, False)) \
+                or self._pl_cache.get((r, True))
+            if hit is not None:
+                out[r] = hit
+            elif r not in out:
+                missing.append(r)
+        if len(missing) == 1:
+            out[missing[0]] = self.postings(missing[0])
+        elif missing:
+            t = pa.concat_tables(
+                [self._posting_row(r) for r in missing]).combine_chunks()
+            nm = len(missing)
+            df = self.doc_freq[np.asarray(missing)].astype(np.int64)
+
+            def col_view(name):
+                arr = t.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                off0 = arr.offset
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                    off0 : off0 + nm + 1].astype(np.int64)
+                return offs, np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+
+            vals = {}
+            for blob_col, list_col, k in (
+                    ("doc_blob", "block_doc_off", "docs"),
+                    ("freq_blob", "block_freq_off", "tfs")):
+                offs, data = col_view(blob_col)
+                ca = t.column(list_col)
+                if isinstance(ca, pa.ChunkedArray):
+                    ca = ca.combine_chunks()
+                clen = pc.list_value_length(ca).to_numpy().astype(np.int64)
+                coff = np.concatenate(([0], np.cumsum(clen)))
+                cvals = ca.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                vals[k] = _bulk_decode_blocked(
+                    offs[:-1], offs[1:], data, cvals, coff[:-1], df)
+            starts = np.concatenate(([0], np.cumsum(df)))
+            for j, r in enumerate(missing):
+                a, b = int(starts[j]), int(starts[j + 1])
+                pl = PostingList(
+                    docs=np.cumsum(vals["docs"][a:b]),
+                    tfs=vals["tfs"][a:b])
+                if len(self._pl_cache) >= self._pl_cache_max:
+                    self._pl_cache.pop(next(iter(self._pl_cache)))
+                self._pl_cache[(r, False)] = pl
+                out[r] = pl
+        return [out[int(r)] for r in rows]
+
     def _decode_postings(self, idx: int, positions: bool = False):
         base = self._pl_cache.get((idx, False)) if positions else None
         if base is not None:

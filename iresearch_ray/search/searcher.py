@@ -719,13 +719,13 @@ class IndexSearcher:
                 cache = seg._disj_cache = {}
             hit = cache.get(key)
             if hit is None:
-                hit = []
-                for ci, c in enumerate(children):
-                    row = c.state.rows[seg_ord]
-                    if row >= 0:
-                        pl = seg.postings(int(row))
-                        hit.append((ci, pl.docs, pl.tfs,
-                                    seg.field_norms(c.field)[pl.docs - 1]))
+                live = [(ci, int(c.state.rows[seg_ord]))
+                        for ci, c in enumerate(children)
+                        if c.state.rows[seg_ord] >= 0]
+                pls = seg.postings_many([r for _, r in live])
+                hit = [(ci, pl.docs, pl.tfs,
+                        seg.field_norms(children[ci].field)[pl.docs - 1])
+                       for (ci, _), pl in zip(live, pls)]
                 if len(cache) >= 16:
                     cache.pop(next(iter(cache)))
                 cache[key] = hit

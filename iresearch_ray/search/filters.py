@@ -1064,11 +1064,11 @@ class PreparedGranularRange(Prepared):
 
     def execute(self, seg_ord):
         seg = self.searcher.segments[seg_ord]
-        doc_parts = []
+        all_rows = []
         for t_lo, t_hi in self.term_ranges:
-            rows = seg.term_range(t_lo, t_hi, field=self.field)
-            for row in rows:
-                doc_parts.append(seg.postings(int(row)).docs)
+            all_rows.extend(int(r) for r in
+                            seg.term_range(t_lo, t_hi, field=self.field))
+        doc_parts = [pl.docs for pl in seg.postings_many(all_rows)]
         if not doc_parts:
             return _empty(self.dtype)
         # per-level ranges are disjoint value sets, but one doc holds a
@@ -1302,11 +1302,9 @@ class PreparedUnscoredUnion(Prepared):
 
     def execute(self, seg_ord):
         seg = self.searcher.segments[seg_ord]
-        parts = []
-        for st in self.states:
-            row = st.rows[seg_ord]
-            if row >= 0:
-                parts.append(seg.postings(int(row)).docs)
+        rows = [int(st.rows[seg_ord]) for st in self.states
+                if st.rows[seg_ord] >= 0]
+        parts = [pl.docs for pl in seg.postings_many(rows)]
         if not parts:
             return _empty(self.dtype)
         docs = np.unique(np.concatenate(parts))

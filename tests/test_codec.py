@@ -58,3 +58,67 @@ def test_encode_lists_varint_slicing():
     # slice out list 1 and decode independently
     part = np.frombuffer(blob, dtype=np.uint8)[byte_starts[1] :]
     assert varint_decode(part, 2).tolist() == [2, 70000]
+
+
+def test_postings_many_equals_per_term_random():
+    """postings_many (one _bulk_decode_blocked pass) must reproduce
+    per-term postings() exactly for arbitrary df mixes (tails only,
+    full blocks only, both), including terms repeated in the request."""
+    import numpy as np
+
+    from iresearch_ray.index.segment import (
+        SegmentReader,
+        encode_postings_table,
+    )
+
+    rng = np.random.default_rng(1234)
+    for trial in range(5):
+        n_terms = int(rng.integers(2, 40))
+        vocab, runs_doc, runs_tf, starts = [], [], [], [0]
+        doc_count = 500
+        for t in range(n_terms):
+            df = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(
+                np.arange(1, doc_count + 1), size=min(df, doc_count),
+                replace=False))
+            tfs = rng.integers(1, 9, size=docs.size)
+            vocab.append(f"t{t:04d}")
+            runs_doc.append(docs)
+            runs_tf.append(tfs)
+            starts.append(starts[-1] + docs.size)
+        import pyarrow as pa
+        run_doc = np.concatenate(runs_doc).astype(np.int64)
+        run_tf = np.concatenate(runs_tf).astype(np.int64)
+        n_occ = int(run_tf.sum())
+        # positions: ascending within each run
+        pos = rng.integers(0, 50, size=n_occ).astype(np.int64)
+        rs = np.concatenate(([0], np.cumsum(run_tf)))
+        for i in range(run_tf.size):
+            pos[rs[i]:rs[i + 1]] = np.sort(pos[rs[i]:rs[i + 1]])
+        inv = {
+            "vocab": pa.array(vocab, type=pa.string()),
+            "term_starts": np.asarray(starts[:-1], dtype=np.int64),
+            "run_doc": run_doc,
+            "run_tf": run_tf,
+            "doc_len": np.full(run_doc.size, 7, dtype=np.int64),
+            "pos_sorted": pos,
+            "run_starts": rs[:-1].astype(np.int64),
+        }
+        tbl = encode_postings_table(inv)
+
+        class _FakeSeg(SegmentReader):
+            def __init__(self, t):  # bypass file IO
+                self._postings = t
+                self.doc_freq = np.diff(
+                    np.append(np.asarray(starts[:-1]), run_doc.size))
+                self._pl_cache = {}
+                self._pl_cache_max = 256
+
+        seg = _FakeSeg(tbl)
+        rows = list(rng.permutation(n_terms)) + [0, 0]
+        many = seg.postings_many(rows)
+        seg2 = _FakeSeg(tbl)
+        for r, pl in zip(rows, many):
+            ref = seg2._decode_postings(int(r))
+            assert (pl.docs == ref.docs).all(), (trial, r)
+            assert (pl.tfs == ref.tfs).all(), (trial, r)

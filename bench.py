@@ -51,6 +51,23 @@ def corpus_for(sf_name: str) -> tuple[int, int]:
     return _CORPUS.get(sf_name, _CORPUS["sf0.1"])
 
 
+def host_membw_gbps() -> float:
+    """Single-thread streaming write+reduce over 400 MB — a host-health
+    gauge recorded with every run. This sandbox VM's memory subsystem
+    intermittently collapses under neighbor load (measured 0.07-4 GB/s
+    for the IDENTICAL probe hours apart); the build/merge pipelines are
+    bandwidth-bound, so this number is the context for interpreting
+    wall-clock swings between rounds."""
+    import numpy as np
+
+    a = np.empty(400_000_000 // 8, np.int64)
+    t0 = time.time()
+    a[:] = 1
+    _ = a.sum()
+    dt = max(time.time() - t0, 1e-9)
+    return round(0.8 / dt, 2)  # 0.4 GB written + 0.4 GB read
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -66,6 +83,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from iresearch_ray.search.benchmarks import reference_categories
     from iresearch_ray.search.searcher import IndexSearcher
 
+    membw = host_membw_gbps()
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_parts, convs_per_part = corpus_for(sf_name)
     corpus = f"/tmp/graft_transcripts_{sf_name}"
@@ -186,6 +204,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / build_sec, 1),
         "segments": len(man.segments),
+        "host_membw_gbps": membw,
         "query_total_sec": round(query_total, 4),
         "query_p99_sec": p99s,
         "sharded_query_sec": sharded_times,
@@ -227,6 +246,8 @@ def main() -> None:
             "sec_32": t_hi,
             "turns_per_sec_8": r_lo["turns_per_sec"],
             "turns_per_sec_32": r_hi["turns_per_sec"],
+            "host_membw_gbps_8": r_lo.get("host_membw_gbps"),
+            "host_membw_gbps_32": r_hi.get("host_membw_gbps"),
             "sf": r_lo["sf"],
             "queries": r_hi["queries"],
         }))

@@ -1110,13 +1110,17 @@ class SegmentReader:
         ``postings`` uses."""
         out: dict[int, PostingList] = {}
         missing: list[int] = []
+        seen: set[int] = set()
         for r in rows:
             r = int(r)
+            if r in seen:
+                continue
+            seen.add(r)
             hit = self._pl_cache.get((r, False)) \
                 or self._pl_cache.get((r, True))
             if hit is not None:
                 out[r] = hit
-            elif r not in out:
+            else:
                 missing.append(r)
         if len(missing) == 1:
             out[missing[0]] = self.postings(missing[0])

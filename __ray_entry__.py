@@ -714,7 +714,8 @@ def _nordicize(batch):
     import pyarrow.compute as pc
 
     title = pc.replace_substring_regex(
-        batch.column("text"), r"^(\S+)[\S\s]*$", r"\1")
+        pc.utf8_trim_whitespace(batch.column("text")),
+        r"^(\S+)[\S\s]*$", r"\1")
     title = pc.replace_substring(
         pc.replace_substring(title, "a", "å"), "o", "ö")
     return batch.set_column(
@@ -1235,12 +1236,16 @@ SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table' ORDER BY doc_id
 """,
         # sv collation key replicated in SQL: title = nordicized first
         # token (a->å, o->ö); tailoring maps å/ä/ö to U+E001..E003 so
-        # they sort AFTER z (chr() below = those code points)
+        # they sort AFTER z (chr() below = those code points).
+        # NOTE: replica only covers the å/ö mappings and lower(); it is
+        # exact because the synthetic corpus text is pure ASCII before
+        # nordicization — other non-ASCII letters (é, ü, ß) would need
+        # strip_accents here to mirror the engine's NFKD fold.
         "collation_order_match": """
 SELECT doc_id FROM (
   SELECT doc_id,
          replace(replace(lower(
-             replace(replace(split_part(text, ' ', 1), 'a', 'å'),
+             replace(replace(split_part(trim(text), ' ', 1), 'a', 'å'),
                      'o', 'ö')),
              'å', chr(57345)), 'ö', chr(57347)) AS ckey
   FROM documents)

@@ -841,7 +841,10 @@ class CollationAnalyzer(NormalizingAnalyzer):
     def _norm(self, s: str) -> str:
         import unicodedata
 
-        s = s.casefold()
+        # NFC first so canonically-equivalent decomposed input (NFD
+        # 'a'+U+030A for å) hits the tailoring patterns below identically
+        # to the precomposed form
+        s = unicodedata.normalize("NFC", s).casefold()
         key = self.locale.lower().replace("-", "_").split("_")[0]
         tail = _COLLATION_TAILORING.get(key)
         if tail:

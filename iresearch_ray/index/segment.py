@@ -1135,7 +1135,9 @@ class SegmentReader:
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 off0 = arr.offset
-                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                off_dt = np.int64 if pa.types.is_large_binary(arr.type) \
+                    or pa.types.is_large_string(arr.type) else np.int32
+                offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
                     off0 : off0 + nm + 1].astype(np.int64)
                 return offs, np.frombuffer(arr.buffers()[2], dtype=np.uint8)
 
@@ -1293,7 +1295,9 @@ class SegmentReader:
         def col_view(name):
             arr = t.column(name).combine_chunks()
             off0 = arr.offset
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            off_dt = np.int64 if pa.types.is_large_binary(arr.type) \
+                or pa.types.is_large_string(arr.type) else np.int32
+            offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
                 off0 : off0 + nt + 1].astype(np.int64)
             data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
             return offs, data

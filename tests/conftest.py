@@ -3,8 +3,7 @@ import pytest
 
 @pytest.fixture(scope="session")
 def ray_session():
-    """One Ray session for the whole pytest run (see CLAUDE driver notes:
-    never init per-test)."""
+    """One Ray session for the whole pytest run (never init per-test)."""
     import ray
 
     if not ray.is_initialized():

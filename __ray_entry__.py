@@ -846,9 +846,37 @@ def _q_transcripts_flagship(sf_dir: str):
                     columns=("conv_id", "turn_idx"))
 
 
+def _q_tfidf_term(sf_dir: str):
+    """TFIDF-scored top-k (second scorer, ``core/search/tfidf.cpp:
+    185-260``): idf = 1 + ln(dwf/(dwt+1)), score = sqrt(tf) * idf."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.scorers import TFIDF
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(s, F.Term("customer"), k=100,
+                      scorer=TFIDF(dtype=np.float64))
+
+
+def _q_ngram_similarity(sf_dir: str):
+    """by_ngram_similarity (``core/search/ngram_similarity_filter.hpp:
+    33-49``, chain DP ``ngram_similarity_query.cpp:455``): query word
+    bigrams (table,hash),(hash,customer),(customer,join); threshold 0.6
+    of 3 grams -> longest IN-ORDER chain (strictly increasing
+    positions) must reach 2."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.NGramSimilarity("table hash customer join",
+                                            threshold=0.6))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
+        "tfidf_topk_term": _q_tfidf_term,
+        "ngram_similarity_match": _q_ngram_similarity,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_and": _q_bm25_and,
         "phrase_match": _q_phrase,
@@ -1159,6 +1187,37 @@ ORDER BY score DESC, doc_id LIMIT 100
     )
     return {
         "bm25_topk_term": topk.format(t="customer"),
+        # TFIDF: idf = 1 + ln(dwf/(dwt+1)); score = sqrt(tf) * idf
+        # (core/search/tfidf.cpp:185-260; no norms — with_norms=False)
+        "tfidf_topk_term": _TOK_SQL + """
+, tscored AS (
+  SELECT t.doc_id, t.term,
+         sqrt(CAST(t.tf AS DOUBLE))
+           * (1 + ln(CAST(f.dwf AS DOUBLE) / (d.dwt + 1))) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN fstats f
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM tscored WHERE term = 'customer'
+ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # ordered-chain n-gram similarity: an in-order chain of >= 2 of
+        # the 3 query bigrams == a pair of gram occurrences (gi_a <
+        # gi_b, pos_a < pos_b) — the chain-of-2 existence check is the
+        # DP's fixpoint at need=2 (ngram_similarity_query.cpp:455)
+        "ngram_similarity_match": _TOK_SQL + """
+, occ AS (
+  SELECT t1.doc_id AS doc_id, g.gi AS gi, t1.pos AS pos
+  FROM term_pos t1
+  JOIN term_pos t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN (VALUES (1, 'table', 'hash'), (2, 'hash', 'customer'),
+        (3, 'customer', 'join')) AS g(gi, w1, w2)
+    ON t1.term = g.w1 AND t2.term = g.w2
+)
+SELECT DISTINCT a.doc_id AS doc_id
+FROM occ a
+JOIN occ b ON b.doc_id = a.doc_id AND b.gi > a.gi AND b.pos > a.pos
+ORDER BY doc_id
+""",
         "bm25_topk_or": _TOK_SQL + """
 , pair AS (
   SELECT doc_id, sum(score) AS score

@@ -94,14 +94,43 @@ def test_kill_restart_resumes(tmp_path, ray_session):
     # raylet may setpgrp its workers out of the driver's process group;
     # observed in-suite flake: an orphan kept appending segments while
     # the resumed build ran). The subprocess session got a private
-    # _temp_dir, so its raylet/workers carry that path in their cmdline.
-    subprocess.run(["pkill", "-9", "-f", ray_tmp], check=False)
-    time.sleep(0.5)
+    # _temp_dir, so its raylet/workers carry that path in their cmdline
+    # — enumerate those PIDs from /proc and WAIT until every one is
+    # gone (a pkill + fixed sleep raced under full-suite load).
+    def _session_pids():
+        pids = []
+        needle = ray_tmp.encode()
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if needle in cmd:
+                pids.append(int(p))
+        return pids
 
+    kill_deadline = time.time() + 60
+    while time.time() < kill_deadline:
+        pids = _session_pids()
+        if not pids:
+            break
+        for pid in pids:
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        time.sleep(0.2)
+    else:
+        pytest.skip(f"orphan Ray workers would not die: {_session_pids()}")
+
+    # belt and braces: one settle check now that no writer can be alive
     prev = _dir_state()
-    settle_deadline = time.time() + 30
+    settle_deadline = time.time() + 10
     while time.time() < settle_deadline:
-        time.sleep(1.0)
+        time.sleep(0.5)
         cur = _dir_state()
         if cur == prev:
             break

@@ -102,6 +102,15 @@ class Analyzer:
             f"{type(self).__name__} does not expose token offsets (OFFS)"
         )
 
+    def tokenize_offsets_payloads(self, texts: pa.Array):
+        """(doc_idx, terms, pos, start, end, payloads) — OFFS+PAY on one
+        field (the reference stores both in the same ``.pay`` stream,
+        ``core/formats/formats_10.cpp:326-333``). Default: offsets from
+        ``tokenize_offsets`` with all-zero payloads; analyzers that
+        carry real payloads override."""
+        d, t, p, s, e = self.tokenize_offsets(texts)
+        return d, t, p, s, e, np.zeros(d.size, dtype=np.uint64)
+
     def tokenize_query(self, text: str) -> list[str]:
         _, terms, _ = self.tokenize(pa.array([text], type=pa.string()))
         return terms.to_pylist()
@@ -687,6 +696,16 @@ class DelimitedPayloadAnalyzer(Analyzer):
         d, t, p = self.inner.tokenize(texts)
         t2, pays = self._split_pay(t)
         return d, t2, p, pays
+
+    def tokenize_offsets_payloads(self, texts: pa.Array):
+        """OFFS+PAY together: token char spans from the inner tokenizer,
+        shrunk to the TERM (the stripped ``|payload`` suffix is not part
+        of the indexed token's span), plus the numeric payloads."""
+        d, t, p, s, _e = self.inner.tokenize_offsets(texts)
+        t2, pays = self._split_pay(t)
+        lens = pc.utf8_length(t2).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        return d, t2, p, s, s + lens, pays
 
 
 @dataclass

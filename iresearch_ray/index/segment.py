@@ -99,8 +99,16 @@ def invert_batch(
     n_docs = len(texts)
     extras: dict[str, np.ndarray] = {}
     if offsets and payloads:
-        raise NotImplementedError("offsets+payloads together not supported yet")
-    if offsets:
+        # both occurrence streams on one field — the reference keeps
+        # offsets and payloads in the same .pay stream
+        # (core/formats/formats_10.cpp:326-333); here they stay two
+        # independent flat-varint streams sharing the position skip
+        doc_idx, terms, pos, start, end, pays = \
+            analyzer.tokenize_offsets_payloads(texts)
+        extras["offs_start"] = start.astype(np.int32, copy=False)
+        extras["offs_len"] = (end - start).astype(np.int32, copy=False)
+        extras["pay"] = pays.astype(np.int64)
+    elif offsets:
         doc_idx, terms, pos, start, end = analyzer.tokenize_offsets(texts)
         extras["offs_start"] = start.astype(np.int32, copy=False)
         extras["offs_len"] = (end - start).astype(np.int32, copy=False)

@@ -308,13 +308,84 @@ class TestHighlightFromOffsets:
             assert all(a < b for a, b in row["offsets"])
 
 
-class TestInvertGuards:
-    def test_offsets_plus_payloads_rejected(self):
-        with pytest.raises(NotImplementedError):
-            invert_batch(pa.array(["a"], type=pa.string()),
-                         SegmentationAnalyzer(), offsets=True,
-                         payloads=True)
+class TestOffsPlusPay:
+    """OFFS+PAY on one field (VERDICT r2 #6; the reference stores both
+    in the same .pay stream, formats_10.cpp:326-333)."""
 
+    @pytest.fixture(scope="class")
+    def both_index(self, tmp_path_factory):
+        tmp = str(tmp_path_factory.mktemp("bothidx"))
+        an = DelimitedPayloadAnalyzer()
+        ms = []
+        for part, txts in [
+                ("a", ["run|5 walk|2 run|7", "walk|1 run|4"]),
+                ("b", ["run jump|9", "jump run|3"])]:
+            b = pa.table({"conv_id": [part] * len(txts),
+                          "turn_idx": list(range(len(txts))),
+                          "text": txts})
+            ms.append(write_segment(
+                tmp, b, an,
+                analyzer_spec={"name": "delimited_payload", "options": {}},
+                index_features=("offs", "pay")))
+        return tmp, ms, an
+
+    def test_both_streams_roundtrip(self, both_index):
+        tmp, ms, an = both_index
+        r = SegmentReader(os.path.join(tmp, ms[0]["name"]))
+        assert r.index_features == {"offs", "pay"}
+        ti = r.lookup("run")
+        assert r.payloads(ti).tolist() == [5, 7, 4]
+        s, e = r.occurrence_offsets(ti)
+        # spans cover the TERM only, not the |payload suffix
+        texts = ["run|5 walk|2 run|7", "walk|1 run|4"]
+        pl = r.postings(ti, positions=True)
+        doc_of_occ = np.repeat(pl.docs, pl.tfs)
+        for d, a, b in zip(doc_of_occ, s, e):
+            assert texts[d - 1][a:b] == "run"
+
+    def test_merge_carries_both(self, both_index, tmp_path):
+        tmp, ms, an = both_index
+        m1, m2 = dict(ms[0]), dict(ms[1])
+        m1["doc_base"], m2["doc_base"] = 0, m1["docs_count"]
+        mm = merge_segments(tmp, [m1, m2], out_dir=str(tmp_path))
+        r = SegmentReader(os.path.join(str(tmp_path), mm["name"]))
+        assert r.index_features == {"offs", "pay"}
+        assert r.payloads(r.lookup("run")).tolist() == [5, 7, 4, 0, 3]
+        assert r.payloads(r.lookup("jump")).tolist() == [9, 0]
+        s, e = r.occurrence_offsets(r.lookup("jump"))
+        assert (e - s).tolist() == [4, 4]
+
+    def test_payload_scored_highlighted_query(self, both_index):
+        """Payload scoring + highlight from stored offsets on the SAME
+        index — the user scenario the r2 gap blocked."""
+        from iresearch_ray.search import filters as F
+        from iresearch_ray.search.highlight import highlight
+        from iresearch_ray.search.searcher import IndexSearcher
+
+        tmp, ms, an = both_index
+        Manifest.commit(tmp, ms)
+        searcher = IndexSearcher(tmp)
+        res = searcher.search(F.PayloadTerm("run", agg="sum"), k=10)
+        got = dict(zip(res["doc_id"], res["score"]))
+        assert got == {1: 12.0, 2: 4.0, 3: 0.0, 4: 3.0}
+        hl = highlight(searcher, F.Term("run"), k=4, source="offsets")
+        assert all("<em>run</em>" in s for s in hl["snippet"])
+
+    def test_plain_analyzer_gets_zero_payloads(self, tmp_path):
+        """Any offsets-capable analyzer supports the combined feature
+        set (zero payloads by default)."""
+        b = pa.table({"conv_id": ["z"], "turn_idx": [0],
+                      "text": ["alpha beta alpha"]})
+        m = write_segment(str(tmp_path), b, SegmentationAnalyzer(),
+                          index_features=("offs", "pay"))
+        r = SegmentReader(os.path.join(str(tmp_path), m["name"]))
+        ti = r.lookup("alpha")
+        assert r.payloads(ti).tolist() == [0, 0]
+        s, e = r.occurrence_offsets(ti)
+        assert s.tolist() == [0, 11]
+
+
+class TestInvertGuards:
     def test_analyzer_without_offsets_raises(self):
         from iresearch_ray.analysis.analyzers import NgramAnalyzer
 

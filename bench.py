@@ -227,14 +227,39 @@ def run_subprocess(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _gate_on_membw(min_gbps: float, tries: int = 10,
+                   wait_s: float = 30.0) -> float:
+    """Block a scaling leg until the host probe reads >= ``min_gbps``
+    (VERDICT r2 #3: a leg measured while this VM's memory subsystem is
+    collapsed measures the host, not the code). Returns the passing
+    reading; raises after ``tries`` failed attempts so a degraded
+    window aborts loudly instead of producing a junk sample."""
+    last = 0.0
+    for _ in range(tries):
+        last = host_membw_gbps()
+        if last >= min_gbps:
+            return last
+        print(f"# membw gate: probe {last} GB/s < {min_gbps}, waiting",
+              file=sys.stderr)
+        time.sleep(wait_s)
+    raise SystemExit(
+        f"host membw degraded ({last} GB/s after {tries} probes) — "
+        "scaling sample would measure the host, not the code")
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
         hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", "32"))
+        gate = float(os.environ.get("RAY_GRAFT_MEMBW_GATE", "1.0"))
+        if gate > 0:
+            _gate_on_membw(gate)
         r_lo = run_subprocess(lo)
         os.sync()
         time.sleep(3)
+        if gate > 0:
+            _gate_on_membw(gate)
         r_hi = run_subprocess(hi)
         t_lo, t_hi = r_lo["value"], r_hi["value"]
         eff = (t_lo / t_hi) / (hi / lo)

@@ -442,8 +442,10 @@ class IndexSearcher:
         counts = (self.fetch_stored(matched, (group_col,))[group_col]
                   .value_counts() if matched.size else pd.Series(dtype="int64"))
         if match in ("all", "none"):
-            # live group sizes: per-segment value counts, summed
-            totals: dict = {}
+            # live group sizes: per-segment value_counts arrays summed
+            # via one pandas groupby — no per-group Python (a dict
+            # accumulation here is a per-row loop at 10^8 groups)
+            parts = []
             for seg in self.segments:
                 col = seg.docmap_column(group_col)
                 dmask = seg.deleted_mask
@@ -452,14 +454,18 @@ class IndexSearcher:
                 vc = pc.value_counts(
                     col.combine_chunks() if isinstance(col, pa.ChunkedArray)
                     else col)
-                for v, c in zip(vc.field("values").to_pylist(),
-                                vc.field("counts").to_pylist()):
-                    totals[v] = totals.get(v, 0) + c
+                parts.append(pd.Series(
+                    vc.field("counts").to_numpy(zero_copy_only=False),
+                    index=vc.field("values").to_pandas()))
+            totals_s = (pd.concat(parts).groupby(level=0).sum()
+                        if parts else pd.Series(dtype="int64"))
             if match == "all":
-                keys = [g for g, tot in totals.items()
-                        if counts.get(g, 0) == tot]
+                aligned = counts.reindex(totals_s.index, fill_value=0)
+                keys = totals_s.index[
+                    aligned.to_numpy() == totals_s.to_numpy()].tolist()
             else:  # none
-                keys = [g for g in totals if g not in counts.index]
+                keys = totals_s.index[
+                    ~totals_s.index.isin(counts.index)].tolist()
         else:
             keys = counts[counts >= min_match].index.tolist()
         if not keys:
@@ -763,18 +769,18 @@ class IndexSearcher:
         out = pd.DataFrame({"doc_id": docs, "score": scores})
         if columns:
             seg_ord = self.seg_of_docs(docs)
-            cols: dict[str, list] = {c: [None] * docs.size for c in columns}
+            cols = {c: np.empty(docs.size, dtype=object) for c in columns}
             for s in np.unique(seg_ord):
                 idx = np.flatnonzero(seg_ord == s)
                 local = pa.array(docs[idx] - self.doc_bases[s] - 1)
                 for c in columns:
                     # column-pruned: only the requested stored columns
-                    # are read from the columnstore
-                    vals = self.segments[s].docmap_column(c).take(local).to_pylist()
-                    for i, v in zip(idx, vals):
-                        cols[c][i] = v
+                    # are read from the columnstore; scatter via pandas
+                    # arrays, not a python list loop
+                    cols[c][idx] = self.segments[s].docmap_column(c) \
+                        .take(local).to_pandas().to_numpy()
             for c in columns:
-                out[c] = cols[c]
+                out[c] = pd.Series(cols[c], dtype=None).infer_objects()
         return out
 
     def fetch_stored(self, global_docs: np.ndarray, columns: tuple) -> pd.DataFrame:

@@ -92,6 +92,44 @@ def test_embedding_near_dups(ray_session):
     assert len(pairs) <= 3
 
 
+def test_embedding_near_dups_planted_recall(ray_session):
+    """Banded multi-table recall (VERDICT r2 #9): 50 planted pairs at
+    cosine ~0.9+, threshold 0.8 — the documented bound
+    1-(1-p^bits)^bands gives >= 0.957 at s=0.8 for the defaults
+    (bits=8, bands=18); observed recall must clear 0.95."""
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    n_base, dim, n_dup = 200, 24, 50
+    base = rng.standard_normal((n_base, dim))
+    dup_of = rng.choice(n_base, size=n_dup, replace=False)
+    noise = rng.standard_normal((n_dup, dim))
+    dups = base[dup_of] + 0.3 * noise * (
+        np.linalg.norm(base[dup_of], axis=1)
+        / np.linalg.norm(noise, axis=1))[:, None]
+    vecs = np.vstack([base, dups])
+    # ground truth at the threshold
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = {(int(d), int(n_base + i))
+            for i, d in enumerate(dup_of)
+            if float(unit[d] @ unit[n_base + i]) >= 0.8}
+    assert len(want) >= 45  # the planting actually lands above 0.8
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+    })
+    out = embedding_near_dups(ray.data.from_arrow(t),
+                              threshold=0.8).to_pandas()
+    got = set(zip(out["rep_id"].astype(int), out["dup_id"].astype(int)))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, (recall, len(want), len(got))
+    # exactness of the verify: every reported pair really clears 0.8
+    for a, b in got:
+        assert float(unit[a] @ unit[b]) >= 0.8 - 1e-9
+
+
 def test_ppm_roundtrip_and_resize():
     import numpy as np
 

@@ -36,6 +36,7 @@ from iresearch_ray.index.segment import (
     _write_norms_npz,
     encode_field_tables,
     segment_name,
+    write_terms_parquet,
 )
 
 
@@ -180,8 +181,7 @@ def merge_segments(index_dir: str, group: list[dict],
 
     tmp_dir = seg_dir + f".tmp.{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
-    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"),
-                   row_group_size=1024)
+    write_terms_parquet(terms_table, os.path.join(tmp_dir, "terms.parquet"))
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
     _write_norms_npz(norms_table, tmp_dir)
     docmap = pa.concat_tables([

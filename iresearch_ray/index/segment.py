@@ -595,6 +595,22 @@ def content_digest(batch: pa.Table, cols: tuple) -> str:
     return h.hexdigest()[:10]
 
 
+def write_terms_parquet(terms_table: pa.Table, path: str) -> None:
+    """Write the terms table with the posting/position blobs stored
+    PLAIN and uncompressed: delta+varint/bitpack IS the codec — snappy
+    measures ~1.0 ratio on doc/pos blobs (the reference likewise writes
+    raw block-coded .doc/.pos) and its decompress copy dominated cold
+    point reads (measured 4.8 -> 3.3 ms per 3-term lookup). freq/offs/
+    pay blobs and the metadata columns keep snappy (tfs compress ~2x)."""
+    raw = [c for c in ("doc_blob", "pos_blob") if c in terms_table.column_names]
+    comp = {c: ("NONE" if c in raw else "SNAPPY")
+            for c in terms_table.column_names}
+    pq.write_table(
+        terms_table, path, row_group_size=1024, compression=comp,
+        use_dictionary=[c for c in terms_table.column_names
+                        if not c.endswith("_blob")])
+
+
 def encode_field_tables(
     field_invs: list[tuple[str, dict]]
 ) -> tuple[pa.Table, pa.Table, dict]:
@@ -727,8 +743,7 @@ def write_segment(
     os.makedirs(tmp_dir, exist_ok=True)
     # small row groups => cold point lookups read ~1k terms' blobs, not
     # the whole segment's postings (see SegmentReader._posting_row)
-    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"),
-                   row_group_size=1024)
+    write_terms_parquet(terms_table, os.path.join(tmp_dir, "terms.parquet"))
     pq.write_table(norms_table, os.path.join(tmp_dir, "norms.parquet"))
     _write_norms_npz(norms_table, tmp_dir)
     stored = list(stored_cols) if stored_cols is not None else batch.column_names
@@ -1193,15 +1208,7 @@ class SegmentReader:
             docs = np.cumsum(deltas.astype(np.int64))
         pos = None
         if positions:
-            pos_row = self._posting_row(idx, "pos")
-            pos_blob = self._row_blob(pos_row, "pos_blob")
-            if "pos_chunk_off" in pos_row.column_names:
-                # v3: blocked stream, same decoder as doc/freq
-                pos_deltas = _decode_stream(
-                    pos_blob, self._row_list(pos_row, "pos_chunk_off"),
-                    int(self.total_tf[idx]))
-            else:  # v2: flat varint
-                pos_deltas = varint_decode(pos_blob).view(np.int64)
+            pos_deltas = self._pos_deltas(idx)
             run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1])).astype(np.int64)
             pos = np.cumsum(pos_deltas)
             # reset cumulative sum at each run start
@@ -1209,6 +1216,18 @@ class SegmentReader:
             pos = pos - base
         return PostingList(docs=docs, tfs=tfs.astype(np.int64), positions=pos,
                            run_tfs=tfs.astype(np.int64) if positions else None)
+
+    def _pos_deltas(self, idx: int) -> np.ndarray:
+        """Raw position deltas of term ``idx`` (one stream decode; the
+        caller reconstructs absolute positions or phrase keys)."""
+        pos_row = self._posting_row(idx, "pos")
+        pos_blob = self._row_blob(pos_row, "pos_blob")
+        if "pos_chunk_off" in pos_row.column_names:
+            # v3: blocked stream, same decoder as doc/freq
+            return _decode_stream(
+                pos_blob, self._row_list(pos_row, "pos_chunk_off"),
+                int(self.total_tf[idx]))
+        return varint_decode(pos_blob).view(np.int64)  # v2: flat varint
 
     def occurrence_offsets(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         """(start, end) character spans of every occurrence of term
@@ -1417,9 +1436,26 @@ class SegmentReader:
         if hit is None:
             base = self._pk_cache.get((idx, 0))
             if base is None:
-                pl = self.postings(idx, positions=True)
-                doc_rep = np.repeat(pl.docs, pl.tfs)
-                base = (doc_rep << np.int64(32)) + pl.positions
+                pl = self._pl_cache.get((idx, True))
+                if pl is not None:
+                    doc_rep = np.repeat(pl.docs, pl.tfs)
+                    base = (doc_rep << np.int64(32)) + pl.positions
+                else:
+                    # fused build straight from deltas: keys = cumsum +
+                    # repeat((doc<<32) - run_base) — one repeat + one
+                    # add instead of reconstructing absolute positions
+                    # first (3 fewer full passes on the cold path; the
+                    # position stream of a high-df term is the largest
+                    # array a phrase/n-gram query touches)
+                    pl = self.postings(idx)  # docs/tfs only
+                    deltas = self._pos_deltas(idx)
+                    cum = np.cumsum(deltas)
+                    rs = np.concatenate(
+                        ([0], np.cumsum(pl.tfs)[:-1])).astype(np.int64)
+                    const_run = (pl.docs << np.int64(32)) \
+                        - (cum[rs] - deltas[rs])
+                    base = cum
+                    base += np.repeat(const_run, pl.tfs)
                 # grouped (doc asc, pos asc) -> already globally sorted
                 self._pk_put((idx, 0), base)
             if shift == 0:

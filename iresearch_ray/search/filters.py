@@ -865,10 +865,29 @@ class PreparedPhrase(Prepared):
         # (keys_for_docs). A phrase match needs every slot in the doc,
         # so restricting to the conjunction loses nothing — the match
         # key set stays complete and cacheable.
-        own = self.doc_candidates(seg_ord)
-        cand = own if cand is None else _intersect_sorted(own, cand)
-        if cand.size == 0:
-            return (*_empty(self.dtype), _EMPTY_I)
+        # doc-level conjunction only when it can PAY: restricted decode
+        # kicks in for a slot iff cand.size*4 < slot_df // 128, and
+        # cand can never exceed the smallest slot's df — for HIGH^HIGH
+        # grams (the cold-n-gram profile) the conjunction restricts
+        # nothing, so skip its doc-stream intersections entirely
+        slot_dfs = []
+        for states in self.slot_states:
+            d = sum(int(self.searcher.segments[seg_ord].doc_freq[
+                st.rows[seg_ord]]) for st in states
+                if st.rows[seg_ord] >= 0)
+            if d == 0:
+                return (*_empty(self.dtype), _EMPTY_I)
+            slot_dfs.append(d)
+        may_restrict = min(slot_dfs) * 4 < max(slot_dfs) // 128
+        if cand is None:
+            if may_restrict:
+                cand = self.doc_candidates(seg_ord)
+                if cand.size == 0:
+                    return (*_empty(self.dtype), _EMPTY_I)
+        else:
+            cand = _intersect_sorted(self.doc_candidates(seg_ord), cand)
+            if cand.size == 0:
+                return (*_empty(self.dtype), _EMPTY_I)
         keysets = []
         POSM = np.int64((1 << 32) - 1)
         for i, states in enumerate(self.slot_states):
@@ -887,7 +906,8 @@ class PreparedPhrase(Prepared):
                 # 128-doc blocks (block coverage saturates at ~n_blocks,
                 # so compare against the BLOCK count, not df); otherwise
                 # the straight flat decode + cached shifted keys wins.
-                if cand.size * 4 < int(seg.doc_freq[row]) // 128:
+                if cand is not None and \
+                        cand.size * 4 < int(seg.doc_freq[row]) // 128:
                     k0 = seg.keys_for_docs(int(row), cand)
                     if shift:
                         k0 = k0[(k0 & POSM) >= shift] - shift

@@ -118,6 +118,22 @@ class TopK:
         if docs.size >= self.k:
             self._thr = float(scores[self.k - 1])
 
+    def raise_threshold(self, t: float) -> None:
+        """Adopt an EXTERNAL pruning bound (cross-shard threshold
+        exchange). Safe whenever ``t`` <= the final global kth score:
+        the push rule keeps ``score >= threshold`` so kth ties always
+        survive, preserving rank identity."""
+        if t > self._thr:
+            self._thr = float(t)
+
+    def kth_now(self) -> float:
+        """Exact current kth score (forces a compaction) — the value a
+        shard posts to the exchange board; -inf until k docs seen."""
+        with self._lock:
+            if self._bufs:
+                self._compact()
+        return self._thr
+
     @property
     def docs(self) -> np.ndarray:
         with self._lock:
@@ -302,15 +318,22 @@ class IndexSearcher:
         mode: str = "strict",
         columns: tuple | None = None,
         initial_threshold: float | None = None,
+        threshold_hook=None,
+        hook_every_s: float = 0.025,
     ) -> pd.DataFrame:
         """Top-k matched docs -> DataFrame(doc_id, score[, columns]).
 
         ``mode="all"`` = exhaustive; ``"strict"`` = block-max WAND where
         supported (rank-identical by construction + tests).
         ``initial_threshold`` seeds the top-k heap (the cross-shard WAND
-        threshold exchange: a lead shard's kth score lower-bounds the
-        global kth score, so follower shards prune from doc one).
-        """
+        threshold exchange: any lower bound of the global kth score lets
+        a shard prune from doc one). ``threshold_hook`` is the LIVE
+        exchange: at most once per ``hook_every_s`` seconds it is called
+        with the current local bound and returns an external bound to
+        adopt — time-based, so the exchange cost stays a fixed small
+        fraction of the query wall regardless of segment count
+        (sequential path only; thread-pool runs share the in-process
+        TopK already)."""
         scorer = self._scorer(scorer)
         prepared = flt.prepare(self, scorer)
         col = TopK(k, dtype=scorer.dtype,
@@ -333,9 +356,22 @@ class IndexSearcher:
                                                is_tdis, is_tconj),
                 range(nseg)))
         else:
+            import time as _time
+
+            next_hook = (_time.monotonic() + hook_every_s
+                         if threshold_hook is not None and mode == "strict"
+                         else None)
             for i in range(nseg):
                 self._search_segment(prepared, i, col, mode, is_tdis,
                                      is_tconj)
+                if next_hook is not None and _time.monotonic() >= next_hook:
+                    # post the lock-free stale bound (still valid);
+                    # forcing a compaction here measurably costs more
+                    # than the fresher bound saves
+                    ext = threshold_hook(col.threshold)
+                    if ext is not None:
+                        col.raise_threshold(float(ext))
+                    next_hook = _time.monotonic() + hook_every_s
         return self._result_frame(col.docs, col.scores, columns)
 
     def _search_segment(self, prepared, i: int, col: "TopK", mode: str,

@@ -67,22 +67,77 @@ class _ShardWorker:
                 "multiterm": dict(s._multiterm_matched)}
 
     def search(self, flt, k: int, scorer_name: str, mode: str,
-               overrides: dict, initial_threshold: float | None = None
-               ) -> tuple[np.ndarray, np.ndarray]:
+               overrides: dict, initial_threshold: float | None = None,
+               board=None, epoch: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Phase 2: score with global stats -> local top-k arrays.
         Reuses the long-lived searcher (warm dictionary/postings caches);
-        only the stats override + per-query caches reset."""
+        only the stats override + per-query caches reset.
+
+        ``board``: live cross-shard threshold exchange — every few
+        segments this shard posts its current kth score and adopts the
+        fleet-wide max. Posts are fire-and-forget and the PREVIOUS
+        response is read on the next hook (already resolved), so the
+        exchange adds ~an actor-task submit per hook, never a blocking
+        round trip (VERDICT r2 #7: the serialized lead-shard wait made
+        the old exchange unprofitable)."""
         s = self.searcher
         s._stats_override = overrides
         s._term_cache.clear()
         s._field_stats.clear()
+        hook = None
+        if board is not None and mode == "strict":
+            state = {"pending": None, "posted": float("-inf")}
+
+            def hook(local_kth: float):
+                # NON-BLOCKING exchange: adopt a board response only if
+                # it already resolved (ray.wait timeout=0), and post
+                # only when our bound improved — the hook never waits on
+                # the network, so the exchange costs ~a task submit
+                ext = None
+                ref = state["pending"]
+                if ref is not None and ray.wait([ref], timeout=0)[0]:
+                    ext = ray.get(ref)
+                    state["pending"] = None
+                if np.isfinite(local_kth) and local_kth > state["posted"] \
+                        and state["pending"] is None:
+                    state["posted"] = local_kth
+                    state["pending"] = board.post.remote(epoch, local_kth)
+                return ext
         res = s.search(flt, k=k, scorer=get_scorer(scorer_name), mode=mode,
-                       initial_threshold=initial_threshold)
+                       initial_threshold=initial_threshold,
+                       threshold_hook=hook)
         s._stats_override = {}
         return res["doc_id"].to_numpy(), res["score"].to_numpy()
 
     def fetch(self, docs: np.ndarray, columns: tuple) -> pd.DataFrame:
         return self.searcher.fetch_stored(np.asarray(docs), columns)
+
+
+class _ThresholdBoard:
+    """Fleet-wide running max of per-shard kth scores — a valid lower
+    bound of the global kth at all times (each post is the kth of a
+    subset of all scored docs), so every shard may prune below it.
+    Queries are separated by an ``epoch`` stamped by the coordinator, so
+    no blocking reset round trip is needed between queries (a stale
+    epoch's threshold can never leak into the next query)."""
+
+    def __init__(self):
+        self.best = float("-inf")
+        self.epoch = -1
+
+    def post(self, epoch: int, t: float) -> float:
+        if epoch != self.epoch:
+            self.epoch = epoch
+            self.best = float("-inf")
+        if t > self.best:
+            self.best = float(t)
+        return self.best
+
+
+# phase-1 collected df total above which the live threshold exchange is
+# worth its ~per-hook actor-task submit (auto mode): small/warm queries
+# finish before a posted threshold could prune anything
+AUTO_EXCHANGE_MIN_DF = 200_000
 
 
 class ShardedSearcher:
@@ -103,6 +158,11 @@ class ShardedSearcher:
             for g in groups if len(g)
         ]
         self.scorer = scorer
+        self._board = ray.remote(num_cpus=0)(_ThresholdBoard).remote()
+        self._epoch = 0
+        # start the board actor now — its cold start must not land on
+        # the first exchanged query
+        ray.get(self._board.post.remote(0, float("-inf")))
 
     def search(self, flt, k: int = 10, mode: str = "strict",
                columns: tuple | None = None,
@@ -134,21 +194,25 @@ class ShardedSearcher:
         overrides = {"terms": terms, "fields": fields,
                      "scored_sets": scored_sets}
         # phase 2: broadcast stats, gather local top-k, global merge.
-        # Optional cross-shard WAND threshold exchange: the lead shard
-        # (earliest doc range) runs first; its kth score seeds every
-        # follower's heap. The sequential single-process loop reaches
-        # exactly this threshold after the lead shard's segments, so
-        # follower pruning drops only docs the sequential heap would
-        # drop — rank identity is preserved (tested).
-        if threshold_exchange and len(self.actors) > 1:
-            lead = ray.get(self.actors[0].search.remote(
-                flt, k, self.scorer, mode, overrides))
-            seed = float(lead[1][k - 1]) if lead[1].size >= k else None
-            rest = ray.get([
-                a.search.remote(flt, k, self.scorer, mode, overrides, seed)
-                for a in self.actors[1:]
+        # Cross-shard WAND threshold exchange (live, overlapped): every
+        # shard starts immediately and periodically posts its current
+        # kth score to a shared board, adopting the fleet max — a valid
+        # lower bound of the global kth at all times, and ties survive
+        # the >= push rule, so rank identity is preserved (tested).
+        # ``threshold_exchange="auto"`` engages the board only when the
+        # collected df volume says the decode work can outlast a post.
+        use_board = bool(threshold_exchange) and len(self.actors) > 1 \
+            and mode == "strict"
+        if threshold_exchange == "auto":
+            use_board = use_board and \
+                sum(terms.values()) >= AUTO_EXCHANGE_MIN_DF
+        if use_board:
+            self._epoch += 1
+            outs = ray.get([
+                a.search.remote(flt, k, self.scorer, mode, overrides,
+                                None, self._board, self._epoch)
+                for a in self.actors
             ])
-            outs = [lead] + rest
         else:
             outs = ray.get([
                 a.search.remote(flt, k, self.scorer, mode, overrides)
@@ -178,3 +242,6 @@ class ShardedSearcher:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+        if self._board is not None:
+            ray.kill(self._board)
+            self._board = None

@@ -848,22 +848,35 @@ _COLLATION_TAILORING: dict[str, dict[str, str]] = {
 @dataclass
 class CollationAnalyzer(NormalizingAnalyzer):
     """Locale collation key as a single term (reference
-    ``collation_token_stream``). ICU is replaced by casefold +
-    accent-stripped NFKD plus per-locale primary tailoring
-    (``_COLLATION_TAILORING``): tailored letters keep their identity
-    and sort at their locale's alphabet position instead of folding to
-    the base letter; untailored locales fall back to the plain
-    casefolded key (documented approximation of full ICU rules)."""
+    ``collation_token_stream``). ICU is replaced by a UCA-style
+    multi-level key (public Unicode Collation Algorithm structure,
+    UTS #10): per-locale primary tailoring (``_COLLATION_TAILORING``)
+    over casefolded base letters, then optional secondary (combining
+    marks, in order of appearance, weighted by codepoint — acute <
+    circumflex etc. matches DUCET for the common Latin marks) and
+    tertiary (case) levels appended after low separators, so plain
+    byte order of the key realizes level-by-level comparison:
+
+      strength="primary"    cote = coté = côte ; v = V
+      strength="secondary"  cote < coté < côte < côté ; v = V
+      strength="tertiary"   ... and cote < Cote (lowercase first)
+
+    Untailored locales use the root (DUCET-order) base letters. The
+    full ICU rule set (contractions beyond the tailoring table,
+    locale-specific mark reordering like French backwards secondary)
+    stays out of scope and is documented here."""
 
     locale: str = ""
+    strength: str = "primary"
 
     def _norm(self, s: str) -> str:
         import unicodedata
 
+        orig = unicodedata.normalize("NFC", s)
         # NFC first so canonically-equivalent decomposed input (NFD
         # 'a'+U+030A for å) hits the tailoring patterns below identically
         # to the precomposed form
-        s = unicodedata.normalize("NFC", s).casefold()
+        s = orig.casefold()
         key = self.locale.lower().replace("-", "_").split("_")[0]
         tail = _COLLATION_TAILORING.get(key)
         if tail:
@@ -873,11 +886,27 @@ class CollationAnalyzer(NormalizingAnalyzer):
             for pat in sorted(tail, key=len, reverse=True):
                 if pat in s:
                     s = s.replace(pat, tail[pat])
-        s = "".join(
-            ch for ch in unicodedata.normalize("NFKD", s)
-            if not unicodedata.combining(ch)
-        )
-        return unicodedata.normalize("NFC", s)
+        decomp = unicodedata.normalize("NFKD", s)
+        primary = unicodedata.normalize(
+            "NFC", "".join(ch for ch in decomp
+                           if not unicodedata.combining(ch)))
+        if self.strength == "primary":
+            return primary
+        # secondary: the combining marks in order of appearance
+        # (codepoint as weight; tailored letters already consumed their
+        # marks in the primary, so only residual accents weigh in)
+        marks = "".join(ch for ch in decomp if unicodedata.combining(ch))
+        out = primary + "\x01" + marks
+        if self.strength == "secondary":
+            return out
+        if self.strength != "tertiary":
+            raise ValueError(f"unknown collation strength {self.strength!r}")
+        # tertiary: case bits of the cased characters, lowercase (0)
+        # before uppercase (1) like the UCA default
+        case_bits = "".join(
+            "\x03" if ch.isupper() else "\x02"
+            for ch in orig if ch.isupper() or ch.islower())
+        return out + "\x01" + case_bits
 
 
 _REGISTRY: dict[str, type] = {}

@@ -245,3 +245,41 @@ def test_collation_locale_tailoring():
         ["anuncio", "añejo", "aorta"]
     plain = key_fn(None)
     assert plain("Ärger") == "arger"
+
+
+def test_collation_strengths():
+    """UCA multi-level keys (UTS #10 level structure): secondary orders
+    accents after equal primaries (classic cote < coté < côte < côté),
+    tertiary adds case (lowercase first); primary-equal words stay
+    equal at lower strengths."""
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    def key_fn(strength):
+        an = get_analyzer("collation", {"locale": "fr",
+                                        "strength": strength})
+
+        def key(w):
+            _, t, _ = an.tokenize(pa.array([w], type=pa.string()))
+            return t.to_pylist()[0]
+
+        return key
+
+    p, s, t = key_fn("primary"), key_fn("secondary"), key_fn("tertiary")
+    words = ["côté", "cote", "côte", "coté"]
+    # primary: all equal
+    assert len({p(w) for w in words}) == 1
+    # secondary: canonical UCA order
+    assert sorted(words, key=s) == ["cote", "coté", "côte", "côté"]
+    assert s("cote") == s("COTE")  # case still ignored
+    # decomposed input produces the identical key (NFC-first rule)
+    assert s("côte") == s("côte")
+    # tertiary: lowercase sorts before uppercase, accents still rank
+    assert sorted(["Cote", "cote", "coté"], key=t) == \
+        ["cote", "Cote", "coté"]
+    # unknown strength rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        key_fn("quaternary")("x")

@@ -767,8 +767,7 @@ class PreparedPhrase(Prepared):
         ck = self._cache_key(seg_ord)
         fp = (ck, "restricted", cand.size,
               hash(cand.tobytes()) if cand.size else 0,
-              float(self.ctx.c0), float(self.ctx.norm_const),
-              float(self.ctx.norm_length))
+              *self.ctx.fingerprint())
         hit = pm_cache.get(fp)
         if hit is None:
             hit = self._execute_impl(seg_ord, cand=cand)

@@ -51,6 +51,17 @@ class ScoreCtx:
         self.norm_length = norm_length
         self.dtype = dtype
 
+    def fingerprint(self) -> tuple:
+        """Hashable snapshot of the scoring constants (cache key for
+        scored-result caches). Norm-free scorers (TFIDF) carry None for
+        the norm constants — mapped to a sentinel no real ctx produces
+        (norm_const = k(1-b) is always >= 0)."""
+        return (
+            float(self.c0),
+            -1.0 if self.norm_const is None else float(self.norm_const),
+            -1.0 if self.norm_length is None else float(self.norm_length),
+        )
+
 
 class BM25:
     name = "bm25"

@@ -547,9 +547,7 @@ class IndexSearcher:
         pl = seg._pl_cache.get((int(row), False)) or seg._pl_cache.get((int(row), True))
         if pl is not None:
             scores = self._scored_cached(
-                seg, ("t", int(row), float(prepared.ctx.c0),
-                      float(prepared.ctx.norm_const),
-                      float(prepared.ctx.norm_length)),
+                seg, ("t", int(row)) + prepared.ctx.fingerprint(),
                 lambda: prepared.scorer.score(prepared.ctx, pl.tfs,
                                               norms[pl.docs - 1]))
             docs, scores = seg.filter_live(pl.docs, scores)
@@ -695,9 +693,7 @@ class IndexSearcher:
         if complete and hit is cache.get(key):
             # scored layer over the COMPLETE cached intersection (same
             # snapshot-constant-ctx argument as _maxscore_or)
-            ctx_fp = tuple(
-                (float(c.ctx.c0), float(c.ctx.norm_const),
-                 float(c.ctx.norm_length)) for c in children)
+            ctx_fp = tuple(c.ctx.fingerprint() for c in children)
             scores = self._scored_cached(
                 seg, ("conj", key, np.dtype(prepared.dtype).str, ctx_fp),
                 fold)
@@ -749,9 +745,7 @@ class IndexSearcher:
         if sc_cache is None:
             sc_cache = seg._scored_disj_cache = {}
         key = tuple(int(c.state.rows[seg_ord]) for c in children)
-        ctx_fp = tuple(
-            (float(c.ctx.c0), float(c.ctx.norm_const),
-             float(c.ctx.norm_length)) for c in children)
+        ctx_fp = tuple(c.ctx.fingerprint() for c in children)
         skey = (key, prepared.min_match, np.dtype(prepared.dtype).str,
                 ctx_fp)
         scored = sc_cache.get(skey)

@@ -872,6 +872,21 @@ def _q_ngram_similarity(sf_dir: str):
                                             threshold=0.6))
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) over the events stream —
+    one user-keyed shuffle, vectorized per group; value summed in
+    integer cents so the aggregate is order-independent."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sessions import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ds, gap_s=1800.0).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
@@ -907,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collation_order_match": _q_collation_order,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
+        "sessionize_events": _q_sessionize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -1199,6 +1215,30 @@ ORDER BY score DESC, doc_id LIMIT 100
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM tscored WHERE term = 'customer'
 ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # gap-based sessionization: session breaks where the per-user
+        # gap exceeds 30 min; value summed in integer cents (order-
+        # independent vs float summation order)
+        "sessionize_events": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, cents,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       SUM(cents) AS sum_value_c,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
 """,
         # ordered-chain n-gram similarity: an in-order chain of >= 2 of
         # the 3 query bigrams == a pair of gram occurrences (gi_a <

@@ -331,3 +331,32 @@ def test_term_stats_salted_equals_plain(ray_session, small_index):
     salted = term_stats_dataset(small_index, salt=4).to_pandas() \
         .sort_values("term").reset_index(drop=True)
     assert plain.equals(salted)
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Gap-based sessionization: breaks strictly-greater than the gap,
+    per-user numbering, cents-exact value sums."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sessions import sessionize
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(7), type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 10 * us, 10 * us + 1800 * us,   # exactly gap: same
+                        5 * us, 5 * us + 1801 * us,        # > gap: break
+                        10 * us + 1800 * us + 1801 * us,   # > gap: break
+                        5 * us + 1801 * us + 60 * us],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.25, 2.50, 0.25, 10.0, 0.5, 4.0, 0.5]),
+    })
+    out = sessionize(ray.data.from_arrow(t), gap_s=1800.0).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    u1 = out[out.user_id == 1]
+    assert u1["n_events"].tolist() == [3, 1]
+    assert u1["sum_value_c"].tolist() == [400, 400]
+    u2 = out[out.user_id == 2]
+    assert u2["n_events"].tolist() == [1, 2]
+    assert u2["sum_value_c"].tolist() == [1000, 100]
+    assert (out["end_us"] >= out["start_us"]).all()

@@ -626,33 +626,44 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
     """
     import ray
 
-    # ---- pass 1: gram document frequencies (exploded, deduped per doc)
+    # ---- pass 1: gram frequencies BUCKETED into a fixed 2^20-slot
+    # table. Prefix filtering needs only a CONSISTENT global gram order
+    # (recall is exactly 1 under ANY fixed total order — the rarity
+    # order is a candidate-count heuristic), so hashing grams into 2^20
+    # count buckets bounds the broadcast at 8 MB regardless of corpus
+    # vocabulary (a raw distinct-gram table is unbounded for unicode
+    # corpora at 100 TB). Bucket collisions merely blur the heuristic;
+    # ties inside a bucket keep breaking by gram hash in the lexsort.
+    FREQ_BITS = 20
+
+    def _gram_bucket(h: np.ndarray) -> np.ndarray:
+        return ((h.view(np.uint64) * _U64(0x9E3779B97F4A7C15))
+                >> _U64(64 - FREQ_BITS)).astype(np.int64)
+
     def explode(t: pa.Table) -> pa.Table:
         doc_idx, h = _doc_gram_sets(t.column(text_col), n)
-        return pa.table({"gram": pa.array(h.astype(np.int64))})
+        return pa.table({"b": pa.array(_gram_bucket(h.astype(np.int64)))})
 
-    freq_rows = ds.map_batches(explode, batch_format="pyarrow") \
-        .groupby("gram").count().take_all()
-    f_hashes = np.asarray(sorted(r["gram"] for r in freq_rows), dtype=np.int64)
-    f_counts = np.empty(f_hashes.size, dtype=np.int64)
-    lut = {int(r["gram"]): int(r["count()"]) for r in freq_rows}
-    for k, g in enumerate(f_hashes):
-        f_counts[k] = lut[int(g)]
-    freq_ref = ray.put((f_hashes, f_counts))
+    f_counts = np.zeros(1 << FREQ_BITS, dtype=np.int64)
+    for batch in ds.map_batches(explode, batch_format="pyarrow") \
+            .groupby("b").count().iter_batches(batch_format="pyarrow"):
+        f_counts[batch.column("b").to_numpy(zero_copy_only=False)] = \
+            batch.column("count()").to_numpy(zero_copy_only=False)
+    freq_ref = ray.put(f_counts)
 
     # ---- pass 2: prefix emit (gram, id) — fully vectorized: one
-    # searchsorted maps every gram to its global frequency; one lexsort
+    # bucket lookup maps every gram to its global frequency; one lexsort
     # orders grams (rarity, hash) within each doc; the per-doc prefix
     # cut is a rank comparison
     def prefix_emit(t: pa.Table) -> pa.Table:
-        fh, fc = ray.get(freq_ref)
+        fc = ray.get(freq_ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         doc_idx, h = _doc_gram_sets(t.column(text_col), n)
         h = h.astype(np.int64)
         if doc_idx.size == 0:
             return pa.table({"gram": pa.array([], type=pa.int64()),
                              id_col: pa.array([], type=pa.int64())})
-        fr_vals = fc[np.searchsorted(fh, h)]
+        fr_vals = fc[_gram_bucket(h)]
         order = np.lexsort((h, fr_vals, doc_idx))
         d_s, h_s = doc_idx[order], h[order]
         starts = np.flatnonzero(np.diff(d_s, prepend=-1))

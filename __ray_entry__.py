@@ -887,6 +887,40 @@ def _q_sessionize(sf_dir: str):
         .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join: every click event paired with the same user's most
+    recent prior-or-equal error event — one combined shuffle keyed on
+    user, vectorized searchsorted per group (DuckDB ASOF JOIN oracle)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'error'")
+    pdf = asof_join(left, right, by="user_id", on="ts",
+                    id_col="event_id").to_pandas()
+    return pdf.rename(columns={"left_id": "click_id",
+                               "right_id": "err_id"}) \
+        .sort_values("click_id").reset_index(drop=True)
+
+
+def _q_events_sliding(sf_dir: str):
+    """Trailing 1-hour RANGE window per event (count + cents-exact
+    value sum) — one user-keyed shuffle, cumsum + searchsorted per
+    group; oracled by a DuckDB RANGE BETWEEN window frame."""
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import sliding_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return sliding_window(ds, window_s=3600.0).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
@@ -923,6 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
         "sessionize_events": _q_sessionize,
+        "events_asof_join": _q_events_asof,
+        "events_sliding_window": _q_events_sliding,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -1229,12 +1265,13 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, cents,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_idx
   FROM o
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
-       SUM(cents) AS sum_value_c,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_c,
        CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
 FROM s GROUP BY user_id, session_idx
@@ -1244,6 +1281,24 @@ ORDER BY user_id, session_idx
         # the 3 query bigrams == a pair of gram occurrences (gi_a <
         # gi_b, pos_a < pos_b) — the chain-of-2 existence check is the
         # DP's fixpoint at need=2 (ngram_similarity_query.cpp:455)
+        "events_asof_join": """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS err_id,
+       datediff('microsecond', r.ts, l.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY click_id
+""",
+        "events_sliding_window": """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_w,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS sum_value_c_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
         "ngram_similarity_match": _TOK_SQL + """
 , occ AS (
   SELECT t1.doc_id AS doc_id, g.gi AS gi, t1.pos AS pos

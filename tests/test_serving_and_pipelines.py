@@ -360,3 +360,55 @@ def test_sessionize_gap_semantics(ray_session):
     assert u2["n_events"].tolist() == [1, 2]
     assert u2["sum_value_c"].tolist() == [1000, 100]
     assert (out["end_us"] >= out["start_us"]).all()
+
+
+def test_asof_join_semantics(ray_session):
+    """Inner as-of: greatest right ts <= left ts per key; equal ts
+    matches; left rows before any right row drop out."""
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import asof_join
+
+    us = 1_000_000
+
+    def tbl(ids, users, tss):
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array(ids, type=pa.int64()),
+            "user_id": pa.array(users, type=pa.int64()),
+            "ts": pa.array([t * us for t in tss], type=pa.timestamp("us")),
+        }))
+
+    left = tbl([10, 11, 12, 13], [1, 1, 1, 2], [5, 20, 30, 7])
+    right = tbl([90, 91, 92], [1, 1, 2], [6, 20, 99])
+    out = asof_join(left, right).to_pandas() \
+        .sort_values("left_id").reset_index(drop=True)
+    # left 10 (ts=5) has no right <= 5 -> dropped; 11 matches equal-ts 91;
+    # 12 matches 91 (lag 10s); user-2 left 13 precedes right 92 -> dropped
+    assert out["left_id"].tolist() == [11, 12]
+    assert out["right_id"].tolist() == [91, 91]
+    assert out["lag_us"].tolist() == [0, 10 * us]
+
+
+def test_sliding_window_range_frame(ray_session):
+    """Trailing RANGE frame: inclusive lower boundary, equal-ts peers
+    counted on both sides, cents-exact sums."""
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import sliding_window
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        # window 10s: ts=0; 4; 10 (includes 0 at exactly -10s); two
+        # equal-ts user-1 peers at 14 (RANGE: each counts the other)
+        "ts": pa.array([0, 4 * us, 10 * us, 14 * us, 14 * us, 14 * us],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+    })
+    out = sliding_window(ray.data.from_arrow(t), window_s=10.0) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    u1 = out[out.user_id == 1]
+    assert u1["n_w"].tolist() == [1, 2, 3, 4, 4]
+    assert u1["sum_value_c_w"].tolist() == [100, 300, 700, 3000, 3000]
+    assert out[out.user_id == 2]["n_w"].tolist() == [1]

@@ -111,6 +111,20 @@ def _q_bm25_or(sf_dir: str):
     )
 
 
+def _q_bm25_or_max(sf_dir: str):
+    """Disjunction under the Max score merger (ScoreMergeType::Max,
+    ``core/search/boolean_filter.hpp``): doc score = max of the two
+    term scores instead of their sum."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.Or([F.Term("customer"), F.Term("vector")], score_merge="max"),
+        k=100, scorer=_bm25_f64()
+    )
+
+
 def _q_bm25_and(sf_dir: str):
     from iresearch_ray.api import documents_searcher, topk_frame
     from iresearch_ray.search import filters as F
@@ -628,7 +642,8 @@ def _derived_docs_searcher(sf_dir: str, tag: str, transform=None,
         if transform is not None:
             ds = ds.map_batches(transform, batch_format="pyarrow")
         build_kwargs.setdefault("stored_cols", ("doc_id",))
-        build_index(ds, idx, text_col="text", key_cols=("doc_id",),
+        build_kwargs.setdefault("text_col", "text")
+        build_index(ds, idx, key_cols=("doc_id",),
                     segment_docs=SEG_DOCS, **build_kwargs)
     return IndexSearcher(idx)
 
@@ -921,6 +936,80 @@ def _q_events_sliding(sf_dir: str):
         .sort_values("event_id").reset_index(drop=True)
 
 
+def _add_tags_csv(batch):
+    import pyarrow.compute as pc
+
+    tags = pc.binary_join_element_wise(
+        batch.column("lang"), batch.column("source"), ",")
+    return batch.append_column("tags", tags)
+
+
+def _q_pipeline_delimiter(sf_dir: str):
+    """``pipeline`` analyzer in the indexing path: delimiter(',') splits
+    a synthesized csv column (lang,source), then norm(upper) rewrites
+    each piece — Term('SRC3') matches exactly the docs whose source or
+    lang upper-cases to SRC3 (reference ``pipeline_token_stream`` +
+    ``delimited_token_stream`` + ``text_token_normalizing_stream``)."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "csvtags", transform=_add_tags_csv,
+        columns=("doc_id", "lang", "source"),
+        text_col="tags",
+        analyzer="pipeline",
+        analyzer_options={"pipeline": [
+            {"name": "delimiter", "options": {"delimiter": ","}},
+            {"name": "norm", "options": {"case": "upper"}},
+        ]},
+    )
+    return match_frame(s, F.Term("SRC3"))
+
+
+def _q_index_writer_delete(sf_dir: str):
+    """The writer/transaction path under the driver gate: build, then a
+    two-phase ``Transaction`` removes every lang='de' doc (one atomic
+    manifest generation), then ``consolidate`` physically purges the
+    masked docs (merge drops deletes) — Term('customer') afterwards
+    must match exactly the non-German docs whose text tokenizes to
+    'customer' (reference ``IndexWriter::GetBatch``/``Commit``,
+    ``core/index/index_writer.hpp:346-470``)."""
+    import hashlib
+    import os
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import FORMAT_VERSION
+    from iresearch_ray.index.writer import IndexWriter
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    slug = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{SEG_DOCS}:v{FORMAT_VERSION}:txndel"
+        .encode()).hexdigest()[:12]
+    idx = f"/tmp/iresearch_ray_cache/txndel-{slug}"
+    marker = os.path.join(idx, "_TXN_APPLIED")
+    if not os.path.exists(marker):
+        if not Manifest.exists(idx):
+            build_index(
+                os.path.join(sf_dir, "documents.parquet"), idx,
+                text_col="text", key_cols=("doc_id",),
+                stored_cols=("doc_id", "lang"), exact_fields=("lang",),
+                segment_docs=SEG_DOCS,
+            )
+        w = IndexWriter(idx)
+        txn = w.begin()
+        txn.remove(F.Term("de", field="lang"))
+        txn.commit()
+        # physical purge: consolidation renumbers around the delete mask
+        w.consolidate(policy="count", max_segments=4)
+        with open(marker + ".tmp", "w") as f:
+            f.write("applied")
+        os.replace(marker + ".tmp", marker)
+    return match_frame(IndexSearcher(idx), F.Term("customer"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
@@ -928,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_similarity_match": _q_ngram_similarity,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_and": _q_bm25_and,
+        "bm25_topk_or_max": _q_bm25_or_max,
         "phrase_match": _q_phrase,
         "prefix_match": _q_prefix,
         "wildcard_match": _q_wildcard,
@@ -959,6 +1049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
+        "pipeline_delimiter_match": _q_pipeline_delimiter,
+        "index_writer_delete": _q_index_writer_delete,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -1299,6 +1391,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """,
+        "pipeline_delimiter_match": """
+SELECT doc_id FROM documents
+WHERE upper(lang) = 'SRC3' OR upper(source) = 'SRC3'
+ORDER BY doc_id
+""",
+        "index_writer_delete": _TOK_SQL + """
+SELECT DISTINCT t.doc_id AS doc_id
+FROM term_pos t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.term = 'customer' AND d.lang <> 'de'
+ORDER BY doc_id
+""",
         "ngram_similarity_match": _TOK_SQL + """
 , occ AS (
   SELECT t1.doc_id AS doc_id, g.gi AS gi, t1.pos AS pos
@@ -1316,6 +1419,14 @@ ORDER BY doc_id
         "bm25_topk_or": _TOK_SQL + """
 , pair AS (
   SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM pair ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "bm25_topk_or_max": _TOK_SQL + """
+, pair AS (
+  SELECT doc_id, max(score) AS score
   FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score_r

@@ -938,6 +938,15 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
             opts["case"] = opts.pop("case")
         if "break" in opts:
             opts["word_break"] = opts.pop("break")
+    if name == "pipeline":
+        # reference JSON: {"pipeline": [{"type": ..., "properties": ...}]}
+        # (irs::analysis::pipeline_token_stream); we accept "name"/"options"
+        specs = opts.get("pipeline", [])
+        return PipelineAnalyzer([
+            get_analyzer(s.get("name", s.get("type")),
+                         s.get("options", s.get("properties")))
+            for s in specs
+        ])
     if name in ("classification", "nearest_neighbors"):
         # registered lazily (numpy model module import on first use)
         from iresearch_ray.analysis.embeddings import (

@@ -163,7 +163,7 @@ def winnow_fingerprints(batch: pa.Table, text_col: str = "text",
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    d, h = _char_ngram_hashes(texts.to_pylist(), k)
+    d, h = _char_ngram_hashes(texts, k)
     n = len(ids)
     if h.size == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),

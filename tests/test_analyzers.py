@@ -283,3 +283,26 @@ def test_collation_strengths():
 
     with _pytest.raises(ValueError):
         key_fn("quaternary")("x")
+
+
+def test_pipeline_via_registry():
+    """``get_analyzer("pipeline", ...)`` builds the chained analyzer from
+    the reference's JSON spec shape (both name/options and
+    type/properties key spellings)."""
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    an = get_analyzer("pipeline", {"pipeline": [
+        {"name": "delimiter", "options": {"delimiter": ","}},
+        {"name": "norm", "options": {"case": "upper"}},
+    ]})
+    d, t, p = an.tokenize(pa.array(["en,src3", "de"], type=pa.string()))
+    assert t.to_pylist() == ["EN", "SRC3", "DE"]
+    assert d.tolist() == [0, 0, 1]
+
+    an2 = get_analyzer("pipeline", {"pipeline": [
+        {"type": "delimiter", "properties": {"delimiter": ","}},
+    ]})
+    _, t2, _ = an2.tokenize(pa.array(["a,b"], type=pa.string()))
+    assert t2.to_pylist() == ["a", "b"]

@@ -98,10 +98,18 @@ def test_kill_restart_resumes(tmp_path, ray_session):
     # — enumerate those PIDs from /proc and WAIT until every one is
     # gone (a pkill + fixed sleep raced under full-suite load).
     def _session_pids():
+        # NOTE: actor workers rewrite their title via setproctitle
+        # ("ray::SegmentEncoder"), which REPLACES /proc/pid/cmdline —
+        # a cmdline-only scan misses exactly the orphaned encoder
+        # actors that keep writing segments (the in-suite flake). Their
+        # open fds (logs, sockets) still point into the private session
+        # dir, so scan those too.
         pids = []
         needle = ray_tmp.encode()
+        needle_s = ray_tmp
+        me = os.getpid()
         for p in os.listdir("/proc"):
-            if not p.isdigit():
+            if not p.isdigit() or int(p) == me:
                 continue
             try:
                 with open(f"/proc/{p}/cmdline", "rb") as f:
@@ -110,6 +118,20 @@ def test_kill_restart_resumes(tmp_path, ray_session):
                 continue
             if needle in cmd:
                 pids.append(int(p))
+                continue
+            fd_dir = f"/proc/{p}/fd"
+            try:
+                fds = os.listdir(fd_dir)
+            except OSError:
+                continue
+            for fd in fds:
+                try:
+                    tgt = os.readlink(os.path.join(fd_dir, fd))
+                except OSError:
+                    continue
+                if needle_s in tgt:
+                    pids.append(int(p))
+                    break
         return pids
 
     kill_deadline = time.time() + 60

@@ -873,6 +873,48 @@ def _q_tfidf_term(sf_dir: str):
                       scorer=TFIDF(dtype=np.float64))
 
 
+def _q_bm15_term(sf_dir: str):
+    """BM15 — the b=0 special case of BM25 (``core/search/bm25.hpp:
+    29-65``): c1 collapses to the constant k, no doc-length norms are
+    read at all (exercises the norm-free scored-cache path)."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.scorers import BM25
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(s, F.Term("customer"), k=100,
+                      scorer=BM25(b=0.0, dtype=np.float64))
+
+
+def _q_top_terms(sf_dir: str):
+    """Most-frequent terms by document frequency — the
+    ``top_terms_collector`` analogue (``core/search/
+    top_terms_collector.hpp:1-275``): distributed collector groupby +
+    per-block prune + sort/limit; only block winners cross the
+    exchange."""
+    from iresearch_ray.api import documents_index_dir, documents_searcher
+    from iresearch_ray.index.stats import top_terms
+
+    documents_searcher(sf_dir, SEG_DOCS)  # ensure the index exists
+    pdf = top_terms(documents_index_dir(sf_dir, SEG_DOCS), n=20)
+    pdf["doc_freq"] = pdf["doc_freq"].astype("int64")
+    pdf["total_tf"] = pdf["total_tf"].astype("int64")
+    return pdf[["term", "doc_freq", "total_tf"]]
+
+
+def _q_variadic_phrase(sf_dir: str):
+    """Variadic phrase (``core/search/phrase_filter.hpp:135`` —
+    wildcard/levenshtein phrase parts): 'table' followed by any
+    dictionary term with prefix 'p'; the prefix slot expands against
+    the sorted term dictionary like the reference's multiterm phrase
+    states."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Phrase(["table", {"prefix": "p"}]))
+
+
 def _q_ngram_similarity(sf_dir: str):
     """by_ngram_similarity (``core/search/ngram_similarity_filter.hpp:
     33-49``, chain DP ``ngram_similarity_query.cpp:455``): query word
@@ -1014,6 +1056,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
         "tfidf_topk_term": _q_tfidf_term,
+        "bm15_topk_term": _q_bm15_term,
+        "top_terms": _q_top_terms,
+        "variadic_phrase_match": _q_variadic_phrase,
         "ngram_similarity_match": _q_ngram_similarity,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_and": _q_bm25_and,
@@ -1343,6 +1388,35 @@ ORDER BY score DESC, doc_id LIMIT 100
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM tscored WHERE term = 'customer'
 ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # BM15 = BM25 with b=0 (core/search/bm25.hpp:29-65): c1 is the
+        # constant k=1.2, same c0 - c0*c1/(c1+tf) evaluation shape
+        "bm15_topk_term": _TOK_SQL + """
+, b15 AS (
+  SELECT t.doc_id,
+         (2.2 * ln(1 + ((f.dwf - d.dwt) + 0.5) / (d.dwt + 0.5)))
+           - (2.2 * ln(1 + ((f.dwf - d.dwt) + 0.5) / (d.dwt + 0.5)))
+             * 1.2 / (1.2 + t.tf) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN fstats f
+  WHERE t.term = 'customer'
+)
+SELECT doc_id, ROUND(score, 4) AS score_r FROM b15
+ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # top_terms_collector analogue: N most-frequent terms by doc
+        # frequency, ties broken by term bytes ascending
+        "top_terms": _TOK_SQL + """
+SELECT term, dwt AS doc_freq, ttf_term AS total_tf
+FROM df ORDER BY doc_freq DESC, term LIMIT 20
+""",
+        # variadic phrase: fixed slot 'table' + prefix slot 'p%'
+        # (phrase_filter.hpp:135 wildcard/prefix phrase parts)
+        "variadic_phrase_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id
+FROM term_pos a JOIN term_pos b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'table' AND b.term LIKE 'p%'
+ORDER BY a.doc_id
 """,
         # gap-based sessionization: session breaks where the per-user
         # gap exceeds 30 min; value summed in integer cents (order-

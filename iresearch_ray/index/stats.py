@@ -80,9 +80,21 @@ def term_stats_dataset(index_dir: str, field: str | None = None,
 
 def top_terms(index_dir: str, n: int = 10):
     """Most-frequent terms by document frequency (the
-    ``top_terms_collector`` analogue) -> small pandas frame."""
-    ds = term_stats_dataset(index_dir)
-    pdf = ds.to_pandas()
-    pdf = pdf.sort_values(["doc_freq", "term"], ascending=[False, True],
-                          kind="mergesort").head(n)
+    ``top_terms_collector`` analogue,
+    ``core/search/top_terms_collector.hpp``) -> small pandas frame.
+
+    Per-block top-n prune inside ``map_batches`` first, so the global
+    sort ranks at most n rows per block instead of the whole vocabulary
+    (at 10^12-turn scale the merged dictionary is billions of terms;
+    only block winners cross the exchange)."""
+
+    def _block_topn(b):
+        pdf = b.sort_values(["doc_freq", "term"], ascending=[False, True],
+                            kind="mergesort").head(n)
+        return pdf
+
+    ds = term_stats_dataset(index_dir).map_batches(
+        _block_topn, batch_format="pandas")
+    pdf = (ds.sort(["doc_freq", "term"], descending=[True, False])
+             .limit(n).to_pandas())
     return pdf.reset_index(drop=True)

@@ -299,6 +299,65 @@ def _q_ann(sf_dir: str):
     return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII scrubbing stage (``pipelines/scrub.py``): deterministic
+    PII (email, phone, IPv4, card number derived from doc_id) is
+    planted into each doc's text, then the chained-RE2 actor pool
+    redacts it — all-Arrow, zero per-row Python; the DuckDB oracle
+    replays the identical plant + regexp_replace chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.scrub import scrub_pii
+
+    def _mod(a, m):
+        return pc.subtract(a, pc.multiply(pc.divide(a, m), m))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        t = pc.binary_join_element_wise(
+            batch.column("text"),
+            " reach u", pc.cast(d, pa.string()),
+            "@test.org ip 10.0.",
+            pc.cast(_mod(d, 256), pa.string()), ".",
+            pc.cast(_mod(pc.multiply(d, 7), 256), pa.string()),
+            " card 4111111111111111 tel 555-867-530",
+            pc.cast(_mod(d, 10), pa.string()),
+            "")
+        return pa.table({"doc_id": d, "text": t})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = scrub_pii(ds.map_batches(plant, batch_format="pyarrow"),
+                    text_col="text", out_col="scrubbed")
+    pdf = out.select_columns(["doc_id", "scrubbed", "n_redactions"]) \
+             .to_pandas().sort_values("doc_id", kind="mergesort")
+    pdf["n_redactions"] = pdf["n_redactions"].astype("int64")
+    return pdf.reset_index(drop=True)
+
+
+def _q_knn_graph(sf_dir: str):
+    """Exact cosine kNN GRAPH (k=3 neighbors for every vector) over the
+    embeddings table — the brute-force ground truth of the semantic
+    near-dup family: corpus side broadcast once via ``ray.put``, one
+    (B,D)x(D,N) matmul per batch, ties broken by neighbor id."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import knn_graph
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    corpus = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    pdf = knn_graph(ds, corpus, ids, k=3)
+    pdf["cos_r"] = pdf["cosine"].round(5)
+    return pdf[["vec_id", "nbr_rank", "nbr_id", "cos_r"]]
+
+
 def _q_events_hourly(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1079,6 +1138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
+        "embedding_knn_graph": _q_knn_graph,
+        "pii_scrub": _q_pii_scrub,
         "events_hourly": _q_events_hourly,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
@@ -1665,6 +1726,60 @@ WHERE e.vec_id <> 7
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
          vec_id
 LIMIT 10
+""",
+        # PII scrub: identical deterministic plant + the same ordered
+        # RE2 chain (DuckDB regexp_* is RE2, like pyarrow)
+        "pii_scrub": r"""
+WITH s0 AS (
+  SELECT doc_id,
+         text || ' reach u' || CAST(doc_id AS VARCHAR)
+              || '@test.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' card 4111111111111111 tel 555-867-530'
+              || CAST(doc_id % 10 AS VARCHAR) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM s0
+), s2 AS (
+  SELECT doc_id, c1,
+    len(regexp_extract_all(t1, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS c2,
+    regexp_replace(t1, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, c1, c2,
+    len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS c3,
+    regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, c1, c2, c3,
+    len(regexp_extract_all(t3, '[0-9]{13,19}')) AS c4,
+    regexp_replace(t3, '[0-9]{13,19}', '<NUM>', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id, t4 AS scrubbed,
+       CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redactions
+FROM s4 ORDER BY doc_id
+""",
+        # exact kNN graph: every vector's top-3 cosine neighbors,
+        # ties by neighbor id ascending
+        "embedding_knn_graph": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vec_id, nbr_id, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, nbr_id) AS nbr_rank
+  FROM p
+)
+SELECT vec_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id,
+       ROUND(c, 5) AS cos_r
+FROM r WHERE nbr_rank <= 3 ORDER BY vec_id, nbr_rank
 """,
         "ngram_jaccard_pairs": """
 WITH grams AS (

@@ -389,3 +389,70 @@ def ivf_topk(index_dir: str, queries: np.ndarray, k: int = 10,
     ds = ray.data.read_parquet(paths)
     return cosine_topk(ds, q, k=k, id_col=id_col,
                        vec_col=meta["vec_col"], concurrency=concurrency)
+
+
+class _KnnGraphBlock:
+    """map_batches actor: exact per-row cosine top-k against the
+    broadcast corpus matrix (self-match dropped by id)."""
+
+    def __init__(self, mat_ref, ids_ref, k: int, id_col: str,
+                 vec_col: str):
+        self.mat = ray.get(mat_ref)   # (N, D) unit rows, float64
+        self.ids = ray.get(ids_ref)   # (N,) int64
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _to_matrix(batch.column(self.vec_col))
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (q / n) @ self.mat.T                      # (B, N)
+        bids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims[self.ids[None, :] == bids[:, None]] = -np.inf
+        k = min(self.k, sims.shape[1] - 1)
+        # per-row order: cosine desc, neighbor id asc on exact ties
+        order = np.lexsort((np.broadcast_to(self.ids, sims.shape), -sims),
+                           axis=1)[:, :k]
+        rows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = order.ravel()
+        return pa.table({
+            self.id_col: pa.array(np.repeat(bids, k)),
+            "nbr_rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64),
+                                         sims.shape[0])),
+            "nbr_id": pa.array(self.ids[cols]),
+            "cosine": pa.array(sims[rows, cols]),
+        })
+
+
+def knn_graph(ds, corpus: "np.ndarray", corpus_ids: "np.ndarray",
+              k: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding", concurrency: int = 4):
+    """Exact cosine k-nearest-neighbor GRAPH: every row's top-k
+    neighbors (excluding itself) against a broadcast corpus matrix.
+
+    This is the brute-force baseline of the semantic-dedup family: the
+    corpus side is shipped ONCE via ``ray.put`` (the broadcast-small-
+    side pattern) and every batch does one (B, D) x (D, N) matmul. For
+    corpus sides too large to broadcast, use the LSH-partitioned or
+    IVF paths above — this exact graph is the oracle-verifiable ground
+    truth at bounded N.
+
+    -> pandas DataFrame (id_col, nbr_rank, nbr_id, cosine), k rows per
+    input row, ordered (id_col, nbr_rank).
+    """
+    m = np.asarray(corpus, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put(m / norms)
+    ids_ref = ray.put(np.asarray(corpus_ids, dtype=np.int64))
+    out = ds.map_batches(
+        _KnnGraphBlock,
+        fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref, k=k,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    pdf = out.to_pandas()
+    return pdf.sort_values([id_col, "nbr_rank"],
+                           kind="mergesort").reset_index(drop=True)

@@ -412,3 +412,67 @@ def test_sliding_window_range_frame(ray_session):
     assert u1["n_w"].tolist() == [1, 2, 3, 4, 4]
     assert u1["sum_value_c_w"].tolist() == [100, 300, 700, 3000, 3000]
     assert out[out.user_id == 2]["n_w"].tolist() == [1]
+
+
+def test_knn_graph_exact(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import knn_graph
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((60, 8))
+    vecs[41] = vecs[5] * 3.0          # exact same direction as 5
+    ids = np.arange(100, 160, dtype=np.int64)  # non-contiguous ids
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(vecs.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    f32 = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    pdf = knn_graph(ray.data.from_arrow(t), f32, ids, k=3)
+    assert len(pdf) == 60 * 3
+    assert pdf.columns.tolist() == ["vec_id", "nbr_rank", "nbr_id", "cosine"]
+    # planted duplicate direction is each other's top neighbor
+    assert pdf[(pdf.vec_id == 105) & (pdf.nbr_rank == 1)]["nbr_id"].item() == 141
+    assert pdf[(pdf.vec_id == 141) & (pdf.nbr_rank == 1)]["nbr_id"].item() == 105
+    # full brute-force oracle with (cos desc, id asc) tie order
+    nf = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+    sims = nf @ nf.T
+    np.fill_diagonal(sims, -np.inf)
+    for r in range(60):
+        order = np.lexsort((ids, -sims[r]))[:3]
+        got = pdf[pdf.vec_id == ids[r]].sort_values("nbr_rank")
+        assert got["nbr_id"].tolist() == ids[order].tolist()
+        assert np.allclose(got["cosine"].to_numpy(), sims[r][order])
+
+
+def test_pii_scrubber_patterns():
+    from iresearch_ray.pipelines.scrub import PiiScrubber
+
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@ex.org now",
+        "call 555-123-4567 or +1 555 123 4567",
+        "ip 192.168.0.1 card 4111111111111111",
+        "clean text",
+        None,
+    ])})
+    out = PiiScrubber()(t)
+    got = out.column("text").to_pylist()
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> or +1 <PHONE>"
+    assert got[2] == "ip <IP> card <NUM>"
+    assert got[3] == "clean text"
+    assert got[4] is None
+    assert out.column("n_redactions").to_pylist() == [1, 2, 2, 0, None]
+
+
+def test_scrub_pii_dataset(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.scrub import scrub_pii
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["x y@z.io", "nothing here"])})
+    pdf = (scrub_pii(ray.data.from_arrow(t), out_col="scrubbed")
+           .to_pandas().sort_values("doc_id"))
+    assert pdf["scrubbed"].tolist() == ["x <EMAIL>", "nothing here"]
+    assert pdf["n_redactions"].tolist() == [1, 0]
+    assert "text" in pdf.columns  # original preserved when out_col differs

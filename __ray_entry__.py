@@ -974,6 +974,39 @@ def _q_variadic_phrase(sf_dir: str):
     return match_frame(s, F.Phrase(["table", {"prefix": "p"}]))
 
 
+def _q_terms_boosted(sf_dir: str):
+    """by_terms with PER-TERM boosts (``core/search/terms_filter.hpp:
+    37-83``): doc score = sum of boost_i x BM25_i over matched terms
+    (boost is linear in c0, ``bm25.cpp:287-364``)."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.Terms([("customer", 2.0), ("vector", 1.0)]),
+        k=100, scorer=_bm25_f64())
+
+
+def _q_edge_ngram(sf_dir: str):
+    """Edge n-grams inside the ``text`` analyzer (min_gram=2,
+    max_gram=4, preserve_original — ``text_token_stream.cpp:356-414``):
+    Term('cust') matches exactly the docs containing a token with
+    prefix 'cust', resolved at INDEX time through the gram terms (no
+    dictionary range scan at query time)."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "edgegram",
+        analyzer="text",
+        analyzer_options={"stopwords": [], "stemming": False,
+                          "accent_folding": False,
+                          "min_gram": 2, "max_gram": 4,
+                          "preserve_original": True},
+    )
+    return match_frame(s, F.Term("cust"))
+
+
 def _q_ngram_similarity(sf_dir: str):
     """by_ngram_similarity (``core/search/ngram_similarity_filter.hpp:
     33-49``, chain DP ``ngram_similarity_query.cpp:455``): query word
@@ -1119,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "variadic_phrase_match": _q_variadic_phrase,
         "ngram_similarity_match": _q_ngram_similarity,
+        "terms_boosted_topk": _q_terms_boosted,
+        "edge_ngram_match": _q_edge_ngram,
         "bm25_topk_or": _q_bm25_or,
         "bm25_topk_and": _q_bm25_and,
         "bm25_topk_or_max": _q_bm25_or_max,
@@ -1558,6 +1593,24 @@ ORDER BY doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM pair ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # by_terms with per-term boosts: boost is linear in c0, so the
+        # doc score is the boost-weighted sum of the per-term scores
+        "terms_boosted_topk": _TOK_SQL + """
+, pair AS (
+  SELECT doc_id,
+         sum(CASE term WHEN 'customer' THEN 2.0 ELSE 1.0 END * score)
+           AS score
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM pair ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # edge n-grams [2,4] + preserve_original: Term('cust') hits
+        # exactly the docs with a token prefixed 'cust' (gram length 4)
+        "edge_ngram_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE 'cust%'
+ORDER BY doc_id
 """,
         "bm25_topk_or_max": _TOK_SQL + """
 , pair AS (

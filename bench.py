@@ -155,16 +155,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from iresearch_ray.search.sharded import ShardedSearcher
 
     sh = ShardedSearcher(index_dir, n_shards=4)
+    # COLD distributed n-gram: first query on freshly opened shard
+    # actors — the scale path for the expensive cold categories (each
+    # shard decodes 1/N of the segments in parallel; see BASELINE.md
+    # cold-n-gram profile: single-process cold is compute-bound)
+    t0 = time.time()
+    sh.search(cats["HighNGram"], k=100)
+    sharded_cold_ngram = round(time.time() - t0, 4)
     sharded_times = {}
     sharded_exchange_times = {}
     for name in ("HighTerm", "OrHighHigh", "HighPhrase"):
         sh.search(cats[name], k=100)  # warm
-        t0 = time.time()
-        sh.search(cats[name], k=100)
-        sharded_times[name] = round(time.time() - t0, 4)
-        t0 = time.time()
-        sh.search(cats[name], k=100, threshold_exchange=True)
-        sharded_exchange_times[name] = round(time.time() - t0, 4)
+        # best-of-3 per mode: single samples on this VM carry ±3x
+        # scheduling noise, which previously dominated the plain-vs-
+        # exchange comparison (both modes get the identical protocol)
+        tp = te = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            sh.search(cats[name], k=100)
+            tp = min(tp, time.time() - t0)
+            t0 = time.time()
+            sh.search(cats[name], k=100, threshold_exchange=True)
+            te = min(te, time.time() - t0)
+        sharded_times[name] = round(tp, 4)
+        sharded_exchange_times[name] = round(te, 4)
     sh.shutdown()
 
     # merge-throughput probe (the VERDICT r1 merge criterion): tier-merge
@@ -244,6 +258,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "host_membw_gbps_query": membw_query,
         "query_total_sec": round(query_total, 4),
         "query_p99_sec": p99s,
+        "sharded_cold_ngram_sec": sharded_cold_ngram,
         "sharded_query_sec": sharded_times,
         "sharded_threshold_exchange_sec": sharded_exchange_times,
         "merge_sec": round(merge_sec, 3),

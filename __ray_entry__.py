@@ -337,6 +337,21 @@ def _q_pii_scrub(sf_dir: str):
     return pdf.reset_index(drop=True)
 
 
+def _q_hash_split_sample(sf_dir: str):
+    """Deterministic Bernoulli(0.2) sample + train/val/test split
+    assignment (``pipelines/sampling.py``): one Knuth-multiplicative
+    hash per row, zero shuffle, retry/resume-stable; the oracle
+    replays the identical BIGINT math in SQL."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sampling import assign_splits, hash_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    out = assign_splits(hash_sample(ds, "doc_id", 0.2), "doc_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact cosine kNN GRAPH (k=3 neighbors for every vector) over the
     embeddings table — the brute-force ground truth of the semantic
@@ -1175,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann,
         "embedding_knn_graph": _q_knn_graph,
         "pii_scrub": _q_pii_scrub,
+        "hash_split_sample": _q_hash_split_sample,
         "events_hourly": _q_events_hourly,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
@@ -1779,6 +1795,21 @@ WHERE e.vec_id <> 7
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
          vec_id
 LIMIT 10
+""",
+        # deterministic sample + split: same Knuth hash in BIGINT math
+        # (doc_id * 2654435761 stays < 2^63 at every sf here);
+        # 858993459 = floor(0.2 * 2^32)
+        "hash_split_sample": """
+WITH h AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h32
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN (h32 % 10000) < 8000 THEN 'train'
+            WHEN (h32 % 10000) < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM h WHERE h32 < 858993459
+ORDER BY doc_id
 """,
         # PII scrub: identical deterministic plant + the same ordered
         # RE2 chain (DuckDB regexp_* is RE2, like pyarrow)

@@ -1,0 +1,66 @@
+"""Deterministic hash sampling / split assignment over a keyed table —
+training-data staples with no reference analogue (the closest is the
+bounded scored-term sampling of ``core/search/
+limited_sample_collector.hpp``, which samples TERMS, not documents).
+
+Both operators are pure per-batch column math (one multiply + modulo
+per row), so they stream through ``map_batches`` with zero state and
+zero shuffle: at 10^12 rows the sample/split decision never leaves the
+block it was read in. Determinism is the point — retries, resumes and
+re-runs pick the identical rows, and the hash (Knuth multiplicative,
+32-bit) is cheap to replicate in SQL for an exact oracle:
+``(key * 2654435761) % 4294967296``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hash
+_M32 = 1 << 32
+
+
+def _hash32(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """(key * KNUTH + salt) mod 2^32 as uint64 — overflow-free for any
+    int64 key (computed in uint64; DuckDB replica stays inside BIGINT
+    as long as key < 2^31, which holds for row ids at any sf here)."""
+    k = keys.astype(np.uint64, copy=False)
+    return (k * np.uint64(_KNUTH) + np.uint64(salt)) % np.uint64(_M32)
+
+
+def hash_sample(ds, key_col: str, rate: float, salt: int = 0):
+    """Keep each row iff hash32(key) < rate * 2^32 — a deterministic
+    Bernoulli(rate) sample keyed on ``key_col`` (same key -> same
+    decision across runs, files and cluster sizes)."""
+    thresh = np.uint64(int(rate * _M32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_hash32(k, salt) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def assign_splits(ds, key_col: str,
+                  fractions: dict[str, float] | None = None,
+                  salt: int = 0, out_col: str = "split"):
+    """Append a deterministic train/val/test label: the hash bucket
+    ``h % 10000`` is cut at the cumulative fraction boundaries, in the
+    given dict order. Fractions must sum to <= 1; any remainder gets
+    the last label."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names]) * 10000.0
+    bounds = np.minimum(bounds.astype(np.int64), 10000)
+    bounds[-1] = 10000
+    labels = np.asarray(names, dtype=object)
+
+    def label(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        b = (_hash32(k, salt) % np.uint64(10000)).astype(np.int64)
+        idx = np.searchsorted(bounds, b, side="right")
+        return batch.append_column(
+            out_col, pa.array(labels[idx], type=pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")

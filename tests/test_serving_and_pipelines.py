@@ -476,3 +476,29 @@ def test_scrub_pii_dataset(ray_session):
     assert pdf["scrubbed"].tolist() == ["x <EMAIL>", "nothing here"]
     assert pdf["n_redactions"].tolist() == [1, 0]
     assert "text" in pdf.columns  # original preserved when out_col differs
+
+
+def test_hash_sample_and_splits(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.sampling import (assign_splits,
+                                                  hash_sample, _hash32)
+
+    ids = np.arange(100_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    kept = hash_sample(ray.data.from_arrow(t), "doc_id", 0.2).to_pandas()
+    # exact replica of the decision rule
+    exp = ids[_hash32(ids) < np.uint64(int(0.2 * 2**32))]
+    assert sorted(kept["doc_id"].tolist()) == exp.tolist()
+    assert abs(len(kept) / 1e5 - 0.2) < 0.01   # rate accuracy
+    # split assignment: deterministic, fractions close, exhaustive
+    lab = assign_splits(ray.data.from_arrow(t), "doc_id").to_pandas()
+    counts = lab["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.01
+    assert abs(counts["val"] - 0.1) < 0.005
+    assert abs(counts["test"] - 0.1) < 0.005
+    # stable across a second run (retry-determinism)
+    lab2 = assign_splits(ray.data.from_arrow(t), "doc_id").to_pandas()
+    m = lab.sort_values("doc_id").merge(lab2.sort_values("doc_id"),
+                                        on="doc_id")
+    assert (m["split_x"] == m["split_y"]).all()

@@ -337,6 +337,46 @@ def _q_pii_scrub(sf_dir: str):
     return pdf.reset_index(drop=True)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (``pipelines/packing.py``): documents laid
+    head-to-tail per 1000-id range partition, each assigned the
+    512-token bin where it starts — parallel across partitions, exact
+    cumsum within; token counts from the standard tokenizer."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.packing import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def count_tokens(batch):
+        import pyarrow as pa
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]+")
+        # split keeps empty edge pieces; count non-empty elements like
+        # the oracle's list_filter(x <> '')
+        lens = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+            nan=0).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        n = np.bincount(doc_idx[flat != ""],
+                        minlength=len(batch)).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n)})
+
+    out = pack_sequences(ds.map_batches(count_tokens,
+                                        batch_format="pyarrow"),
+                         "doc_id", "n_tokens",
+                         capacity=512, part_size=1000)
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("part", "start_offset", "bin_idx"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf[["doc_id", "part", "start_offset", "bin_idx"]]
+
+
 def _q_hash_split_sample(sf_dir: str):
     """Deterministic Bernoulli(0.2) sample + train/val/test split
     assignment (``pipelines/sampling.py``): one Knuth-multiplicative
@@ -1191,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": _q_knn_graph,
         "pii_scrub": _q_pii_scrub,
         "hash_split_sample": _q_hash_split_sample,
+        "pack_sequences": _q_pack_sequences,
         "events_hourly": _q_events_hourly,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
@@ -1795,6 +1836,25 @@ WHERE e.vec_id <> 7
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
          vec_id
 LIMIT 10
+""",
+        # sequence packing: same tokenizer, window cumsum per 1000-id
+        # partition, bin = start // 512
+        "pack_sequences": """
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), w AS (
+  SELECT doc_id, doc_id // 1000 AS part, n,
+         SUM(n) OVER (PARTITION BY doc_id // 1000 ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS s
+  FROM tok
+)
+SELECT doc_id, CAST(part AS BIGINT) AS part,
+       CAST(s AS BIGINT) AS start_offset,
+       CAST(s // 512 AS BIGINT) AS bin_idx
+FROM w ORDER BY doc_id
 """,
         # deterministic sample + split: same Knuth hash in BIGINT math
         # (doc_id * 2654435761 stays < 2^63 at every sf here);

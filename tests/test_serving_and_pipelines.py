@@ -502,3 +502,21 @@ def test_hash_sample_and_splits(ray_session):
     m = lab.sort_values("doc_id").merge(lab2.sort_values("doc_id"),
                                         on="doc_id")
     assert (m["split_x"] == m["split_y"]).all()
+
+
+def test_pack_sequences(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.packing import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 1000, 1001],
+                                     type=pa.int64()),
+                  "n_tokens": pa.array([300, 300, 300, 600, 100],
+                                       type=pa.int64())})
+    pdf = pack_sequences(ray.data.from_arrow(t), "doc_id", "n_tokens",
+                         capacity=512, part_size=1000) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # part 0 starts 0/300/600 -> bins 0/0/1; part 1 starts 0/600 -> 0/1
+    assert pdf["part"].tolist() == [0, 0, 0, 1, 1]
+    assert pdf["start_offset"].tolist() == [0, 300, 600, 0, 600]
+    assert pdf["bin_idx"].tolist() == [0, 0, 1, 0, 1]

@@ -520,6 +520,35 @@ def _q_nested_group_none(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_nested_group_all(sf_dir: str):
+    """Nested block-join, Match::All (``core/search/nested_filter.hpp:
+    58-94``): docs whose source group consists ENTIRELY of docs
+    matching Prefix('s')."""
+    import pandas as pd
+
+    from iresearch_ray.api import documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    docs = s.conv_match(F.Prefix("s"), group_col="source", match="all")
+    stored = s.fetch_stored(docs, ("doc_id",))
+    return pd.DataFrame({"doc_id": stored["doc_id"].astype("int64")}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fuzzy_prefix(sf_dir: str):
+    """by_edit_distance with the reference's literal-prefix option
+    (``core/search/levenshtein_filter.hpp:74-93``): dictionary scan
+    restricted to terms starting 'sc', Levenshtein <= 1 vs 'scan' on
+    the full term (a strict subset of fuzzy_match's expansion: the
+    distance-1 neighbors not starting 'sc' drop out)."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Fuzzy("scan", 1, prefix="sc"))
+
+
 def _q_highlight(sf_dir: str):
     """Top-10 BM25 hits for 'scan' with highlight offsets read from the
     stored OFFS occurrence streams (the documents index is built with
@@ -1244,6 +1273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collation_order_match": _q_collation_order,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
+        "nested_group_all": _q_nested_group_all,
+        "fuzzy_prefix_match": _q_fuzzy_prefix,
         "sessionize_events": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
@@ -1810,6 +1841,24 @@ SELECT d.doc_id AS doc_id
 FROM documents d
 WHERE d.source NOT IN (
   SELECT DISTINCT dd.source FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id)
+ORDER BY doc_id
+""",
+        "nested_group_all": _TOK_SQL + """
+, hits AS (
+  SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE 's%'
+)
+SELECT d.doc_id AS doc_id
+FROM documents d JOIN (
+  SELECT dd.source
+  FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
+  GROUP BY dd.source
+  HAVING count(*) = count(h.doc_id)
+) g ON d.source = g.source
+ORDER BY doc_id
+""",
+        "fuzzy_prefix_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE term LIKE 'sc%' AND levenshtein(term, 'scan') <= 1
 ORDER BY doc_id
 """,
         "quality_stats": _TOK_SQL + """

@@ -520,6 +520,18 @@ def _q_nested_group_none(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_parsed_query(sf_dir: str):
+    """The benchmark-task query-string PARSER end-to-end
+    (``utils/index-search.cpp:241-450`` syntax): '+customer -vector
+    +sc*' parses to And(Term, Not(Term), Prefix) and must match the
+    hand-built AST's result exactly."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search.parser import parse_query
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, parse_query("+customer -vector +sc*"))
+
+
 def _q_nested_group_all(sf_dir: str):
     """Nested block-join, Match::All (``core/search/nested_filter.hpp:
     58-94``): docs whose source group consists ENTIRELY of docs
@@ -1275,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_group_none": _q_nested_group_none,
         "nested_group_all": _q_nested_group_all,
         "fuzzy_prefix_match": _q_fuzzy_prefix,
+        "parsed_query_match": _q_parsed_query,
         "sessionize_events": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
@@ -1841,6 +1854,12 @@ SELECT d.doc_id AS doc_id
 FROM documents d
 WHERE d.source NOT IN (
   SELECT DISTINCT dd.source FROM hits h JOIN documents dd ON dd.doc_id = h.doc_id)
+ORDER BY doc_id
+""",
+        "parsed_query_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos WHERE term = 'customer'
+  AND doc_id IN (SELECT doc_id FROM term_pos WHERE term LIKE 'sc%')
+  AND doc_id NOT IN (SELECT doc_id FROM term_pos WHERE term = 'vector')
 ORDER BY doc_id
 """,
         "nested_group_all": _TOK_SQL + """

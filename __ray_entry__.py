@@ -935,6 +935,74 @@ def _q_winnow_fingerprints(sf_dir: str):
         .to_pandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-doc repetition: duplicate-bigram fraction and
+    top-bigram share per doc (training-data quality filter)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = ds.map_batches(repetition_stats, batch_format="pyarrow") \
+        .to_pandas()
+    for c in ("dup_bigram_frac", "top_bigram_frac"):
+        pdf[c + "_r"] = np.floor(pdf[c] * 1e4 + 0.5) / 1e4
+    return pdf[["doc_id", "n_bigrams", "dup_bigram_frac_r",
+                "top_bigram_frac_r"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C shape): docs sharing
+    a word 4-gram with the 'benchmark' subset (doc_id % 41 == 0) and
+    the count of distinct shared grams. n=4 (not the production 8-13)
+    because the synthetic corpus has no planted 8-gram contamination;
+    the operator takes n as a parameter."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.decontam import (
+        collect_benchmark_grams, contamination_report)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _bench(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 41 == 0))
+
+    def _train(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 41 != 0))
+
+    grams_ref = ray.put(collect_benchmark_grams(
+        ds.map_batches(_bench, batch_format="pyarrow"), n=4))
+    rep = contamination_report(
+        ds.map_batches(_train, batch_format="pyarrow"), grams_ref, n=4)
+    return rep.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lm_score(sf_dir: str):
+    """Two-pass bigram-LM scoring (CCNet/KenLM perplexity-filter
+    shape): pass 1 fits corpus unigram/bigram counts through one
+    pre-aggregated groupby, pass 2 broadcasts the model and scores
+    each doc's mean add-one-smoothed bigram log-prob."""
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.lm import fit_bigram_lm, lm_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    model_ref = ray.put(fit_bigram_lm(ds))
+    pdf = lm_score(ds, model_ref).to_pandas()
+    pdf["lm_logprob_r"] = np.floor(pdf["lm_logprob"] * 1e4 + 0.5) / 1e4
+    return pdf[["doc_id", "n_bigrams", "lm_logprob_r"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 class _ClassifyBatch:
     """map_batches actor: model loaded once per actor in __init__ (the
     stateful-analyzer actor-pool shape), label prediction per batch."""
@@ -1301,6 +1369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classification_lang": _q_classification_lang,
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate_ngram": _q_decontaminate,
+        "bigram_lm_score": _q_lm_score,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
@@ -2021,6 +2092,103 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
         "minhash_lsh_buckets": _minhash_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        # Gopher-style repetition: bigrams via lead() over the same
+        # tokenizer; dup = 1 - distinct/total, top = max count/total
+        "repetition_stats": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+term_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+bg AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bg
+  FROM term_pos
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg WHERE bg IS NOT NULL
+        GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+               count(*) AS nd, max(c) AS top
+        FROM cnt GROUP BY 1)
+SELECT doc_id, total AS n_bigrams,
+       floor((1 - nd / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS dup_bigram_frac_r,
+       floor((top / CAST(total AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS top_bigram_frac_r
+FROM agg ORDER BY doc_id
+""",
+        # decontamination: distinct word 4-grams shared with the
+        # doc_id %% 41 == 0 'benchmark' subset
+        "decontaminate_ngram": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+term_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+g0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER w AS l1,
+         lead(term, 2) OVER w AS l2,
+         lead(term, 3) OVER w AS l3
+  FROM term_pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT doc_id, term || ' ' || l1 || ' ' || l2 || ' ' || l3 AS gram
+  FROM g0 WHERE l3 IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id % 41 <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+        # bigram LM: same corpus counts, add-one smoothing, mean log
+        # prob per doc over bigram occurrences
+        "bigram_lm_score": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+term_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, term AS w1,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bg
+  FROM term_pos
+),
+bgf AS (SELECT doc_id, w1, bg FROM bg WHERE bg IS NOT NULL),
+U AS (SELECT term, count(*) AS c FROM term_pos GROUP BY 1),
+VV AS (SELECT count(*) AS v FROM U),
+B AS (SELECT bg, count(*) AS c FROM bgf GROUP BY 1)
+SELECT f.doc_id, count(*) AS n_bigrams,
+       floor(avg(ln((b.c + 1.0) / (u.c + vv.v))) * 10000 + 0.5) / 10000
+         AS lm_logprob_r
+FROM bgf f
+JOIN B b USING (bg)
+JOIN U u ON u.term = f.w1
+CROSS JOIN VV vv
+GROUP BY f.doc_id ORDER BY f.doc_id
+""",
         "lang_id": _langid_sql(),
         "ann_ivf_topk": """
 WITH q AS (

@@ -193,3 +193,77 @@ def winnow_fingerprints(batch: pa.Table, text_col: str = "text",
         "doc_id": pa.array(ids[uniq[:, 0]].astype(np.int64)),
         "fp": pa.array(uniq[:, 1]),
     })
+
+
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """Tokenize a batch column the oracle way (lower, split on
+    non-alphanumeric, drop empties): returns (flat tokens pa.Array in
+    document order, doc_idx int64 per token)."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"[^\pL\pN]+")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    nonempty = np.asarray(nonempty, dtype=bool)
+    return flat.filter(pa.array(nonempty)), doc_idx[nonempty]
+
+
+def word_ngrams(batch: pa.Table, n: int, text_col: str = "text"):
+    """Flat word n-gram strings (space-joined runs of n consecutive
+    tokens within one doc): returns (grams pa.Array, doc_idx int64).
+    Vectorized: n shifted slices of the flat token array joined
+    element-wise, windows crossing doc boundaries masked out."""
+    flat, doc_idx = _flat_tokens(batch, text_col)
+    T = len(flat)
+    if T < n:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64)
+    parts = [flat.slice(i, T - n + 1) for i in range(n)]
+    grams = parts[0] if n == 1 else \
+        pc.binary_join_element_wise(*parts, " ")
+    valid = doc_idx[: T - n + 1] == doc_idx[n - 1:]
+    return grams.filter(pa.array(valid)), doc_idx[: T - n + 1][valid]
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style intra-document repetition measures (Rae et al.
+    2021 §A1.1, "repetition removal"): per doc, the fraction of word
+    bigrams that are repeats of an earlier bigram
+    (``dup_bigram_frac = 1 - distinct/total``) and the share of the
+    single most frequent bigram (``top_bigram_frac``). Docs with no
+    bigrams (<2 tokens) are dropped. One dictionary-encode + lexsort
+    per batch, no per-row Python."""
+    grams, d = word_ngrams(batch, 2, text_col)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if len(grams) == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "n_bigrams": pa.array([], type=pa.int64()),
+                         "dup_bigram_frac": pa.array([], type=pa.float64()),
+                         "top_bigram_frac": pa.array([], type=pa.float64())})
+    codes = grams.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(batch)
+    order = np.lexsort((codes, d))
+    ds_, cs = d[order], codes[order]
+    run_start = np.empty(ds_.size, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (ds_[1:] != ds_[:-1]) | (cs[1:] != cs[:-1])
+    starts = np.flatnonzero(run_start)
+    run_len = np.diff(np.append(starts, ds_.size))
+    run_doc = ds_[starts]
+    total = np.bincount(d, minlength=n).astype(np.int64)
+    distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, run_doc, run_len)
+    has = total > 0
+    tot = total[has].astype(np.float64)
+    return pa.table({
+        id_col: pa.array(ids[has].astype(np.int64)),
+        "n_bigrams": pa.array(total[has]),
+        "dup_bigram_frac": pa.array(1.0 - distinct[has] / tot),
+        "top_bigram_frac": pa.array(top[has] / tot),
+    })

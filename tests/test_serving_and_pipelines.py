@@ -520,3 +520,69 @@ def test_pack_sequences(ray_session):
     assert pdf["part"].tolist() == [0, 0, 0, 1, 1]
     assert pdf["start_offset"].tolist() == [0, 300, 600, 0, 600]
     assert pdf["bin_idx"].tolist() == [0, 0, 1, 0, 1]
+
+
+def test_repetition_stats_values():
+    from iresearch_ray.pipelines.textstats import repetition_stats
+
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b c",           # bigrams: ab,ba,ab,bc
+                 "x",                    # no bigrams -> dropped
+                 "one two one two one two"],
+    })
+    out = repetition_stats(t).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0, 2]
+    assert out.loc[0, "n_bigrams"] == 4
+    assert out.loc[0, "dup_bigram_frac"] == pytest.approx(0.25)
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(0.5)
+    assert out.loc[2, "dup_bigram_frac"] == pytest.approx(0.6)
+
+
+def test_decontaminate_planted(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.decontam import (
+        collect_benchmark_grams, contamination_report, decontaminate)
+
+    secret = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = ray.data.from_items([{"doc_id": 100, "text": secret}])
+    train = ray.data.from_items([
+        {"doc_id": 0, "text": "clean doc with nothing shared at all"},
+        {"doc_id": 1, "text": "prefix then " + secret + " then suffix"},
+        {"doc_id": 2, "text": "alpha beta gamma but the chain stops here"},
+    ])
+    grams = collect_benchmark_grams(bench, n=8)
+    assert len(grams) == 1
+    rep = contamination_report(train, grams, n=8).to_pandas()
+    assert rep["doc_id"].tolist() == [1]
+    assert rep["n_shared"].tolist() == [1]
+    kept = decontaminate(train, bench, n=8).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [0, 2]
+
+
+def test_bigram_lm_score_exact(ray_session):
+    import math
+
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.lm import fit_bigram_lm, lm_score
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "z"},          # no bigrams -> dropped
+    ])
+    m = fit_bigram_lm(ds)
+    # unigrams: a:3 b:3 c:1 z:1 -> V=4; bigrams: "a b":3 "b a":1 "b c":1
+    assert m["V"] == 4
+    assert m["uni"]["a"] == 3 and m["bi"]["a b"] == 3
+    out = lm_score(ds, ray.put(m)).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0, 1]
+    p_ab = math.log((3 + 1) / (3 + 4))   # B(a,b)=3, U(a)=3, V=4
+    p_ba = math.log((1 + 1) / (3 + 4))
+    p_bc = math.log((1 + 1) / (3 + 4))
+    assert out.loc[0, "lm_logprob"] == pytest.approx(
+        (p_ab + p_ba + p_ab) / 3)
+    assert out.loc[1, "lm_logprob"] == pytest.approx((p_ab + p_bc) / 2)

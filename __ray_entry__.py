@@ -1003,6 +1003,33 @@ def _q_lm_score(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curate(sf_dir: str):
+    """The composed curation chain (RefinedWeb/Gopher shape): exact
+    dedup -> quality gate (token count 25..95, dup-bigram frac <=
+    0.08) -> 4-gram decontamination vs the doc_id % 41 == 0 benchmark
+    subset -> deterministic split assignment. One streaming pipeline,
+    one shuffle (the dedup groupby+join)."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.curate import curate_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _bench(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 41 == 0))
+
+    def _train(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 41 != 0))
+
+    out = curate_corpus(ds.map_batches(_train, batch_format="pyarrow"),
+                        ds.map_batches(_bench, batch_format="pyarrow"))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 class _ClassifyBatch:
     """map_batches actor: model loaded once per actor in __init__ (the
     stateful-analyzer actor-pool shape), label prediction per batch."""
@@ -1372,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate_ngram": _q_decontaminate,
         "bigram_lm_score": _q_lm_score,
+        "curate_corpus": _q_curate,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
@@ -2188,6 +2216,72 @@ JOIN B b USING (bg)
 JOIN U u ON u.term = f.w1
 CROSS JOIN VV vv
 GROUP BY f.doc_id ORDER BY f.doc_id
+""",
+
+        # composed curation chain: dedup winners (train side only) +
+        # quality gate + 4-gram decontamination + Knuth-hash splits
+        "curate_corpus": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+term_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+dl AS (SELECT doc_id, len(toks) AS n FROM tok),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  WHERE doc_id % 41 <> 0 GROUP BY text
+),
+bgc AS (
+  SELECT doc_id, bg, count(*) AS c FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS bg
+    FROM term_pos
+  ) WHERE bg IS NOT NULL GROUP BY 1, 2
+),
+rep AS (
+  SELECT doc_id,
+         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup
+  FROM bgc GROUP BY 1
+),
+g0 AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER w AS l1,
+         lead(term, 2) OVER w AS l2,
+         lead(term, 3) OVER w AS l3
+  FROM term_pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT doc_id, term || ' ' || l1 || ' ' || l2 || ' ' || l3 AS gram
+  FROM g0 WHERE l3 IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 41 <> 0
+),
+kept AS (
+  SELECT d.doc_id FROM dl d
+  JOIN winners w ON w.doc_id = d.doc_id
+  LEFT JOIN rep r ON r.doc_id = d.doc_id
+  WHERE d.n BETWEEN 25 AND 95
+    AND COALESCE(r.dup, 0) <= 0.08
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 8000
+              THEN 'train'
+            WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM kept ORDER BY doc_id
 """,
         "lang_id": _langid_sql(),
         "ann_ivf_topk": """

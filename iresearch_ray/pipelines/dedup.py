@@ -245,6 +245,54 @@ def _pair_salt(key: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# join padding
+# ---------------------------------------------------------------------------
+
+# This Ray version's hash-shuffle join crashes when a partition
+# receives ZERO blocks from either side (the aggregator builds a
+# schema-less empty table and pyarrow's join fails on the key
+# FieldRef). Dense uniform ids never hit it, but sparse sides (few
+# winners / few candidate pairs spread over many partitions) do. The
+# fix: union each join side with a small block of sentinel rows whose
+# key ids live in a RESERVED range (around -2^62; real ids in this
+# repo are non-negative) and differ between the two sides, so every
+# partition gets a schema-bearing row and no sentinel ever matches —
+# the inner join drops them all, no post-filter needed.
+_PAD_LEFT_BASE = -(1 << 62)
+_PAD_RIGHT_BASE = -(1 << 62) + (1 << 20)
+_PAD_PER_PARTITION = 32  # P(partition empty) ~ e^-32 per partition
+
+
+def _pad_rows(schema: pa.Schema, key_ids: dict[str, int],
+              count: int) -> pa.Table:
+    """Sentinel block matching ``schema``: key columns get ``count``
+    consecutive reserved ids, every other column is null."""
+    cols = {}
+    for f in schema:
+        if f.name in key_ids:
+            cols[f.name] = pa.array(
+                np.arange(key_ids[f.name], key_ids[f.name] + count),
+                type=f.type)
+        else:
+            cols[f.name] = pa.nulls(count, f.type)
+    return pa.table(cols)
+
+
+def _pad_side(ds, key_ids: dict[str, int], num_partitions: int,
+              schema: pa.Schema | None = None):
+    """Union ``ds`` with one sentinel block (schema fetched from the
+    dataset when not given — metadata-only for parquet sources, one
+    small task otherwise)."""
+    import ray.data as rd
+
+    if schema is None:
+        schema = ds.schema(fetch_if_missing=True)
+        schema = getattr(schema, "base_schema", schema)
+    pad = _pad_rows(schema, key_ids, _PAD_PER_PARTITION * num_partitions)
+    return ds.union(rd.from_arrow(pad))
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -274,15 +322,37 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             id_col: t.column(id_col),
         })
 
+    def winner(t: pa.Table) -> pa.Table:
+        # the hash aggregate can emit schema-LESS empty blocks for
+        # partitions that received no keys (tiny or skewed inputs);
+        # normalize every block to the (id_col,) schema or the join
+        # fails with "no match for FieldRef" (ids are int64 in every
+        # table this repo reads)
+        col = f"min({id_col})"
+        if col in t.column_names:
+            arr = t.column(col).cast(pa.int64())
+        elif id_col in t.column_names:
+            arr = t.column(id_col).cast(pa.int64())
+        else:
+            arr = pa.array([], type=pa.int64())
+        # DISTINCT key name on the winners side: this Ray version's
+        # hash-shuffle join mis-plans same-named keys (see the pass-4
+        # join below); the right key column is dropped from the output
+        return pa.table({"__keep_id": arr})
+
     winners = (
         ds.map_batches(project, batch_format="pyarrow")
         .groupby(["h_lo", "h_hi"])
         .min(id_col)
-        .select_columns([f"min({id_col})"])
-        .rename_columns({f"min({id_col})": id_col})
+        .map_batches(winner, batch_format="pyarrow")
     )
-    return ds.join(winners, join_type="inner",
-                   num_partitions=num_partitions, on=(id_col,))
+    left = _pad_side(ds, {id_col: _PAD_LEFT_BASE}, num_partitions)
+    right = _pad_side(winners, {"__keep_id": _PAD_RIGHT_BASE},
+                      num_partitions,
+                      schema=pa.schema([("__keep_id", pa.int64())]))
+    return left.join(right, join_type="inner",
+                     num_partitions=num_partitions, on=(id_col,),
+                     right_on=("__keep_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -733,10 +803,26 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
     # joins must leave CPUs for the map stages, so size partitions to
     # the cluster (cpus/8 of the budget per join)
     n_part = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    with_a = pairs.join(corpus_a, join_type="inner", num_partitions=n_part,
-                        on=("id_a",), right_on=(id_col,))
-    both = with_a.join(corpus_b, join_type="inner", num_partitions=n_part,
-                       on=("id_b",), right_on=(id_col,))
+    # sentinel-pad every side: candidate pairs are often SPARSE (few
+    # near-dups spread over n_part partitions), which trips this Ray
+    # version's empty-partition join crash (see _pad_side)
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    ca_schema = pa.schema([(id_col, pa.int64()), ("__text_a", pa.string())])
+    cb_schema = pa.schema([(id_col, pa.int64()), ("__text_b", pa.string())])
+    with_a = _pad_side(pairs, {"id_a": _PAD_LEFT_BASE}, n_part,
+                       schema=pair_schema) \
+        .join(_pad_side(corpus_a, {id_col: _PAD_RIGHT_BASE}, n_part,
+                        schema=ca_schema),
+              join_type="inner", num_partitions=n_part,
+              on=("id_a",), right_on=(id_col,))
+    wa_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                           ("__text_a", pa.string())])
+    both = _pad_side(with_a, {"id_b": _PAD_LEFT_BASE}, n_part,
+                     schema=wa_schema) \
+        .join(_pad_side(corpus_b, {id_col: _PAD_RIGHT_BASE}, n_part,
+                        schema=cb_schema),
+              join_type="inner", num_partitions=n_part,
+              on=("id_b",), right_on=(id_col,))
 
     def verify(t: pa.Table) -> pa.Table:
         P = len(t)

@@ -228,25 +228,16 @@ def word_ngrams(batch: pa.Table, n: int, text_col: str = "text"):
     return grams.filter(pa.array(valid)), doc_idx[: T - n + 1][valid]
 
 
-def repetition_stats(batch: pa.Table, text_col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
-    """Gopher-style intra-document repetition measures (Rae et al.
-    2021 §A1.1, "repetition removal"): per doc, the fraction of word
-    bigrams that are repeats of an earlier bigram
-    (``dup_bigram_frac = 1 - distinct/total``) and the share of the
-    single most frequent bigram (``top_bigram_frac``). Docs with no
-    bigrams (<2 tokens) are dropped. One dictionary-encode + lexsort
-    per batch, no per-row Python."""
+def bigram_counts(batch: pa.Table, text_col: str = "text"):
+    """Per-row word-bigram (total, distinct, max-count) arrays — one
+    dictionary-encode + lexsort per batch, no per-row Python."""
+    n = len(batch)
     grams, d = word_ngrams(batch, 2, text_col)
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     if len(grams) == 0:
-        return pa.table({id_col: pa.array([], type=pa.int64()),
-                         "n_bigrams": pa.array([], type=pa.int64()),
-                         "dup_bigram_frac": pa.array([], type=pa.float64()),
-                         "top_bigram_frac": pa.array([], type=pa.float64())})
+        z = np.zeros(n, dtype=np.int64)
+        return z, z.copy(), z.copy()
     codes = grams.dictionary_encode().indices \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(batch)
     order = np.lexsort((codes, d))
     ds_, cs = d[order], codes[order]
     run_start = np.empty(ds_.size, dtype=bool)
@@ -259,6 +250,19 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
     top = np.zeros(n, dtype=np.int64)
     np.maximum.at(top, run_doc, run_len)
+    return total, distinct, top
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style intra-document repetition measures (Rae et al.
+    2021 §A1.1, "repetition removal"): per doc, the fraction of word
+    bigrams that are repeats of an earlier bigram
+    (``dup_bigram_frac = 1 - distinct/total``) and the share of the
+    single most frequent bigram (``top_bigram_frac``). Docs with no
+    bigrams (<2 tokens) are dropped."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    total, distinct, top = bigram_counts(batch, text_col)
     has = total > 0
     tot = total[has].astype(np.float64)
     return pa.table({

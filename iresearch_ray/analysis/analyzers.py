@@ -851,23 +851,28 @@ class CollationAnalyzer(NormalizingAnalyzer):
     ``collation_token_stream``). ICU is replaced by a UCA-style
     multi-level key (public Unicode Collation Algorithm structure,
     UTS #10): per-locale primary tailoring (``_COLLATION_TAILORING``)
-    over casefolded base letters, then optional secondary (combining
-    marks, in order of appearance, weighted by codepoint — acute <
-    circumflex etc. matches DUCET for the common Latin marks) and
-    tertiary (case) levels appended after low separators, so plain
-    byte order of the key realizes level-by-level comparison:
+    over casefolded base letters, then optional secondary (one weight
+    slot PER base character — the common weight \x02 for unaccented
+    characters, the combining marks by codepoint otherwise, so mark
+    POSITION orders like UCA: resume < resumé < résume) and tertiary
+    (case) levels appended after low separators, so plain byte order
+    of the key realizes level-by-level comparison:
 
       strength="primary"    cote = coté = côte ; v = V
       strength="secondary"  cote < coté < côte < côté ; v = V
       strength="tertiary"   ... and cote < Cote (lowercase first)
 
+    French backwards-secondary (CLDR: fr_CA, historical fr) reverses
+    the secondary slot sequence, giving cote < côte < coté < côté —
+    auto-enabled for fr_CA, or force with ``backwards=True``.
+
     Untailored locales use the root (DUCET-order) base letters. The
-    full ICU rule set (contractions beyond the tailoring table,
-    locale-specific mark reordering like French backwards secondary)
-    stays out of scope and is documented here."""
+    full ICU rule set (contractions beyond the tailoring table) stays
+    out of scope and is documented here."""
 
     locale: str = ""
     strength: str = "primary"
+    backwards: bool | None = None  # None = auto by locale (fr_CA)
 
     def _norm(self, s: str) -> str:
         import unicodedata
@@ -892,10 +897,29 @@ class CollationAnalyzer(NormalizingAnalyzer):
                            if not unicodedata.combining(ch)))
         if self.strength == "primary":
             return primary
-        # secondary: the combining marks in order of appearance
-        # (codepoint as weight; tailored letters already consumed their
-        # marks in the primary, so only residual accents weigh in)
-        marks = "".join(ch for ch in decomp if unicodedata.combining(ch))
+        # secondary: one weight slot per base character — common
+        # weight \x02 when unaccented, else that character's combining
+        # marks by codepoint (tailored letters already consumed their
+        # marks in the primary, so only residual accents weigh in);
+        # UTF-8 byte order preserves codepoint order, and \x02 < any
+        # mark, so byte compare realizes the UCA secondary level
+        slots: list[str] = []
+        for ch in decomp:
+            if unicodedata.combining(ch):
+                if slots:
+                    slots[-1] += ch
+                else:
+                    slots.append(ch)
+            else:
+                slots.append("")
+        sec = [m or "\x02" for m in slots]
+        loc = self.locale.split(".")[0].lower().replace("-", "_")
+        bw = self.backwards
+        if bw is None:
+            bw = loc in ("fr_ca",)  # CLDR backwards-secondary locale
+        if bw:
+            sec = sec[::-1]
+        marks = "".join(sec)
         out = primary + "\x01" + marks
         if self.strength == "secondary":
             return out

@@ -285,6 +285,28 @@ def test_collation_strengths():
         key_fn("quaternary")("x")
 
 
+def test_collation_backwards_secondary():
+    """French backwards-secondary (CLDR fr_CA): the secondary weight
+    sequence is compared from the END of the word, flipping coté/côte
+    relative to the root order; mark POSITION also orders primaries
+    that tie (UCA positional slots, resume < resumé < résume)."""
+    from iresearch_ray.analysis.analyzers import CollationAnalyzer
+
+    words = ["côté", "cote", "côte", "coté"]
+    root = CollationAnalyzer(locale="fr_FR.UTF-8", strength="secondary")
+    assert sorted(words, key=root._norm) == \
+        ["cote", "coté", "côte", "côté"]
+    ca = CollationAnalyzer(locale="fr_CA.UTF-8", strength="secondary")
+    assert sorted(words, key=ca._norm) == \
+        ["cote", "côte", "coté", "côté"]
+    forced = CollationAnalyzer(locale="fr", strength="secondary",
+                               backwards=True)
+    assert [forced._norm(w) for w in words] == [ca._norm(w) for w in words]
+    # positional commons: same mark, different position
+    assert sorted(["résume", "resume", "resumé"], key=root._norm) == \
+        ["resume", "resumé", "résume"]
+
+
 def test_pipeline_via_registry():
     """``get_analyzer("pipeline", ...)`` builds the chained analyzer from
     the reference's JSON spec shape (both name/options and

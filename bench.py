@@ -217,6 +217,46 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     merge_docs_per_sec = round(merged_docs / merge_sec, 1)
     shutil.rmtree(merge_out, ignore_errors=True)
 
+    # training-data curation probe: the composed pipeline (exact dedup
+    # -> quality gate -> 4-gram decontamination -> split assignment)
+    # over the full turn stream; turns get a synthetic unique int63 id
+    # (content hash of conv_id salted by turn_idx) and the 'benchmark'
+    # side is a deterministic ~0.1% id slice
+    curate_docs_per_sec = 0.0
+    if os.environ.get("RAY_GRAFT_CURATE", "1") == "1":
+        import numpy as np
+        import pyarrow as pa_
+
+        from iresearch_ray.pipelines.curate import curate_corpus
+        from iresearch_ray.pipelines.dedup import _hash_strings
+
+        def _iddoc(t: "pa_.Table") -> "pa_.Table":
+            h = _hash_strings(t.column("conv_id"))
+            ti = t.column("turn_idx").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            did = ((h * np.uint64(0x9E3779B97F4A7C15) + ti) >> np.uint64(1)) \
+                .astype(np.int64)
+            return pa_.table({"doc_id": pa_.array(did),
+                              "text": t.column("text")})
+
+        def _side(rem_ok):
+            def fn(t: "pa_.Table") -> "pa_.Table":
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa_.array((ids % 997 == 0) == rem_ok))
+            return fn
+
+        docs_ds = ray.data.read_parquet(
+            corpus, columns=["conv_id", "turn_idx", "text"]) \
+            .map_batches(_iddoc, batch_format="pyarrow")
+        t0 = time.time()
+        n_curated = curate_corpus(
+            docs_ds.map_batches(_side(False), batch_format="pyarrow"),
+            docs_ds.map_batches(_side(True), batch_format="pyarrow"),
+            min_tokens=5, max_tokens=500, max_dup_bigram_frac=0.5,
+        ).count()
+        curate_sec = max(time.time() - t0, 1e-9)
+        curate_docs_per_sec = round(n_turns / curate_sec, 1)
+
     # query benchmark: topN=100, repeats, p50/p99 per category — AFTER
     # ray.shutdown(): the query path is a single process (the reference
     # runs index-search as a separate binary after index-put), and an
@@ -264,6 +304,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "merge_sec": round(merge_sec, 3),
         "merge_docs_per_sec": merge_docs_per_sec,
         "merge_probe_docs": probe_docs,
+        "curate_docs_per_sec": curate_docs_per_sec,
     }
     return result
 

@@ -310,7 +310,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_subprocess(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+    # scaling legs compare BUILD throughput; skip the curation probe
+    # (it has its own metric and would only add leg wall-clock)
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_CURATE="0",
                RAY_GRAFT_BUILD_REPEATS=os.environ.get("RAY_GRAFT_BUILD_REPEATS", "3"))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],

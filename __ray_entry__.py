@@ -1003,6 +1003,20 @@ def _q_lm_score(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """Passage-overlap near-dup pairs: docs sharing >= 20 winnowing
+    fingerprints (fps in > 64 docs dropped as boilerplate stop-
+    fingerprints — part of the operator contract, mirrored in SQL)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import winnow_near_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = winnow_near_pairs(ds, k=5, w=4, min_shared=20, max_df=64)         .to_pandas()
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_curate(sf_dir: str):
     """The composed curation chain (RefinedWeb/Gopher shape): exact
     dedup -> quality gate (token count 25..95, dup-bigram frac <=
@@ -1400,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram": _q_decontaminate,
         "bigram_lm_score": _q_lm_score,
         "curate_corpus": _q_curate,
+        "winnow_near_pairs": _q_winnow_pairs,
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
@@ -2282,6 +2297,21 @@ SELECT doc_id,
               THEN 'val'
             ELSE 'test' END AS split
 FROM kept ORDER BY doc_id
+""",
+
+        # passage overlap: pairs sharing >= 20 winnow fingerprints,
+        # stop-fingerprints (df > 64) dropped on both sides
+        "winnow_near_pairs": f"""
+WITH wf AS ({_winnow_sql()}),
+good AS (SELECT fp FROM wf GROUP BY fp
+         HAVING count(*) BETWEEN 2 AND 64),
+wfg AS (SELECT w.* FROM wf w JOIN good USING (fp)),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM wfg a JOIN wfg b ON a.fp = b.fp AND b.doc_id > a.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 20
+)
+SELECT * FROM p ORDER BY id_a, id_b
 """,
         "lang_id": _langid_sql(),
         "ann_ivf_topk": """

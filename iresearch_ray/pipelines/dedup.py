@@ -953,3 +953,75 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     return (bucketed.map_batches(block_dedup, batch_format="pyarrow")
             .groupby("salt").map_groups(salt_uniq, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# winnowing passage-overlap pairs
+# ---------------------------------------------------------------------------
+
+
+def winnow_near_pairs(ds, k: int = 5, w: int = 4, min_shared: int = 20,
+                      max_df: int = 64, text_col: str = "text"):
+    """Passage-overlap near-duplicate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03 — the local sketch behind passage-level training-data
+    dedup a la Lee et al. 2022). Fingerprints present in more than
+    ``max_df`` documents are dropped as boilerplate "stop
+    fingerprints" (each would generate O(df^2) candidate pairs; the
+    SQL oracle applies the identical rule, so the cap is part of the
+    operator's contract, not a silent truncation).
+
+    Pipeline: winnow fingerprints (columnar) -> groupby(fp) candidate
+    pair generation, bounded by max_df -> per-block partial pair
+    counts -> salted fixed-fan groupby summing shared-fp counts ->
+    threshold filter. The pair stream never lands on the driver.
+    Requires a ``doc_id`` int64 id column (pair keys pack two ids into
+    one int64, ids < 2^32 like the other pair kernels here).
+    -> Dataset(id_a, id_b, n_shared)."""
+    from iresearch_ray.pipelines.textstats import winnow_fingerprints
+
+    fps = ds.map_batches(winnow_fingerprints, batch_format="pyarrow",
+                         fn_kwargs={"text_col": text_col, "k": k, "w": w})
+
+    def pair_gen(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
+        if ids.size < 2 or ids.size > max_df:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"pair": ids[ii] * np.int64(1 << 32) + ids[jj]})
+
+    paired = fps.groupby("fp").map_groups(pair_gen, batch_format="pandas")
+
+    def block_count(t: pa.Table) -> pa.Table:
+        key = t.column("pair").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"pair": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "salt": pa.array(_pair_salt(uniq))})
+
+    def salt_sum(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "n_shared": pa.array([], type=pa.int64())})
+        key = t.column("pair").to_numpy(zero_copy_only=False)
+        if key.size == 0:
+            return empty
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        start = np.empty(key.size, dtype=bool)
+        start[0] = True
+        start[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(start)
+        sums = np.add.reduceat(cnt, starts)
+        uk = key[starts]
+        hit = sums >= min_shared
+        uk, sums = uk[hit], sums[hit]
+        return pa.table({
+            "id_a": pa.array(uk >> np.int64(32)),
+            "id_b": pa.array(uk & np.int64((1 << 32) - 1)),
+            "n_shared": pa.array(sums.astype(np.int64)),
+        })
+
+    return (paired.map_batches(block_count, batch_format="pyarrow")
+            .groupby("salt").map_groups(salt_sum, batch_format="pyarrow"))

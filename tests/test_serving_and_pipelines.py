@@ -586,3 +586,29 @@ def test_bigram_lm_score_exact(ray_session):
     assert out.loc[0, "lm_logprob"] == pytest.approx(
         (p_ab + p_ba + p_ab) / 3)
     assert out.loc[1, "lm_logprob"] == pytest.approx((p_ab + p_bc) / 2)
+
+
+def test_winnow_near_pairs_planted(ray_session):
+    import random
+
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import winnow_near_pairs
+
+    rng = random.Random(11)
+    words = ["w%d" % k for k in range(500)]
+    passage = " ".join(rng.choice(words) for _ in range(60))
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    docs = [{"doc_id": 0, "text": mk(30) + " " + passage},
+            {"doc_id": 1, "text": passage + " " + mk(30)},
+            {"doc_id": 2, "text": mk(90)},
+            {"doc_id": 3, "text": mk(90)}]
+    # the "wNNN" vocabulary is low-entropy at char-5-gram level, so even
+    # independent docs share a few dozen fps; the planted 60-word
+    # passage shares hundreds — threshold between the two regimes
+    out = winnow_near_pairs(ray.data.from_items(docs), min_shared=100,
+                            max_df=64).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs          # shared 60-word passage
+    assert (2, 3) not in pairs      # independent random docs
+    assert (out["n_shared"] >= 100).all()

@@ -451,6 +451,21 @@ def _q_minhash(sf_dir: str):
         .sort_values(["band", "band_key", "dup_id"]).reset_index(drop=True)
 
 
+def _q_minhash_clusters(sf_dir: str):
+    """End-to-end MinHash-LSH dedup: candidate pairs -> distributed
+    connected components (min-label propagation) -> per-doc cluster id
+    + canonical keep flag (Lee et al. 2022 layout)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.clustering import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = minhash_dedup(ds).to_pandas()
+    pdf["keep"] = pdf["keep"].astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash banded near-dup pairs (hamming <= 2) over documents —
     Manku/Charikar band-bucket layout (rows-only: fingerprints depend
@@ -1404,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_writer_delete": _q_index_writer_delete,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
+        "minhash_dedup_clusters": _q_minhash_clusters,
         "simhash_near_pairs": _q_simhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
@@ -1505,20 +1521,20 @@ ORDER BY rep_id, dup_id
 """
 
 
-_MINHASH_SQL = None
+_MINHASH_BK_SQL = None
 
 
-def _minhash_sql() -> str:
-    """MinHash-LSH band buckets oracle, bit-exact vs
-    ``pipelines.dedup.MinHasher`` / ``minhash_candidates`` defaults
-    (K=64, B=16, R=4, word shingles of 3): token hash -> rolling
-    3-token shingle fold -> 64 affine permutations mod M61 (with the
-    engine's uint64 wraparound) -> per-band polynomial bucket key ->
-    per-bucket (rep=min id, dup) pairs. Permutation constants are
+def _minhash_bk_sql() -> str:
+    """Shared CTE prefix (through ``bk`` = per-doc LSH band bucket
+    keys) for the minhash bucket and cluster oracles, bit-exact vs
+    ``pipelines.dedup.MinHasher`` defaults (K=64, B=16, R=4, word
+    shingles of 3): token hash -> rolling 3-token shingle fold -> 64
+    affine permutations mod M61 (with the engine's uint64 wraparound)
+    -> per-band polynomial bucket key. Permutation constants are
     inlined from the SAME numpy seeded generator the engine uses."""
-    global _MINHASH_SQL
-    if _MINHASH_SQL is not None:
-        return _MINHASH_SQL
+    global _MINHASH_BK_SQL
+    if _MINHASH_BK_SQL is not None:
+        return _MINHASH_BK_SQL
     rng = np.random.default_rng(7)
     M61 = (1 << 61) - 1
     a = rng.integers(1, M61, size=64, dtype=np.uint64)
@@ -1529,7 +1545,7 @@ def _minhash_sql() -> str:
     W = "18446744073709551616::HUGEINT"
     P = "1099511628211"
     wrapmul = (lambda x: f"CAST(mod(CAST({x} AS HUGEINT) * {P}, {W}) AS UBIGINT)")
-    _MINHASH_SQL = _TOK_SQL + f"""
+    _MINHASH_BK_SQL = _TOK_SQL + f"""
 , tokh AS (
   SELECT doc_id, pos, {_hash_sql('term')} AS h FROM term_pos
 ),
@@ -1572,8 +1588,15 @@ bk AS (
               THEN CAST(bu AS HUGEINT) - {W}
               ELSE CAST(bu AS HUGEINT) END AS BIGINT) AS band_key
   FROM bandk
-),
-g AS (
+)"""
+    return _MINHASH_BK_SQL
+
+
+def _minhash_sql() -> str:
+    """MinHash-LSH band buckets oracle (per-bucket rep=min id, dup
+    pairs) over the bit-exact ``_minhash_bk_sql`` prefix."""
+    return _minhash_bk_sql() + """
+, g AS (
   SELECT band, band_key, doc_id,
          MIN(doc_id) OVER (PARTITION BY band, band_key) AS rep_id,
          COUNT(*) OVER (PARTITION BY band, band_key) AS c
@@ -1584,7 +1607,43 @@ SELECT band, band_key, CAST(rep_id AS BIGINT) AS rep_id,
 FROM g WHERE c >= 2 AND doc_id <> rep_id
 ORDER BY band, band_key, dup_id
 """
-    return _MINHASH_SQL
+
+
+def _minhash_cluster_sql() -> str:
+    """End-to-end MinHash dedup oracle: LSH star edges (bucket member
+    -> bucket min) -> connected components via a recursive transitive
+    closure -> per-doc component-min cluster id + canonical-survivor
+    flag. Mirrors ``pipelines.clustering.minhash_dedup`` (distributed
+    min-label propagation reaches the same fixed point as the
+    closure's min; component sizes are dup-cluster-bounded so the
+    closure stays small)."""
+    prefix = _minhash_bk_sql().replace(
+        "\nWITH tok AS", "\nWITH RECURSIVE tok AS", 1)
+    return prefix + """
+, star AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY band, band_key) AS u,
+         doc_id AS v
+  FROM bk
+),
+e AS (SELECT u, v FROM star WHERE u <> v),
+und AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(n, m) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.n, e2.v FROM reach r JOIN und e2 ON e2.u = r.m
+),
+cl AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.m), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.n = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM cl ORDER BY doc_id
+"""
 
 
 def _winnow_sql(k: int = 5, w: int = 4) -> str:
@@ -2133,6 +2192,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "simhash_fingerprints": _simhash_sql(),
         "minhash_lsh_buckets": _minhash_sql(),
+        "minhash_dedup_clusters": _minhash_cluster_sql(),
         "simhash_near_pairs": _simhash_pairs_sql(),
         "winnow_fingerprints": _winnow_sql(),
         # Gopher-style repetition: bigrams via lead() over the same

@@ -86,6 +86,44 @@ def test_minhash_finds_near_dups(ray_session):
     assert not any(3 in p or 4 in p for p in pairs)
 
 
+def test_connected_components(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from iresearch_ray.pipelines.clustering import connected_components
+
+    # components {1,2,3,9}, {5,6}, chain {10,11,12,13} via 10-13,11-12,12-13
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "rep_id": [1, 2, 9, 5, 10, 11, 12],
+        "dup_id": [2, 3, 3, 6, 13, 12, 13],
+    }))
+    lab = connected_components(pairs).to_pandas()
+    got = dict(zip(lab["node"], lab["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_minhash_dedup_clusters(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.clustering import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base.replace("today", "tomorrow"),
+             base.replace("quick", "swift"),
+             "completely different words about ray data pipelines and arrow",
+             "unrelated content mentioning neither foxes nor dogs at all ok"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = minhash_dedup(ray.data.from_arrow(t), bands=32,
+                        num_hashes=64).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # 1/2/3 are one near-dup component; 4 and 5 are singletons
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    kept = set(out.loc[out["keep"], "doc_id"])
+    assert kept == {1, 4, 5}
+
+
 def test_simhash_similarity(ray_session):
     import ray.data
 

@@ -392,6 +392,38 @@ def _q_hash_split_sample(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Per-doc top-3 keyword extraction by TF-IDF
+    (``pipelines/textstats.tfidf_keywords``): partial (doc,term,freq)
+    counts -> one groupby(term) for df -> idf joined back on the term
+    STRING -> per-doc top-n; the reference TFIDF formula
+    (core/search/tfidf.cpp:185-260)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import tfidf_keywords
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = tfidf_keywords(ds, top_n=3).to_pandas()
+    return pdf.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-group deterministic Bernoulli sample (language quotas —
+    ``pipelines/sampling.stratified_sample``): per-row threshold from
+    the row's lang, same Knuth hash, zero shuffle."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "doc_id", "lang",
+                            {"en": 0.5, "de": 0.25, "fr": 0.125},
+                            default_rate=0.05)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact cosine kNN GRAPH (k=3 neighbors for every vector) over the
     embeddings table — the brute-force ground truth of the semantic
@@ -1396,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": _q_knn_graph,
         "pii_scrub": _q_pii_scrub,
         "hash_split_sample": _q_hash_split_sample,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_keywords": _q_tfidf_keywords,
         "pack_sequences": _q_pack_sequences,
         "events_hourly": _q_events_hourly,
         "highlight_snippets": _q_highlight,
@@ -2112,6 +2146,17 @@ SELECT doc_id,
 FROM h WHERE h32 < 858993459
 ORDER BY doc_id
 """,
+        # thresholds = int(rate * 2^32) for en .5 / de .25 / fr .125 /
+        # default .05 — the engine's truncation, replayed exactly
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CASE lang WHEN 'en' THEN 2147483648
+                WHEN 'de' THEN 1073741824
+                WHEN 'fr' THEN 536870912
+                ELSE 214748364 END
+ORDER BY doc_id
+""",
         # PII scrub: identical deterministic plant + the same ordered
         # RE2 chain (DuckDB regexp_* is RE2, like pyarrow)
         "pii_scrub": r"""
@@ -2193,6 +2238,25 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
         "simhash_fingerprints": _simhash_sql(),
         "minhash_lsh_buckets": _minhash_sql(),
         "minhash_dedup_clusters": _minhash_cluster_sql(),
+        # reference TFIDF: tf = sqrt(freq), idf = 1 + ln(N/(df+1)),
+        # N = docs with >=1 token; ties by term ascending
+        "tfidf_keywords": _TOK_SQL + """
+, sc AS (
+  SELECT t.doc_id, t.term,
+         sqrt(t.tf) * (1.0 + ln(f.dwf / (d.dwt + 1.0))) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN fstats f
+),
+rk AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS r
+  FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS rank,
+       term, ROUND(score, 4) AS score_r
+FROM rk WHERE r <= 3
+ORDER BY doc_id, r
+""",
         "simhash_near_pairs": _simhash_pairs_sql(),
         "winnow_fingerprints": _winnow_sql(),
         # Gopher-style repetition: bigrams via lead() over the same

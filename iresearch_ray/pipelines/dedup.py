@@ -270,9 +270,16 @@ def _pad_rows(schema: pa.Schema, key_ids: dict[str, int],
     cols = {}
     for f in schema:
         if f.name in key_ids:
-            cols[f.name] = pa.array(
-                np.arange(key_ids[f.name], key_ids[f.name] + count),
-                type=f.type)
+            base = key_ids[f.name]
+            if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                # string join keys: reserved sentinel terms (a \x00
+                # prefix no tokenizer output ever starts with)
+                cols[f.name] = pa.array(
+                    [f"\x00pad{base}_{i}" for i in range(count)],
+                    type=f.type)
+            else:
+                cols[f.name] = pa.array(
+                    np.arange(base, base + count), type=f.type)
         else:
             cols[f.name] = pa.nulls(count, f.type)
     return pa.table(cols)

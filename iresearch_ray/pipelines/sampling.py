@@ -42,6 +42,36 @@ def hash_sample(ds, key_col: str, rate: float, salt: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds, key_col: str, group_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: int = 0):
+    """Per-group deterministic Bernoulli sampling: keep a row iff
+    hash32(key) < rate(group) * 2^32. The quota-curation staple
+    (up/down-weight languages, sources or quality tiers) with the same
+    zero-state zero-shuffle shape as ``hash_sample`` — the per-row
+    threshold comes from the row's group via one dictionary-encode +
+    ``take`` per batch, so group cardinality costs one small Python
+    dict probe per DISTINCT group per batch, not per row."""
+    thresh = {g: np.uint64(int(r * _M32)) for g, r in rates.items()}
+    default_t = np.uint64(int(default_rate * _M32))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode() if g.type != pa.dictionary(
+            pa.int32(), pa.string()) else g
+        vals = enc.dictionary.to_pylist()
+        tl = np.array([thresh.get(v, default_t) for v in vals] + [default_t],
+                      dtype=np.uint64)
+        idx = enc.indices.fill_null(len(vals)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_hash32(k, salt) < tl[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def assign_splits(ds, key_col: str,
                   fractions: dict[str, float] | None = None,
                   salt: int = 0, out_col: str = "split"):

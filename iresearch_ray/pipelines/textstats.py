@@ -271,3 +271,94 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
         "dup_bigram_frac": pa.array(1.0 - distinct[has] / tot),
         "top_bigram_frac": pa.array(top[has] / tot),
     })
+
+
+def doc_term_freqs(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, term, freq) — one row per DISTINCT term per doc. One
+    dictionary-encode + lexsort per batch (the ``bigram_counts``
+    idiom); text never leaves the block, only the count rows do."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    flat, d = _flat_tokens(batch, text_col)
+    if len(flat) == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "term": pa.array([], type=pa.string()),
+                         "freq": pa.array([], type=pa.int64())})
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, d))
+    ds_, cs = d[order], codes[order]
+    run_start = np.empty(ds_.size, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (ds_[1:] != ds_[:-1]) | (cs[1:] != cs[:-1])
+    starts = np.flatnonzero(run_start)
+    run_len = np.diff(np.append(starts, ds_.size))
+    return pa.table({
+        id_col: pa.array(ids[ds_[starts]].astype(np.int64)),
+        "term": enc.dictionary.take(pa.array(cs[starts])).cast(pa.string()),
+        "freq": pa.array(run_len.astype(np.int64)),
+    })
+
+
+def tfidf_keywords(ds, text_col: str = "text", id_col: str = "doc_id",
+                   top_n: int = 3, num_partitions: int = 8):
+    """Per-doc top-n keywords by TF-IDF -> Dataset
+    (doc_id, rank, term, score_r).
+
+    Score uses the reference TFIDF scorer's shape (sqrt(freq) tf,
+    ``idf = 1 + ln(N/(df+1))`` — core/search/tfidf.cpp:185-260) with N
+    = docs with at least one token. Scale shape: per-batch (doc, term,
+    freq) partials; document frequency is one ``groupby(term).count``
+    over those partials (distinct by construction); idf comes back via
+    a hash join ON THE TERM STRING (the df table is vocab-sized — too
+    big to broadcast at web scale, exactly the join side); final
+    per-doc top-n is a ``groupby(doc).map_groups`` over doc-sized
+    groups. Rounding is half-up to mirror DuckDB ROUND."""
+    dtf = ds.map_batches(
+        lambda t: doc_term_freqs(t, text_col, id_col),
+        batch_format="pyarrow").materialize()
+    # N = docs with >=1 token, exact: distinct ids in the materialized
+    # partials (row count of a groupby — never a driver-side id list)
+    n_docs = dtf.groupby(id_col).count().count()
+
+    def dfp(t: pa.Table) -> pa.Table:
+        col = "count()" if "count()" in t.column_names else None
+        if col is None:
+            return pa.table({"__dterm": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        return pa.table({"__dterm": t.column("term").cast(pa.string()),
+                         "df": t.column(col).cast(pa.int64())})
+
+    df = dtf.groupby("term").count().map_batches(dfp, batch_format="pyarrow")
+
+    from iresearch_ray.pipelines.dedup import (_PAD_LEFT_BASE,
+                                               _PAD_RIGHT_BASE, _pad_side)
+    joined = _pad_side(dtf, {"term": _PAD_LEFT_BASE}, num_partitions) \
+        .join(_pad_side(df, {"__dterm": _PAD_RIGHT_BASE}, num_partitions,
+                        schema=pa.schema([("__dterm", pa.string()),
+                                          ("df", pa.int64())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("term",), right_on=("__dterm",))
+
+    def score(t: pa.Table) -> pa.Table:
+        freq = t.column("freq").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.sqrt(freq) * (1.0 + np.log(n_docs / (dfv + 1.0)))
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "term": t.column("term").cast(pa.string()),
+                         "score": pa.array(s)})
+
+    import pandas as pd
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True],
+                          kind="mergesort").head(top_n)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "term": g["term"].to_numpy(),
+            "score_r": np.floor(g["score"].to_numpy() * 1e4 + 0.5) / 1e4,
+        })
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .groupby(id_col).map_groups(top, batch_format="pandas"))

@@ -1322,6 +1322,134 @@ def _q_events_sliding(sf_dir: str):
         .sort_values("event_id").reset_index(drop=True)
 
 
+def _q_event_quantiles(sf_dir: str):
+    """Exact per-group quantiles (``pipelines/aggregates.
+    group_quantiles``): one shuffle keyed on event_type, vectorized
+    np.quantile per group (linear interpolation == SQL
+    quantile_cont)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    pdf = group_quantiles(ds, "event_type", "value",
+                          (0.25, 0.5, 0.75, 0.95)).to_pandas()
+    pdf["value_r"] = np.floor(pdf["value"].to_numpy() * 1e6 + 0.5) / 1e6
+    return pdf[["event_type", "q", "value_r"]] \
+        .sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def _q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type
+    (``pipelines/aggregates.distinct_count``): per-batch pair pre-dedup
+    so only batch-distinct (type, user) pairs cross the shuffle."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import distinct_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return distinct_count(ds, "event_type", "user_id").to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-bin value histogram per event type
+    (``pipelines/aggregates.group_histogram``): per-batch (group, bin)
+    partial counts — only count rows shuffle, never data rows."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return group_histogram(ds, "event_type", "value",
+                           0.0, 100.0, nbins=10).to_pandas() \
+        .sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def _q_context_windows(sf_dir: str):
+    """Per-event training context — the ``sep``-joined event types of
+    the same user's up-to-3 PRECEDING events
+    (``pipelines/windows.context_windows``); DuckDB oracle is a
+    string_agg window with a ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+    frame."""
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import context_windows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return context_windows(ds, k=3).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def _q_dup_passage_spans(sf_dir: str):
+    """Maximal duplicated-passage spans (word 8-grams occurring in >=2
+    distinct docs, overlapping windows merged) — the Lee et al. 2022
+    exact duplicated-substring dedup at word-gram granularity
+    (``pipelines/textstats.dup_passage_spans``)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import dup_passage_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dup_passage_spans(ds, n=8).to_pandas() \
+        .sort_values(["doc_id", "start_pos"]).reset_index(drop=True)
+
+
+def _q_orders_revenue(sf_dir: str):
+    """Relational path: lineitem revenue per order priority.
+    Scale shape: lineitem pre-aggregates per orderkey INSIDE the first
+    groupby (integer cents, order-independent), the 4:1-smaller
+    aggregate joins orders on the key both sides are hash-partitioned
+    by, and the final priority rollup is a tiny second groupby."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import (_PAD_LEFT_BASE,
+                                               _PAD_RIGHT_BASE, _pad_side)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev_c": pa.array(cents)})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("l_orderkey").sum("rev_c")
+
+    def li_norm(batch: pa.Table) -> pa.Table:
+        col = "sum(rev_c)" if "sum(rev_c)" in batch.column_names else "rev_c"
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "rev_c": batch.column(col).cast(pa.int64())})
+
+    li = li.map_batches(li_norm, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    n_part = 8
+    joined = _pad_side(orders, {"o_orderkey": _PAD_LEFT_BASE}, n_part) \
+        .join(_pad_side(li, {"l_orderkey": _PAD_RIGHT_BASE}, n_part,
+                        schema=pa.schema([("l_orderkey", pa.int64()),
+                                          ("rev_c", pa.int64())])),
+              join_type="inner", num_partitions=n_part,
+              on=("o_orderkey",), right_on=("l_orderkey",))
+    out = joined.groupby("o_orderpriority").sum("rev_c").to_pandas()
+    col = "sum(rev_c)" if "sum(rev_c)" in out.columns else "rev_c"
+    out = out.rename(columns={col: "revenue_c"})
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    return out[["o_orderpriority", "revenue_c"]] \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _add_tags_csv(batch):
     import pyarrow.compute as pc
 
@@ -1449,6 +1577,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
+        "event_value_quantiles": _q_event_quantiles,
+        "distinct_users_per_event": _q_distinct_users,
+        "value_histogram": _q_value_histogram,
+        "event_context_windows": _q_context_windows,
+        "dup_passage_spans": _q_dup_passage_spans,
+        "orders_revenue_join": _q_orders_revenue,
         "pipeline_delimiter_match": _q_pipeline_delimiter,
         "index_writer_delete": _q_index_writer_delete,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1868,6 +2002,93 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id
+""",
+        # quantile_cont == np.quantile's linear interpolation; ROUND
+        # half-up matches the engine's floor(x*1e6+0.5) on positives
+        "event_value_quantiles": """
+WITH q AS (
+  SELECT event_type, 0.25 AS q,
+         ROUND(quantile_cont(value, 0.25), 6) AS value_r
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.50, ROUND(quantile_cont(value, 0.50), 6)
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.75, ROUND(quantile_cont(value, 0.75), 6)
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 0.95, ROUND(quantile_cont(value, 0.95), 6)
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(q AS DOUBLE) AS q, value_r
+FROM q ORDER BY event_type, q
+""",
+        "distinct_users_per_event": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # same clamped floor arithmetic as group_histogram (lo=0,
+        # width=10, 10 bins)
+        "value_histogram": """
+SELECT event_type,
+       LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS BIGINT), 0), 9)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "event_context_windows": """
+SELECT user_id, event_id,
+       COALESCE(string_agg(event_type, ' ') OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx
+FROM events ORDER BY user_id, event_id
+""",
+        # word 8-grams in >= 2 distinct docs; island starts when the
+        # gap between consecutive dup-window starts exceeds n=8
+        "dup_passage_spans": _TOK_SQL + """
+, g8 AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' ||
+         lead(term, 2) OVER w || ' ' || lead(term, 3) OVER w || ' ' ||
+         lead(term, 4) OVER w || ' ' || lead(term, 5) OVER w || ' ' ||
+         lead(term, 6) OVER w || ' ' || lead(term, 7) OVER w AS g
+  FROM term_pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+dupg AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS c
+    FROM g8 WHERE g IS NOT NULL GROUP BY g)
+  WHERE c >= 2
+),
+dup AS (SELECT doc_id, pos FROM g8 JOIN dupg USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) + 8 AS BIGINT) AS end_pos
+FROM grp GROUP BY doc_id, gid ORDER BY doc_id, start_pos
+""",
+        # revenue summed in integer cents (floor(x*100+0.5), positive
+        # amounts) so the distributed sum is order-independent
+        "orders_revenue_join": """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_c
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
 """,
         "pipeline_delimiter_match": """
 SELECT doc_id FROM documents

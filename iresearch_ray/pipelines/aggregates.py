@@ -1,0 +1,124 @@
+"""Distributed statistical aggregates over Ray Data (exact group
+quantiles, exact distinct counts, fixed-bin histograms).
+
+No reference analogue (the reference is a fulltext engine); these are
+the analytics staples a large-scale curation pipeline runs next to it
+(quality-score percentiles before picking a filter threshold, distinct
+sources per language, token-count histograms for packing decisions).
+
+Scale shapes:
+
+- ``group_quantiles``: ONE shuffle keyed on the group column, exact
+  vectorized ``np.quantile`` per group. A group must fit one worker
+  (fine for categorical groups: event types, languages, sources). For
+  a group too big to hold, the exact alternative is sort-by-(group,
+  value) + global rank arithmetic (two wide ops); approximate needs a
+  mergeable sketch (t-digest) — deliberately NOT silently substituted
+  because the output would stop being bit-exact.
+- ``distinct_count``: per-batch pre-dedup (np.unique) cuts the
+  shuffle to the batch-local distinct pairs, then a (group, key)
+  groupby dedups globally, then a tiny per-group count. Nothing but
+  the pair columns ever crosses the exchange — the exact-dedup
+  pattern applied to COUNT(DISTINCT).
+- ``group_histogram``: per-batch (group, bin) partial counts via one
+  ``np.add.at`` — only G x B count rows ride the shuffle, never data
+  rows. The classic combiner-before-groupby shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def group_quantiles(ds, group_col: str, value_col: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """-> Dataset(group, q, value): exact per-group quantiles with
+    linear interpolation (numpy default == SQL ``quantile_cont``)."""
+    quants = np.asarray(qs, dtype=np.float64)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        out = np.quantile(v, quants) if v.size else np.full(
+            quants.size, np.nan)
+        return pd.DataFrame({
+            group_col: np.repeat(g[group_col].iloc[0], quants.size),
+            "q": quants,
+            "value": out,
+        })
+
+    return ds.groupby(group_col).map_groups(fn, batch_format="pandas")
+
+
+def distinct_count(ds, group_col: str, key_col: str,
+                   out_col: str = "n_distinct"):
+    """-> Dataset(group, n_distinct): exact COUNT(DISTINCT key) per
+    group. Pre-dedups inside each batch so only batch-distinct
+    (group, key) pairs cross the wide shuffle."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        sub = batch.select([group_col, key_col])
+        return sub.group_by([group_col, key_col]).aggregate([])
+
+    pairs = ds.map_batches(pre, batch_format="pyarrow")
+    dedup = pairs.groupby([group_col, key_col]).count()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col])
+
+    counts = dedup.map_batches(project, batch_format="pyarrow") \
+        .groupby(group_col).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: batch.column(group_col),
+            out_col: batch.column("count()").cast(pa.int64()),
+        })
+
+    return counts.map_batches(rename, batch_format="pyarrow")
+
+
+def group_histogram(ds, group_col: str, value_col: str,
+                    lo: float, hi: float, nbins: int = 20):
+    """-> Dataset(group, bin, n): fixed-bin histogram of ``value_col``
+    per group over [lo, hi). Out-of-range values clamp into the edge
+    bins (SQL replica: ``least(greatest(...))`` over the same floor
+    arithmetic). Partial (group, bin) counts are combined per batch;
+    only those count rows shuffle."""
+    lo_f, hi_f = float(lo), float(hi)
+    width = (hi_f - lo_f) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        bins = np.clip(np.floor((v - lo_f) / width).astype(np.int64),
+                       0, nbins - 1)
+        ngroups = len(enc.dictionary)
+        flat = gcodes * nbins + bins
+        counts = np.bincount(flat, minlength=ngroups * nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(nz // nbins)),
+            "bin": pa.array((nz % nbins).astype(np.int64)),
+            "n": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby([group_col, "bin"]).sum("n")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        col = "sum(n)" if "sum(n)" in batch.column_names else "n"
+        return pa.table({
+            group_col: batch.column(group_col),
+            "bin": batch.column("bin"),
+            "n": batch.column(col).cast(pa.int64()),
+        })
+
+    return summed.map_batches(rename, batch_format="pyarrow")

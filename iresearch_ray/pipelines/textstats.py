@@ -5,6 +5,7 @@ training-data pipelines."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -362,3 +363,103 @@ def tfidf_keywords(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return (joined.map_batches(score, batch_format="pyarrow")
             .groupby(id_col).map_groups(top, batch_format="pandas"))
+
+
+def word_ngram_positions(batch: pa.Table, n: int, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, pos, gram) — every word n-gram with its starting token
+    POSITION inside its doc. Same vectorized shifted-slice join as
+    ``word_ngrams``; positions come from one cumsum over the doc runs
+    of the flat token array (a doc is one input row, so its tokens are
+    one contiguous run)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    flat, doc_idx = _flat_tokens(batch, text_col)
+    T = len(flat)
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "gram": pa.array([], type=pa.string())})
+    if T < n:
+        return empty
+    brk = np.diff(doc_idx, prepend=np.int64(-1)) != 0
+    starts = np.flatnonzero(brk)
+    run_id = np.cumsum(brk) - 1
+    pos = np.arange(T, dtype=np.int64) - starts[run_id]
+    parts = [flat.slice(i, T - n + 1) for i in range(n)]
+    grams = parts[0] if n == 1 else pc.binary_join_element_wise(*parts, " ")
+    valid = doc_idx[: T - n + 1] == doc_idx[n - 1:]
+    if not valid.any():
+        return empty
+    return pa.table({
+        id_col: pa.array(ids[doc_idx[: T - n + 1][valid]].astype(np.int64)),
+        "pos": pa.array(pos[: T - n + 1][valid]),
+        "gram": grams.filter(pa.array(valid)),
+    })
+
+
+def dup_passage_spans(ds, n: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id", num_partitions: int = 8):
+    """Maximal duplicated-passage spans: token ranges covered by word
+    n-grams that occur in >= 2 DISTINCT documents — the exact
+    duplicated-substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499) at
+    word-gram granularity (their suffix-array pass finds char-level
+    repeats; the gram table is the shuffle-friendly equivalent).
+
+    -> Dataset(doc_id, start_pos, end_pos): per doc, overlapping or
+    adjacent duplicated windows [p, p+n) merged into maximal spans
+    (two windows chain when their starts differ by <= n).
+
+    Scale shape: (doc, pos, gram) rows from one vectorized pass per
+    batch; document frequency per gram is a ``groupby(gram).count``
+    over per-batch-deduped (doc, gram) pairs (exact — a doc is one
+    row, so its pairs never span batches); duplicated grams flow back
+    to the position stream via a hash JOIN on the gram string (the df
+    table is vocab-sized — never broadcast); span merge is one
+    ``groupby(doc)`` of the surviving positions only. Nothing
+    corpus-sized ever lands on the driver.
+    """
+    from iresearch_ray.pipelines.dedup import (_PAD_LEFT_BASE,
+                                               _PAD_RIGHT_BASE, _pad_side)
+
+    pos_ds = ds.map_batches(
+        lambda b: word_ngram_positions(b, n, text_col, id_col),
+        batch_format="pyarrow").materialize()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return b.select([id_col, "gram"]).group_by(
+            [id_col, "gram"]).aggregate([])
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        col = "count()" if "count()" in b.column_names else None
+        if col is None:
+            return pa.table({"__dgram": pa.array([], type=pa.string())})
+        keep = pc.greater_equal(b.column(col), 2)
+        return pa.table({"__dgram": b.column("gram").filter(keep)
+                        .cast(pa.string())})
+
+    dup_grams = pos_ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("gram").count() \
+        .map_batches(dup_only, batch_format="pyarrow")
+
+    joined = _pad_side(pos_ds, {"gram": _PAD_LEFT_BASE}, num_partitions) \
+        .join(_pad_side(dup_grams, {"__dgram": _PAD_RIGHT_BASE},
+                        num_partitions,
+                        schema=pa.schema([("__dgram", pa.string())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("gram",), right_on=("__dgram",))
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["pos"].to_numpy(dtype=np.int64))
+        brk = np.empty(p.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(p) > n
+        starts = np.flatnonzero(brk)
+        ends = p[np.append(starts[1:], p.size) - 1] + n
+        return pd.DataFrame({
+            id_col: np.full(starts.size, g[id_col].iloc[0], dtype=np.int64),
+            "start_pos": p[starts],
+            "end_pos": ends,
+        })
+
+    return joined.groupby(id_col).map_groups(
+        merge_spans, batch_format="pandas")

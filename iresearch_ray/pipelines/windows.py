@@ -110,3 +110,39 @@ def sliding_window(ds, window_s: float = 3600.0, by: str = "user_id",
         })
 
     return ds.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
+def context_windows(ds, k: int = 3, by: str = "user_id", on: str = "ts",
+                    id_col: str = "event_id", text_col: str = "event_type",
+                    sep: str = " "):
+    """Per-event training context: for each event, the ``sep``-joined
+    ``text_col`` values of its up-to-``k`` PRECEDING events of the same
+    ``by`` key in (``on``, ``id_col``) order — the next-turn-prediction
+    context-assembly step over a conversation/event stream (SQL
+    equivalent: ``string_agg(text) OVER (PARTITION BY by ORDER BY on,
+    id ROWS BETWEEN k PRECEDING AND 1 PRECEDING)``).
+
+    -> Dataset(<by>, <id_col>, ctx) — ctx is '' for each key's first
+    event. ONE shuffle on the key; inside a group the k shifted
+    column slices are joined element-wise (no per-row Python).
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([on, id_col], kind="stable")
+        txt = g[text_col].astype(str).to_numpy(dtype=object)
+        n = txt.size
+        ctx = np.full(n, "", dtype=object)
+        # shift s = k..1 (oldest piece first): rows s..n-1 gain
+        # txt[i-s]; appending each more-recent piece AFTER the
+        # accumulated context reproduces the SQL frame's order
+        for s in range(min(k, n - 1), 0, -1):
+            piece = txt[:n - s]
+            has = ctx[s:] != ""
+            ctx[s:] = np.where(has, ctx[s:] + sep + piece, piece)
+        return pd.DataFrame({
+            by: g[by].to_numpy(dtype=np.int64),
+            id_col: g[id_col].to_numpy(dtype=np.int64),
+            "ctx": ctx,
+        })
+
+    return ds.groupby(by).map_groups(per_key, batch_format="pandas")

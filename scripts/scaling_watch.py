@@ -56,12 +56,17 @@ def count_done() -> dict:
 
 
 def main() -> None:
+    pause_file = os.environ.get("SCALING_WATCH_PAUSE", "/tmp/scaling_pause")
     while True:
         done = count_done()
         shape = next((s for s in SHAPES if done[s] < TARGET), None)
         if shape is None:
             print(f"# all shapes have {TARGET} samples — done", flush=True)
             return
+        if os.path.exists(pause_file):
+            print("# paused (pause file present)", flush=True)
+            time.sleep(60)
+            continue
         bw = probe()
         ts = time.strftime("%H:%M:%S")
         print(f"[{ts}] probe {bw} GB/s (need >= {GATE}); "

@@ -1,0 +1,110 @@
+"""Distributed aggregates (pipelines/aggregates.py), context windows
+(pipelines/windows.context_windows) and duplicated-passage spans
+(pipelines/textstats.dup_passage_spans) vs independent in-process
+recomputation (numpy / brute-force Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(n=5_000, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["click", "view", "error"])[rng.integers(0, 3, n)]),
+        "value": pa.array(rng.uniform(0, 120, n)),
+        "ts": pa.array(
+            (np.int64(1_700_000_000_000_000)
+             + rng.integers(0, 10**9, n)).astype("datetime64[us]")),
+    })
+
+
+def test_group_quantiles_exact(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_quantiles
+
+    t = _events()
+    out = group_quantiles(ray.data.from_arrow(t), "event_type", "value",
+                          (0.25, 0.5, 0.9)).to_pandas()
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        exp = np.quantile(g["value"].to_numpy(), [0.25, 0.5, 0.9])
+        got = out[out["event_type"] == et].sort_values("q")["value"]
+        assert np.allclose(got.to_numpy(), exp, rtol=0, atol=0)
+
+
+def test_distinct_count_exact(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import distinct_count
+
+    t = _events()
+    out = distinct_count(ray.data.from_arrow(t).repartition(8),
+                         "event_type", "user_id").to_pandas()
+    exp = t.to_pandas().groupby("event_type")["user_id"].nunique()
+    for et, n in exp.items():
+        assert int(out[out["event_type"] == et]["n_distinct"].iloc[0]) == n
+
+
+def test_group_histogram_counts(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_histogram
+
+    t = _events()
+    out = group_histogram(ray.data.from_arrow(t).repartition(8),
+                          "event_type", "value", 0.0, 100.0, 10).to_pandas()
+    pdf = t.to_pandas()
+    bins = np.clip(np.floor(pdf["value"].to_numpy() / 10.0), 0, 9) \
+        .astype(np.int64)
+    exp = pd.DataFrame({"event_type": pdf["event_type"], "bin": bins}) \
+        .value_counts().sort_index()
+    assert int(out["n"].sum()) == len(pdf)
+    for (et, b), n in exp.items():
+        row = out[(out["event_type"] == et) & (out["bin"] == b)]
+        assert int(row["n"].iloc[0]) == n
+
+
+def test_context_windows_frame(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import context_windows
+
+    t = _events(n=800)
+    out = context_windows(ray.data.from_arrow(t), k=3).to_pandas()
+    pdf = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    exp = {}
+    for _, g in pdf.groupby("user_id"):
+        types = g["event_type"].tolist()
+        for i, eid in enumerate(g["event_id"]):
+            exp[eid] = " ".join(types[max(0, i - 3):i])
+    got = dict(zip(out["event_id"], out["ctx"]))
+    assert got == exp
+
+
+def test_dup_passage_spans_planted(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import dup_passage_spans
+
+    passage = " ".join(f"tok{i}" for i in range(12))    # 12 shared tokens
+    docs = [
+        f"alpha beta {passage} gamma",                  # dup at pos 2..14
+        f"{passage} delta epsilon zeta",                # dup at pos 0..12
+        "totally unrelated words only here now",        # no dup
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array(docs)})
+    out = dup_passage_spans(ray.data.from_arrow(t), n=8).to_pandas() \
+        .sort_values(["doc_id", "start_pos"]).reset_index(drop=True)
+    # 12-token shared passage -> 5 dup windows -> one merged span of 12
+    assert out.to_dict("records") == [
+        {"doc_id": 0, "start_pos": 2, "end_pos": 14},
+        {"doc_id": 1, "start_pos": 0, "end_pos": 12},
+    ]

@@ -1401,6 +1401,22 @@ def _q_dup_passage_spans(sf_dir: str):
         .sort_values(["doc_id", "start_pos"]).reset_index(drop=True)
 
 
+def _q_top_events_per_user(sf_dir: str):
+    """Generic distributed per-group top-k
+    (``pipelines/aggregates.group_topk``): each batch prunes itself to
+    its local top-n per group BEFORE the shuffle (combiner), so at
+    most n x groups rows per batch cross the exchange."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    pdf = group_topk(ds, "user_id", "value", n=2,
+                     id_col="event_id").to_pandas()
+    return pdf.sort_values(["user_id", "rank"]).reset_index(drop=True)
+
+
 def _q_orders_revenue(sf_dir: str):
     """Relational path: lineitem revenue per order priority.
     Scale shape: lineitem pre-aggregates per orderkey INSIDE the first
@@ -1582,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
+        "top_events_per_user": _q_top_events_per_user,
         "orders_revenue_join": _q_orders_revenue,
         "pipeline_delimiter_match": _q_pipeline_delimiter,
         "index_writer_delete": _q_index_writer_delete,
@@ -2079,6 +2096,15 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(min(pos) AS BIGINT) AS start_pos,
        CAST(max(pos) + 8 AS BIGINT) AS end_pos
 FROM grp GROUP BY doc_id, gid ORDER BY doc_id, start_pos
+""",
+        "top_events_per_user": """
+SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+WHERE rank <= 2 ORDER BY user_id, rank
 """,
         # revenue summed in integer cents (floor(x*100+0.5), positive
         # amounts) so the distributed sum is order-independent

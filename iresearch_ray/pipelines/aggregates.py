@@ -122,3 +122,53 @@ def group_histogram(ds, group_col: str, value_col: str,
         })
 
     return summed.map_batches(rename, batch_format="pyarrow")
+
+
+def group_topk(ds, group_col: str, order_col: str, n: int = 3,
+               id_col: str | None = None, descending: bool = True):
+    """-> Dataset(group, rank, <id>, <order>): the top-``n`` rows per
+    group by ``order_col`` (ties broken by ascending ``id_col`` for
+    determinism).
+
+    Scale shape: each batch first prunes ITSELF to its local top-n per
+    group (a lexsort + run-boundary take — the combiner), so at most
+    n x groups_per_batch rows cross the shuffle regardless of input
+    size; the final per-group selection then runs over <= n x
+    num_batches candidates per group."""
+    if id_col is None:
+        raise ValueError("id_col is required (deterministic tie-break)")
+    sign = -1.0 if descending else 1.0
+
+    def prune(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(order_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sign * v, gcodes))
+        gs = gcodes[order]
+        # rank within group == distance from the group's run start
+        run_start = np.empty(gs.size, dtype=bool)
+        if gs.size:
+            run_start[0] = True
+            run_start[1:] = gs[1:] != gs[:-1]
+        starts = np.cumsum(run_start) - 1
+        first = np.flatnonzero(run_start)
+        rank = np.arange(gs.size) - first[starts]
+        keep = order[rank < n]
+        return batch.take(pa.array(np.sort(keep)))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, id_col],
+                          ascending=[not descending, True],
+                          kind="mergesort").head(n)
+        out = g[[group_col, id_col, order_col]].reset_index(drop=True)
+        out.insert(1, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+        return out
+
+    return pruned.groupby(group_col).map_groups(final, batch_format="pandas")

@@ -108,3 +108,23 @@ def test_dup_passage_spans_planted(ray_session):
         {"doc_id": 0, "start_pos": 2, "end_pos": 14},
         {"doc_id": 1, "start_pos": 0, "end_pos": 12},
     ]
+
+
+def test_group_topk_combiner(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_topk
+
+    t = _events(n=3_000)
+    out = group_topk(ray.data.from_arrow(t).repartition(6),
+                     "user_id", "value", n=2, id_col="event_id") \
+        .to_pandas().sort_values(["user_id", "rank"]).reset_index(drop=True)
+    pdf = t.to_pandas()
+    exp = pdf.sort_values(["value", "event_id"],
+                          ascending=[False, True], kind="mergesort") \
+        .groupby("user_id").head(2)
+    exp = exp.sort_values(["user_id", "value"], ascending=[True, False])
+    assert len(out) == len(exp)
+    assert out["event_id"].tolist() == exp["event_id"].tolist()
+    assert (out.groupby("user_id")["rank"].apply(
+        lambda r: r.tolist() == list(range(1, len(r) + 1)))).all()

@@ -299,6 +299,32 @@ def _q_ann(sf_dir: str):
     return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
 
 
+def _q_ann_pq(sf_dir: str):
+    """PQ + ADC + exact refine (``pipelines/ann.train_pq/pq_encode/
+    pq_topk`` — Jégou et al. 2011, the FAISS IVF-PQ memory path):
+    codebooks train on a sample, vectors stream-encode to m uint8
+    codes (8x smaller than float64 here, ~32x for fp32 at 768d), the
+    ADC scan keeps 8k candidates per query and one candidate-bounded
+    refine pass re-ranks them by exact cosine — reproducing the exact
+    top-k, so this query shares the brute-force SQL oracle."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import pq_encode, pq_topk, train_pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    qvec = vecs[t.column("vec_id").to_numpy() == 7]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    books = train_pq(vecs, m=8, ks=64, iters=12)
+    codes = pq_encode(ds, books)
+    pdf = pq_topk(codes, books, qvec, k=11, refine_ds=ds, refine_factor=8)
+    pdf = pdf[pdf["vec_id"] != 7].head(10)[["vec_id", "cosine"]]
+    pdf["cosine_r"] = pdf["cosine"].round(5)
+    return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII scrubbing stage (``pipelines/scrub.py``): deterministic
     PII (email, phone, IPv4, card number derived from doc_id) is
@@ -1569,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
+        "ann_pq_topk": _q_ann_pq,
         "embedding_knn_graph": _q_knn_graph,
         "pii_scrub": _q_pii_scrub,
         "hash_split_sample": _q_hash_split_sample,
@@ -2347,6 +2374,21 @@ LEFT JOIN (
 ORDER BY l.doc_id
 """,
         "ann_cosine_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5)
+         AS cosine_r
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 7
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         vec_id
+LIMIT 10
+""",
+        # PQ+refine reproduces the exact top-k (refine re-ranks
+        # 8k ADC candidates by true cosine) -> same oracle
+        "ann_pq_topk": """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
 )

@@ -456,3 +456,195 @@ def knn_graph(ds, corpus: "np.ndarray", corpus_ids: "np.ndarray",
     pdf = out.to_pandas()
     return pdf.sort_values([id_col, "nbr_rank"],
                            kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the memory-bound scale path)
+# ---------------------------------------------------------------------------
+
+
+def train_pq(x: np.ndarray, m: int = 8, ks: int = 256, iters: int = 15,
+             seed: int = 13) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") on a SAMPLE matrix: split the (unit-
+    normalized) dimension into ``m`` subspaces, run deterministic
+    k-means with ``ks`` centroids in each. -> (m, ks, d/m) float64.
+
+    At 100 TB an embedding column of 1e12 x 768 float32 is ~3 PB; the
+    (m=96, ks=256) codes are 96 bytes/vector (~32x smaller) and the
+    codebooks a few MB — training touches only a driver-side sample,
+    encode/scan stream.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(ks, n), sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        k = min(ks, n)
+        c = xs[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            # nearest centroid by L2 == max (c·x - |c|^2/2)
+            d2 = xs @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+            assign = d2.argmax(axis=1)
+            newc = np.zeros_like(c)
+            np.add.at(newc, assign, xs)
+            sizes = np.bincount(assign, minlength=k)
+            empty = np.flatnonzero(sizes == 0)
+            if empty.size:
+                worst = np.argsort(d2[np.arange(n), assign])[: empty.size]
+                newc[empty] = xs[worst]
+                sizes[empty] = 1
+            c = newc / sizes[:, None]
+        books[j] = c
+    return books
+
+
+class _PQEncoder:
+    """map_batches actor: vector -> m uint8 codes (nearest centroid per
+    subspace), codebooks broadcast once via ``ray.put``."""
+
+    def __init__(self, books_ref, id_col: str, vec_col: str):
+        b = (ray.get(books_ref)
+             if not isinstance(books_ref, np.ndarray) else books_ref)
+        self.books = b                                   # (m, ks, sub)
+        # per-book half squared norms, precomputed once per actor
+        self.cn = 0.5 * np.einsum("mkj,mkj->mk", b, b)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch.column(self.vec_col))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        m, ks, sub = self.books.shape
+        codes = np.empty((x.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            codes[:, j] = (xs @ self.books[j].T - self.cn[j]) \
+                .argmax(axis=1).astype(np.uint8)
+        code_arr = pa.Array.from_buffers(
+            pa.binary(m), x.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "pq_code": code_arr,
+        })
+
+
+def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding", concurrency: int = 4):
+    """-> Dataset(id, pq_code fixed_binary(m)): streaming PQ encode."""
+    ref = ray.put(np.asarray(books, dtype=np.float64))
+    return ds.map_batches(
+        _PQEncoder,
+        fn_constructor_kwargs=dict(books_ref=ref, id_col=id_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, concurrency))
+
+
+class _PQScan:
+    """map_batches actor: ADC (asymmetric distance computation) top-k
+    per batch of codes — one (m, ks) lookup table per query, scan =
+    m table gathers + a sum, no decode."""
+
+    def __init__(self, books_ref, queries_ref, k: int, id_col: str):
+        b = (ray.get(books_ref)
+             if not isinstance(books_ref, np.ndarray) else books_ref)
+        q = (ray.get(queries_ref)
+             if not isinstance(queries_ref, np.ndarray) else queries_ref)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        m, ks, sub = b.shape
+        # LUT[qi, j, c] = q_sub · centroid  (inner product on unit
+        # vectors == cosine contribution)
+        self.lut = np.einsum("qjs,jks->qjk",
+                             q.reshape(q.shape[0], m, sub), b)
+        self.k = k
+        self.m = m
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("pq_code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[-1]
+        codes = np.frombuffer(buf, dtype=np.uint8) \
+            .reshape(-1, self.m)[col.offset:col.offset + len(col)]
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        nq = self.lut.shape[0]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):
+            s = np.zeros(codes.shape[0], dtype=np.float64)
+            for j in range(self.m):
+                s += self.lut[qi, j][codes[:, j]]
+            part = (np.argpartition(-s, self.k)[: self.k]
+                    if s.size > self.k else np.arange(s.size))
+            out_q.append(np.full(part.size, qi, dtype=np.int64))
+            out_id.append(ids[part])
+            out_s.append(s[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_id)),
+            "adc_score": pa.array(np.concatenate(out_s)),
+        })
+
+
+def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", concurrency: int = 4,
+            refine_ds=None, refine_factor: int = 4,
+            vec_col: str = "embedding"):
+    """Approximate cosine top-k over PQ codes (ADC): -> pandas
+    (query_id, id, adc_score), k rows per query, score desc / id asc.
+
+    With ``refine_ds`` (the full-vector dataset), the FAISS-refine
+    shape: the ADC scan keeps ``refine_factor * k`` candidates per
+    query, their TRUE vectors are gathered in one streaming pass over
+    ``refine_ds`` (candidate-id set broadcast — candidate-bounded, not
+    corpus-bounded) and re-ranked by exact cosine; the returned score
+    column is then ``cosine``."""
+    queries = np.asarray(queries, dtype=np.float64)
+    bref = ray.put(np.asarray(books, dtype=np.float64))
+    qref = ray.put(queries)
+    kk = k * refine_factor if refine_ds is not None else k
+    local = codes_ds.map_batches(
+        _PQScan,
+        fn_constructor_kwargs=dict(books_ref=bref, queries_ref=qref,
+                                   k=kk, id_col=id_col),
+        batch_format="pyarrow", concurrency=(1, concurrency))
+    pdf = local.to_pandas()
+    pdf = pdf.sort_values(["query_id", "adc_score", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("query_id", as_index=False).head(kk) \
+        .reset_index(drop=True)
+    if refine_ds is None:
+        return pdf
+    cand = np.unique(pdf[id_col].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, want)
+        sub = batch.filter(pa.array(mask))
+        x = _to_matrix(sub.column(vec_col))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        qn = queries / np.maximum(
+            np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        sims = x @ qn.T                                  # (n_cand, Q)
+        n, nq = sims.shape
+        return pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), n)),
+            id_col: pa.array(np.tile(
+                sub.column(id_col).to_numpy(zero_copy_only=False), nq)),
+            "cosine": pa.array(sims.T.ravel()),
+        })
+
+    ref = refine_ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    ref = ref.merge(pdf[["query_id", id_col]], on=["query_id", id_col])
+    ref = ref.sort_values(["query_id", "cosine", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    return ref.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)

@@ -128,3 +128,40 @@ def test_group_topk_combiner(ray_session):
     assert out["event_id"].tolist() == exp["event_id"].tolist()
     assert (out.groupby("user_id")["rank"].apply(
         lambda r: r.tolist() == list(range(1, len(r) + 1)))).all()
+
+
+def test_pq_encode_and_adc_recall(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import (cosine_topk, pq_encode,
+                                             pq_topk, train_pq)
+
+    rng = np.random.default_rng(21)
+    # clustered corpus (PQ quantizes structure, not uniform noise)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 32)) for c in centers])
+    t = pa.table({"vec_id": pa.array(np.arange(400), type=pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    books = train_pq(vecs, m=8, ks=32, iters=12)
+    assert books.shape == (8, 32, 4)
+    codes = pq_encode(ds, books)
+    cpdf = codes.to_pandas()
+    assert len(cpdf) == 400 and all(len(c) == 8 for c in cpdf["pq_code"])
+    # deterministic: re-encode gives identical codes
+    cpdf2 = pq_encode(ds, books).to_pandas()
+    m = cpdf.sort_values("vec_id").merge(cpdf2.sort_values("vec_id"),
+                                         on="vec_id")
+    assert (m["pq_code_x"] == m["pq_code_y"]).all()
+    q = vecs[7:8]
+    exact = cosine_topk(ds, q, k=10)
+    # raw ADC: every candidate must come from the query's true cluster
+    approx = pq_topk(ray.data.from_pandas(cpdf), books, q, k=10)
+    assert (approx["vec_id"] < 50).all()
+    # refined (exact re-rank of 4k ADC candidates): high recall
+    refined = pq_topk(ray.data.from_pandas(cpdf), books, q, k=10,
+                      refine_ds=ds, refine_factor=6)
+    recall = len(set(exact["vec_id"]) & set(refined["vec_id"])) / 10
+    assert recall >= 0.7, recall

@@ -88,10 +88,11 @@ class ContaminationMarker:
 
 def contamination_report(ds, bench_grams, n: int = 8,
                          text_col: str = "text", id_col: str = "doc_id",
-                         concurrency: int = 4):
+                         concurrency=None):
     """Dataset[(id, n_shared)] for every training doc sharing >= 1
     word n-gram with the benchmark gram set (an ``ObjectRef`` or
     array from :func:`collect_benchmark_grams`)."""
+    concurrency = _auto_concurrency(concurrency)
     return ds.map_batches(
         ContaminationMarker, batch_format="pyarrow",
         concurrency=concurrency,
@@ -99,12 +100,27 @@ def contamination_report(ds, bench_grams, n: int = 8,
                                "text_col": text_col, "id_col": id_col})
 
 
+def _auto_concurrency(concurrency):
+    """None -> elastic pool up to (session CPUs - 2): the marker stage
+    does the pipeline's heavy tokenization, so a small fixed pool (the
+    old default 4) starves a 32-cpu session while an all-CPU pool
+    starves the upstream read — leave two CPUs for reads/reduces."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return (1, max(2, cpus - 2))
+
+
 def decontaminate(ds, bench_ds, n: int = 8, text_col: str = "text",
-                  id_col: str = "doc_id", concurrency: int = 4):
+                  id_col: str = "doc_id", concurrency=None):
     """Return ``ds`` minus every document sharing a word n-gram with
     ``bench_ds`` (broadcast anti-join: one ``is_in`` per batch)."""
     import ray
 
+    concurrency = _auto_concurrency(concurrency)
     grams_ref = ray.put(collect_benchmark_grams(bench_ds, n, text_col))
 
     class _Filter(ContaminationMarker):

@@ -311,7 +311,7 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                num_partitions: int = 16):
+                num_partitions: int | None = None):
     """Keep the lowest-id row per distinct text.
 
     Scale shape (VERDICT r1 #5): the wide shuffle moves ONLY
@@ -321,6 +321,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     64-bit polynomial hashes), so a collision silently dropping a
     distinct doc needs ~2^64 docs — addressing the 64-bit-collision
     advice without shipping text through the shuffle."""
+    if num_partitions is None:
+        # the join back is the pipeline's one all-to-all: size it to
+        # the session so a 32-cpu box doesn't funnel through 16 tasks
+        import ray as _ray
+
+        num_partitions = max(16, int(
+            _ray.cluster_resources().get("CPU", 8))) \
+            if _ray.is_initialized() else 16
+
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
             "h_lo": pa.array(_hash_strings(t.column(text_col)).astype(np.int64)),

@@ -234,8 +234,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             h = _hash_strings(t.column("conv_id"))
             ti = t.column("turn_idx").to_numpy(zero_copy_only=False) \
                 .astype(np.uint64)
-            did = ((h * np.uint64(0x9E3779B97F4A7C15) + ti) >> np.uint64(1)) \
-                .astype(np.int64)
+            # mask the sign bit (NOT >>1: a right shift collapses
+            # adjacent turn_idx values onto one id — measured 354k
+            # unique ids for 672k turns, which fans out the dedup join)
+            did = ((h * np.uint64(0x9E3779B97F4A7C15) + ti)
+                   & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
             return pa_.table({"doc_id": pa_.array(did),
                               "text": t.column("text")})
 

@@ -842,6 +842,22 @@ _COLLATION_TAILORING: dict[str, dict[str, str]] = {
     "nb": {"æ": "", "ø": "", "å": ""},
     "de": {"ä": "ae", "ö": "oe", "ü": "ue", "ß": "ss"},
     "es": {"ñ": "n"},
+    # between-letter independent letters map to base + U+E000 (sorts
+    # after every ASCII continuation of the base, before the next
+    # letter); digraph contractions ride the same longest-first
+    # substitution as danish "aa"
+    "tr": {"ç": "c", "ğ": "g", "ı": "h",
+           "ö": "o", "ş": "s", "ü": "u"},
+    "cs": {"č": "c", "ch": "h", "ř": "r",
+           "š": "s", "ž": "z"},
+    "pl": {"ą": "a", "ć": "c", "ę": "e",
+           "ł": "l", "ń": "n", "ó": "o",
+           "ś": "s", "ź": "z", "ż": "z"},
+    "hu": {"ö": "o", "ő": "o", "ü": "u",
+           "ű": "u", "cs": "c", "dzs": "d",
+           "dz": "d", "gy": "g", "ly": "l",
+           "ny": "n", "sz": "s", "ty": "t",
+           "zs": "z"},
 }
 
 
@@ -881,8 +897,14 @@ class CollationAnalyzer(NormalizingAnalyzer):
         # NFC first so canonically-equivalent decomposed input (NFD
         # 'a'+U+030A for å) hits the tailoring patterns below identically
         # to the precomposed form
-        s = orig.casefold()
         key = self.locale.lower().replace("-", "_").split("_")[0]
+        if key == "tr":
+            # Turkish case pairs: I/ı and İ/i (ICU tr tailoring); the
+            # generic casefold would send uppercase I to dotted i.
+            # ``orig`` stays untouched for the tertiary case bits.
+            s = orig.replace("I", "ı").replace("İ", "i").casefold()
+        else:
+            s = orig.casefold()
         tail = _COLLATION_TAILORING.get(key)
         if tail:
             # protect tailored letters from NFKD accent stripping by

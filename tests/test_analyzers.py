@@ -245,6 +245,30 @@ def test_collation_locale_tailoring():
         ["anuncio", "añejo", "aorta"]
     plain = key_fn(None)
     assert plain("Ärger") == "arger"
+    # round-3 additions: tr / cs / pl / hu (digraph contractions ride
+    # the same longest-first substitution as danish "aa")
+    tr = key_fn("tr_TR.UTF-8")
+    assert sorted(["harita", "ilk", "\u0131rmak", "cam", "dal",
+                   "\u00e7am"], key=tr) == \
+        ["cam", "\u00e7am", "dal", "harita", "\u0131rmak", "ilk"]
+    # Turkish case pairing: uppercase I is dotless \u0131, not i
+    assert tr("Irmak") == tr("\u0131rmak")
+    assert tr("\u0130lk") == tr("ilk")
+    cs = key_fn("cs_CZ")
+    assert sorted(["hrad", "inkoust", "chleba", "cibule", "drak",
+                   "\u010daj"], key=cs) == \
+        ["cibule", "\u010daj", "drak", "hrad", "chleba", "inkoust"]
+    pl = key_fn("pl_PL")
+    assert sorted(["mama", "\u0142za", "lampa", "zupa", "\u017caba",
+                   "\u017ale"], key=pl) == \
+        ["lampa", "\u0142za", "mama", "zupa", "\u017ale", "\u017caba"]
+    hu = key_fn("hu_HU")
+    assert sorted(["dal", "csata", "comb", "patak", "\u00f6r\u00f6m",
+                   "orom"], key=hu) == \
+        ["comb", "csata", "dal", "orom", "\u00f6r\u00f6m", "patak"]
+    # distinct keys for distinct letters (not just stable sort order)
+    assert len({cs(w) for w in ["hrad", "chleba"]}) == 2
+    assert len({tr(w) for w in ["harita", "\u0131rmak", "ilk"]}) == 3
 
 
 def test_collation_strengths():

@@ -1427,6 +1427,24 @@ def _q_dup_passage_spans(sf_dir: str):
         .sort_values(["doc_id", "start_pos"]).reset_index(drop=True)
 
 
+def _q_quantile_gate(sf_dir: str):
+    """Percentile-threshold quality gate
+    (``pipelines/aggregates.filter_by_group_quantile``): keep docs at
+    or above their LANGUAGE's p25 length — per-group thresholds from
+    one tiny quantile pass, broadcast via ray.put, data rows never
+    shuffle."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import filter_by_group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    out = filter_by_group_quantile(ds, "lang", "n_chars", q=0.25,
+                                   keep="above").to_pandas()
+    return out[["doc_id", "lang", "n_chars"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_events_per_user(sf_dir: str):
     """Generic distributed per-group top-k
     (``pipelines/aggregates.group_topk``): each batch prunes itself to
@@ -1626,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
         "top_events_per_user": _q_top_events_per_user,
+        "quantile_gate": _q_quantile_gate,
         "orders_revenue_join": _q_orders_revenue,
         "pipeline_delimiter_match": _q_pipeline_delimiter,
         "index_writer_delete": _q_index_writer_delete,
@@ -2123,6 +2142,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(min(pos) AS BIGINT) AS start_pos,
        CAST(max(pos) + 8 AS BIGINT) AS end_pos
 FROM grp GROUP BY doc_id, gid ORDER BY doc_id, start_pos
+""",
+        # same interpolation (quantile_cont == np.quantile linear);
+        # thresholds compare against INT lengths so ulp-level
+        # interpolation differences cannot flip a row unless the
+        # threshold lands exactly on an integer, where both engines
+        # produce it exactly
+        "quantile_gate": """
+WITH th AS (
+  SELECT lang, quantile_cont(n_chars, 0.25) AS t
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN th USING (lang)
+WHERE d.n_chars >= th.t
+ORDER BY d.doc_id
 """,
         "top_events_per_user": """
 SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, value

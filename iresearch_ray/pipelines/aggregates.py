@@ -172,3 +172,47 @@ def group_topk(ds, group_col: str, order_col: str, n: int = 3,
         return out
 
     return pruned.groupby(group_col).map_groups(final, batch_format="pandas")
+
+
+def filter_by_group_quantile(ds, group_col: str, value_col: str,
+                             q: float = 0.25, keep: str = "above"):
+    """Keep rows whose ``value_col`` is >= (``keep='above'``) or <=
+    (``'below'``) their group's q-quantile — the percentile-threshold
+    quality gate (e.g. drop the bottom-quartile-quality docs PER
+    LANGUAGE, so a low-resource language isn't wiped out by a global
+    cutoff).
+
+    Two-pass shape: pass 1 computes the per-group thresholds
+    (``group_quantiles`` — group-count-sized result), pass 2 broadcasts
+    that tiny table via ``ray.put`` and filters each batch with one
+    dictionary-encode + ``take`` (the ``stratified_sample`` idiom) —
+    the data rows never shuffle."""
+    import ray
+
+    th = group_quantiles(ds, group_col, value_col, (q,)).to_pandas()
+    lookup = dict(zip(th[group_col], th["value"]))
+    ref = ray.put(lookup)
+    above = keep == "above"
+
+    class _Gate:
+        def __init__(self):
+            lk = ray.get(ref) if not isinstance(ref, dict) else ref
+            self.lk = lk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            g = batch.column(group_col)
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            enc = g.dictionary_encode()
+            vals = enc.dictionary.to_pylist()
+            tl = np.array([self.lk.get(v, -np.inf if above else np.inf)
+                           for v in vals] + [np.nan], dtype=np.float64)
+            idx = enc.indices.fill_null(len(vals)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ok = v >= tl[idx] if above else v <= tl[idx]
+            return batch.filter(pa.array(ok))
+
+    return ds.map_batches(_Gate, batch_format="pyarrow",
+                          concurrency=(1, 4))

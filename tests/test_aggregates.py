@@ -165,3 +165,19 @@ def test_pq_encode_and_adc_recall(ray_session):
                       refine_ds=ds, refine_factor=6)
     recall = len(set(exact["vec_id"]) & set(refined["vec_id"])) / 10
     assert recall >= 0.7, recall
+
+
+def test_filter_by_group_quantile(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import filter_by_group_quantile
+
+    t = _events(n=4_000)
+    out = filter_by_group_quantile(ray.data.from_arrow(t), "event_type",
+                                   "value", q=0.5).to_pandas()
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        thr = np.quantile(g["value"].to_numpy(), 0.5)
+        exp = set(g[g["value"] >= thr]["event_id"])
+        got = set(out[out["event_type"] == et]["event_id"])
+        assert got == exp

@@ -325,6 +325,39 @@ def _q_ann_pq(sf_dir: str):
     return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
 
 
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ (FAISS IVFPQ as Ray Data + partitioned Parquet,
+    ``pipelines/ann.build_ivfpq_index``): coarse lists prune the READ,
+    PQ codes bound the scan memory (m bytes/vector), refine re-ranks
+    by exact cosine from the pruned partitions' stored vectors. Probed
+    at n_probe == n_lists here (like ``ann_ivf_topk``) so with refine
+    the result equals exact brute force and shares its SQL oracle;
+    n_probe < n_lists read pruning is pytest-verified
+    (tests/test_aggregates.py::test_ivfpq_index_recall)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import build_ivfpq_index, ivfpq_topk
+
+    slug = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/iresearch_ray_cache/ivfpqidx-{slug}"
+    if not os.path.exists(os.path.join(idx, "ivfpq_meta.json")):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivfpq_index(ds, idx, n_lists=8, m=8, ks=64)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q = np.asarray(emb.column("embedding")[0].as_py(),
+                   dtype=np.float64)[None, :]
+    out = ivfpq_topk(idx, q, k=11, n_probe=8, refine_factor=24)
+    out = out[out["vec_id"] != int(emb.column("vec_id")[0].as_py())].head(10)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine_r"] = np.floor(out["cosine"].to_numpy() * 1e5 + 0.5) / 1e5
+    return out[["vec_id", "cosine_r"]].reset_index(drop=True)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII scrubbing stage (``pipelines/scrub.py``): deterministic
     PII (email, phone, IPv4, card number derived from doc_id) is
@@ -1614,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_knn_graph": _q_knn_graph,
         "pii_scrub": _q_pii_scrub,
         "hash_split_sample": _q_hash_split_sample,
@@ -2769,6 +2803,21 @@ SELECT vec_id,
        floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
              * 100000 + 0.5) / 100000 AS cosine_r
 FROM embeddings e CROSS JOIN q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         vec_id
+LIMIT 10
+""",
+        # IVF-PQ probed at n_probe == n_lists + exact refine == brute
+        # force (query row 0 == vec_id 0, excluded like ann_cosine)
+        "ann_ivfpq_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+             * 100000 + 0.5) / 100000 AS cosine_r
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
          vec_id
 LIMIT 10

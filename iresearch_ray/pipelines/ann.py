@@ -629,6 +629,12 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mask = np.isin(ids, want)
         sub = batch.filter(pa.array(mask))
+        if len(sub) == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            })
         x = _to_matrix(sub.column(vec_col))
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         qn = queries / np.maximum(
@@ -648,3 +654,94 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
                           ascending=[True, False, True], kind="mergesort")
     return ref.groupby("query_id", as_index=False).head(k) \
         .reset_index(drop=True)
+
+
+def build_ivfpq_index(ds, index_dir: str, n_lists: int = 16, m: int = 8,
+                      ks: int = 256, sample: int = 4096, iters: int = 10,
+                      seed: int = 7, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      concurrency: int = 4) -> dict:
+    """IVF-PQ (the FAISS ``IVFPQ`` layout as Ray Data + partitioned
+    Parquet): coarse k-means lists give READ pruning (a query touches
+    only its ``n_probe`` partitions), PQ codes inside each list give
+    the memory-bound scan (m bytes/vector) — together the standard
+    billion-scale ANN shape. Both quantizers train on one bounded
+    driver-side sample; each row stores (id, ivf_list, pq_code, vec) —
+    the raw vector rides along on DISK for the refine pass, never in
+    the scan's working set."""
+    import json
+    import os
+
+    head = ds.limit(sample).to_pandas()
+    x = np.asarray(head[vec_col].to_list(), dtype=np.float64)
+    centroids = _spherical_kmeans(x, n_lists, iters, seed)
+    books = train_pq(x, m=m, ks=ks, iters=iters, seed=seed + 6)
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    class _Assign(_PQEncoder):
+        def __init__(self):
+            super().__init__(bref, id_col, vec_col)
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            coded = super().__call__(batch)
+            x = _to_matrix(batch.column(vec_col))
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            lists = (xn @ self.c.T).argmax(axis=1).astype(np.int64)
+            return coded.append_column(
+                "ivf_list", pa.array(lists)).append_column(
+                vec_col, batch.column(vec_col))
+
+    ds.map_batches(_Assign, batch_format="pyarrow",
+                   concurrency=(1, concurrency)) \
+        .write_parquet(index_dir, partition_cols=["ivf_list"])
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    np.save(os.path.join(index_dir, "pq_books.npy"), books)
+    meta = {"n_lists": int(centroids.shape[0]), "m": m,
+            "ks": int(books.shape[1]), "id_col": id_col,
+            "vec_col": vec_col, "seed": seed}
+    with open(os.path.join(index_dir, "ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_topk(index_dir: str, queries: np.ndarray, k: int = 10,
+               n_probe: int = 4, refine_factor: int = 4,
+               concurrency: int = 4):
+    """Approximate cosine top-k over a ``build_ivfpq_index`` directory:
+    centroid scores pick ``n_probe`` lists per query (read pruning),
+    the ADC scan runs over ONLY those partitions' codes, and the
+    refine pass re-ranks ``refine_factor * k`` candidates by exact
+    cosine against the vectors stored in the same pruned partitions
+    (never the full corpus)."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    c = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "pq_books.npy"))
+    id_col = meta["id_col"]
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = qn @ c.T
+    n_probe = min(n_probe, c.shape[0])
+    probe = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+    wanted = sorted(set(int(b) for b in probe.ravel()))
+    dirs = [os.path.join(index_dir, f"ivf_list={b}") for b in wanted]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        import pandas as pd
+
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+    codes = ray.data.read_parquet(paths, columns=[id_col, "pq_code"])
+    vecs = ray.data.read_parquet(paths, columns=[id_col, meta["vec_col"]])
+    return pq_topk(codes, books, q, k=k, id_col=id_col,
+                   concurrency=concurrency, refine_ds=vecs,
+                   refine_factor=refine_factor,
+                   vec_col=meta["vec_col"])

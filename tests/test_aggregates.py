@@ -181,3 +181,30 @@ def test_filter_by_group_quantile(ray_session):
         exp = set(g[g["value"] >= thr]["event_id"])
         got = set(out[out["event_type"] == et]["event_id"])
         assert got == exp
+
+
+def test_ivfpq_index_recall(ray_session, tmp_path):
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import (build_ivfpq_index, cosine_topk,
+                                             ivfpq_topk)
+
+    rng = np.random.default_rng(33)
+    centers = rng.standard_normal((6, 32)) * 3.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((60, 32)) for c in centers])
+    t = pa.table({"vec_id": pa.array(np.arange(360), type=pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(ds, idx, n_lists=6, m=8, ks=32, sample=360)
+    assert meta["n_lists"] == 6
+    q = vecs[11:12]
+    exact = cosine_topk(ds, q, k=10)
+    approx = ivfpq_topk(idx, q, k=10, n_probe=2, refine_factor=6)
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.8, recall
+    # scores are exact cosine after the refine pass
+    both = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
+    assert np.allclose(both["cosine_e"], both["cosine_a"])

@@ -1617,6 +1617,91 @@ def _q_index_writer_delete(sf_dir: str):
     return match_frame(IndexSearcher(idx), F.Term("customer"))
 
 
+def _q_facet_counts(sf_dir: str):
+    """Facet counts over a filter's match set: matching docs for
+    Term('customer') bucketed by the stored ``lang`` column (doc-values
+    facets; columnstore read per segment, value_counts merge)."""
+    from iresearch_ray.api import documents_searcher, facet_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return facet_frame(s, F.Term("customer"), "lang")
+
+
+def _q_search_after(sf_dir: str):
+    """Deep pagination: page 2 (ranks 51-100) of the BM25 'customer'
+    ranking via the search_after cursor — the opaque (score, doc) pair
+    of page 1's last hit bounds the collector instead of an OFFSET
+    re-collection, keeping page-N cost O(k) (the Lucene/Elasticsearch
+    ``search_after`` protocol)."""
+    import pandas as pd
+
+    from iresearch_ray.api import documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    flt = F.Term("customer")
+    p1 = s.search(flt, k=50, scorer=_bm25_f64())
+    if len(p1) == 0:
+        return pd.DataFrame({"doc_id": [], "score_r": []})
+    cursor = (float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+    p2 = s.search(flt, k=50, scorer=_bm25_f64(), search_after=cursor)
+    stored = s.fetch_stored(p2["doc_id"].to_numpy(), ("doc_id",))
+    score = p2["score"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "doc_id": stored["doc_id"].astype("int64"),
+        "score_r": np.floor(score * 1e4 + 0.5) / 1e4,
+    })
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: BM25 top-50 for 'customer' fused with the
+    dense cosine top-50 around the vec_id-7 embedding by Reciprocal
+    Rank Fusion (rrf_k=60, Cormack et al. SIGIR'09). documents.doc_id
+    and embeddings.vec_id share the id space in the synthetic corpus,
+    which makes the fusion well-defined. Both input rankings order by
+    (score desc, id asc) — deterministic ranks on both sides."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.api import documents_searcher
+    from iresearch_ray.pipelines.ann import cosine_topk
+    from iresearch_ray.pipelines.hybrid import rrf_fuse
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    res = s.search(F.Term("customer"), k=50, scorer=_bm25_f64())
+    bm_ids = s.fetch_stored(res["doc_id"].to_numpy(),
+                            ("doc_id",))["doc_id"].to_numpy(dtype=np.int64)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t.column("embedding").to_pylist(),
+                      dtype=np.float64)[t.column("vec_id").to_numpy() == 7]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ann = cosine_topk(ds, qvec, k=50)
+    out = rrf_fuse([bm_ids, ann["vec_id"].to_numpy(dtype=np.int64)], k=20)
+    out["rrf_r"] = np.floor(out["rrf"].to_numpy() * 1e6 + 0.5) / 1e6
+    return out[["doc_id", "rrf_r"]]
+
+
+def _q_more_like_this(sf_dir: str):
+    """MoreLikeThis: doc 7's five highest tf*idf terms (idf =
+    ln(dwf/df) from dictionary seeks, ties by term bytes) become a
+    BM25-scored disjunction; top-50 excluding the source doc."""
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.api import documents_searcher, more_like_this
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    row = int(np.flatnonzero(t.column("doc_id").to_numpy() == 7)[0])
+    text = t.column("text")[row].as_py()
+    out = more_like_this(s, text, top_terms=5, k=51, scorer=_bm25_f64())
+    return out[out["doc_id"] != 7].head(50).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
@@ -1699,6 +1784,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
+        "facet_counts": _q_facet_counts,
+        "search_after_page": _q_search_after,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
+        "more_like_this": _q_more_like_this,
     }
 
 
@@ -2857,5 +2946,71 @@ SELECT t.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
        CAST(h.first_start AS BIGINT) AS first_start
 FROM top t JOIN hl h USING (doc_id)
 ORDER BY t.doc_id
+""",
+        # facet counts: docs matching Term('customer') bucketed by the
+        # stored lang column (doc-values facets)
+        "facet_counts": _TOK_SQL + """
+SELECT d.lang, count(*) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM term_pos
+                   WHERE term = 'customer')
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+        # search_after page 2 == OFFSET pagination of the same total
+        # order (score desc, doc asc)
+        "search_after_page": _TOK_SQL + """
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM scored WHERE term = 'customer'
+ORDER BY score DESC, doc_id
+LIMIT 50 OFFSET 50
+""",
+        # RRF fusion of the BM25 top-50 and cosine top-50 rankings
+        # (rank ties break by id on both sides; the two per-doc
+        # contributions commute exactly in IEEE754, so SUM order is
+        # immaterial)
+        "hybrid_rrf_topk": _TOK_SQL + """
+, bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM scored WHERE term = 'customer'
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 7
+),
+ann AS (
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q.v) DESC,
+                    e.vec_id) AS r
+  FROM embeddings e CROSS JOIN qv q
+),
+u AS (
+  SELECT doc_id, r FROM bm WHERE r <= 50
+  UNION ALL
+  SELECT doc_id, r FROM ann WHERE r <= 50
+),
+fused AS (SELECT doc_id, SUM(1.0 / (60 + r)) AS rrf FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(rrf, 6) AS rrf_r FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+        # MoreLikeThis: doc 7's top-5 tf*ln(dwf/df) terms -> BM25 Or,
+        # excluding the source doc
+        "more_like_this": _TOK_SQL + """
+, src AS (SELECT term, tf FROM tf WHERE doc_id = 7),
+cand AS (
+  SELECT s.term,
+         CAST(s.tf AS DOUBLE) * ln(CAST(f.dwf AS DOUBLE) / d.dwt) AS w
+  FROM src s JOIN df d USING (term) CROSS JOIN fstats f
+),
+pick AS (SELECT term FROM cand ORDER BY w DESC, term LIMIT 5),
+agg AS (
+  SELECT doc_id, SUM(score) AS score
+  FROM scored WHERE term IN (SELECT term FROM pick)
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r FROM agg
+WHERE doc_id <> 7
+ORDER BY score DESC, doc_id LIMIT 50
 """,
     }

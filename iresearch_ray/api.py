@@ -105,6 +105,57 @@ def field_term_stats(searcher: IndexSearcher, field: str) -> pd.DataFrame:
     })
 
 
+def facet_frame(searcher: IndexSearcher, flt, field: str) -> pd.DataFrame:
+    """Facet counts: number of matching docs per stored value of
+    ``field`` (the doc-values facet of Lucene/ArangoDB search views;
+    the reference exposes the same columnstore reads via
+    ``core/index/column_info.hpp`` + materialized columns).
+
+    Scale shape: the match set is produced per segment and the facet
+    column is ONE lazily-read columnstore column per segment
+    (``fetch_stored`` takes only the matched rows); counting is a
+    vectorized value_counts. At cluster scale this runs per shard and
+    the (value, count) partials — facet-cardinality-sized, not
+    match-set-sized — merge associatively on the coordinator, same as
+    the term-stats collector."""
+    docs = searcher.match_docs(flt)
+    stored = searcher.fetch_stored(docs, (field,))
+    vc = stored[field].value_counts()
+    out = pd.DataFrame({field: vc.index.to_numpy(), "n_docs": vc.to_numpy()})
+    return out.sort_values(field).reset_index(drop=True)
+
+
+def more_like_this(searcher: IndexSearcher, text: str, *, top_terms: int = 5,
+                   k: int = 50, scorer=None, min_df: int = 1) -> pd.DataFrame:
+    """More-like-this: select the ``top_terms`` highest tf*idf terms of
+    ``text`` (idf = ln(dwf/df), ties by term bytes ascending), then run
+    the BM25-scored disjunction of those terms (Lucene MoreLikeThis
+    protocol; query-side only — no new index structure).
+
+    Term df comes from ``resolve_term`` (per-segment dictionary seeks,
+    cached) — O(distinct terms in ``text``) seeks, never a vocabulary
+    scan, so the selection stage costs the same at any corpus size."""
+    import re
+
+    from iresearch_ray.search import filters as F
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if not toks:
+        return pd.DataFrame({"doc_id": [], "score_r": []})
+    terms, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    dwf = float(searcher.field_stats().docs_with_field)
+    df = np.array([searcher.resolve_term(str(t)).docs_with_term
+                   for t in terms], dtype=np.float64)
+    ok = df >= max(1, min_df)
+    terms, tf, df = terms[ok], tf[ok], df[ok]
+    if terms.size == 0:
+        return pd.DataFrame({"doc_id": [], "score_r": []})
+    w = tf.astype(np.float64) * np.log(dwf / df)
+    order = np.lexsort((terms, -w))[:top_terms]
+    flt = F.Or([F.Term(str(t)) for t in terms[order]])
+    return topk_frame(searcher, flt, k=k, scorer=scorer)
+
+
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     """All matching docs as their stored doc_id (unscored set query)."""
     docs = searcher.match_docs(flt)

@@ -66,11 +66,19 @@ class TopK:
     lower bound, safe when stale)."""
 
     def __init__(self, k: int, dtype=np.float32,
-                 initial_threshold: float = -np.inf):
+                 initial_threshold: float = -np.inf,
+                 after: tuple[float, int] | None = None):
         import threading
 
         self.k = k
         self.dtype = dtype
+        # search-after cursor (deep pagination): accept only docs
+        # strictly after (score, global_doc) in (score desc, doc asc)
+        # result order — the Lucene/Elasticsearch ``search_after``
+        # protocol, which keeps page N cost at O(k) memory instead of
+        # the O(N*k) of offset pagination
+        self._after = (None if after is None
+                       else (float(after[0]), int(after[1])))
         self._bufs: list[tuple[np.ndarray, np.ndarray]] = []
         self._buffered = 0
         self._limit = max(4096, 4 * k)
@@ -88,6 +96,13 @@ class TopK:
     def push(self, docs: np.ndarray, scores: np.ndarray) -> None:
         if docs.size == 0:
             return
+        if self._after is not None:
+            a_s, a_d = self._after
+            keep = (scores < a_s) | ((scores == a_s) & (docs > a_d))
+            if not keep.all():
+                docs, scores = docs[keep], scores[keep]
+            if docs.size == 0:
+                return
         if np.isfinite(self._thr):
             keep = scores >= self._thr  # ties kept: order-independent
             if not keep.all():
@@ -320,6 +335,7 @@ class IndexSearcher:
         initial_threshold: float | None = None,
         threshold_hook=None,
         hook_every_s: float = 0.025,
+        search_after: tuple[float, int] | None = None,
     ) -> pd.DataFrame:
         """Top-k matched docs -> DataFrame(doc_id, score[, columns]).
 
@@ -338,7 +354,8 @@ class IndexSearcher:
         prepared = flt.prepare(self, scorer)
         col = TopK(k, dtype=scorer.dtype,
                    initial_threshold=-np.inf if initial_threshold is None
-                   else initial_threshold)
+                   else initial_threshold,
+                   after=search_after)
         if mode == "strict" and hasattr(prepared, "bind_threshold"):
             prepared.bind_threshold(lambda: col.threshold)
         is_tdis = self._is_term_disjunction(prepared)

@@ -282,6 +282,19 @@ def _q_quality(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher document-quality gate (Rae et al. 2021 §A1.1): every
+    rule metric plus the combined pass flag, per doc."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import gopher_rules
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = ds.map_batches(gopher_rules, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ann(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -1784,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
+        "gopher_rules": _q_gopher_rules,
         "facet_counts": _q_facet_counts,
         "search_after_page": _q_search_after,
         "hybrid_rrf_topk": _q_hybrid_rrf,
@@ -2993,6 +3007,68 @@ u AS (
 fused AS (SELECT doc_id, SUM(1.0 / (60 + r)) AS rrf FROM u GROUP BY doc_id)
 SELECT doc_id, ROUND(rrf, 6) AS rrf_r FROM fused
 ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+        # Gopher quality rules: word stats / line stats / symbol and
+        # stopword rules replayed verbatim over the raw text (both
+        # engines are RE2, so the regex splits/predicates agree)
+        "gopher_rules": r"""
+WITH w AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+    FROM documents) WHERE length(word) > 0
+),
+ws AS (
+  SELECT doc_id, count(*) AS n_words,
+         avg(CAST(length(word) AS DOUBLE)) AS mwl,
+         avg(CASE WHEN regexp_matches(word, '[a-zA-Z]')
+             THEN 1.0 ELSE 0.0 END) AS alpha_frac,
+         count(DISTINCT CASE WHEN lower(word) IN
+               ('the','be','to','of','and','that','have','with')
+               THEN lower(word) END) AS stop_hits
+  FROM w GROUP BY doc_id
+),
+ln AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+),
+ls AS (
+  SELECT doc_id,
+         avg(CASE WHEN regexp_matches(line, '^[•*-]')
+             THEN 1.0 ELSE 0.0 END) AS bullet_frac,
+         avg(CASE WHEN regexp_matches(line, '(\.\.\.|…)$')
+             THEN 1.0 ELSE 0.0 END) AS ellipsis_frac
+  FROM ln GROUP BY doc_id
+),
+sym AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+       floor(COALESCE(ws.mwl, 0) * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor((CASE WHEN COALESCE(ws.n_words, 0) > 0
+              THEN CAST(sym.n_sym AS DOUBLE) / ws.n_words ELSE 0 END)
+             * 10000 + 0.5) / 10000 AS symbol_ratio,
+       floor(ls.bullet_frac * 10000 + 0.5) / 10000 AS bullet_frac,
+       floor(ls.ellipsis_frac * 10000 + 0.5) / 10000 AS ellipsis_frac,
+       floor(COALESCE(ws.alpha_frac, 0) * 10000 + 0.5) / 10000
+         AS alpha_frac,
+       CAST(COALESCE(ws.stop_hits, 0) AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN COALESCE(ws.n_words, 0) BETWEEN 50 AND 100000
+             AND COALESCE(ws.mwl, 0) BETWEEN 3.0 AND 10.0
+             AND (CASE WHEN COALESCE(ws.n_words, 0) > 0
+                  THEN CAST(sym.n_sym AS DOUBLE) / ws.n_words
+                  ELSE 0 END) <= 0.1
+             AND ls.bullet_frac <= 0.9 AND ls.ellipsis_frac <= 0.3
+             AND COALESCE(ws.alpha_frac, 0) >= 0.8
+             AND COALESCE(ws.stop_hits, 0) >= 2
+       THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM documents d
+LEFT JOIN ws USING (doc_id) LEFT JOIN ls USING (doc_id)
+JOIN sym ON sym.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
         # MoreLikeThis: doc 7's top-5 tf*ln(dwf/df) terms -> BM25 Or,
         # excluding the source doc

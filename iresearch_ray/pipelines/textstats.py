@@ -274,6 +274,100 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+# Gopher document-quality rule constants (Rae et al. 2021, §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Gopher document-quality heuristics (Rae et al. 2021 §A1.1
+    "quality filtering"), one row per doc with every rule's metric and
+    the combined gate:
+
+    - 50 <= n_words <= 100,000        (whitespace words)
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio <= 0.1     (symbols: '#' and '...')
+    - <= 90% of lines start with a bullet ('•', '*', '-')
+    - <= 30% of lines end with an ellipsis ('...' or '…')
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct required stopwords present (the/be/to/of/and/
+      that/have/with)
+
+    Fully columnar: one regex split for words, one '\\n' split for
+    lines, per-word predicates via pyarrow.compute, per-doc folds via
+    np.bincount — no per-row Python. Emits metrics, not just the gate,
+    so downstream percentile/threshold stages can re-gate without
+    re-tokenizing."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(batch)
+
+    words = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(words)
+    wlens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    wlens = np.nan_to_num(wlens, nan=0).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n), wlens)
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    nonempty = flat_len > 0
+    n_words = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    sum_len = np.bincount(doc_idx, weights=flat_len, minlength=n)
+    mean_wl = np.divide(sum_len, n_words, out=np.zeros(n), where=n_words > 0)
+
+    is_alpha = pc.match_substring_regex(flat, r"[a-zA-Z]") \
+        .to_numpy(zero_copy_only=False)
+    n_alpha = np.bincount(doc_idx[is_alpha & nonempty], minlength=n)
+    alpha_frac = np.divide(n_alpha, n_words, out=np.zeros(n),
+                           where=n_words > 0)
+
+    lower = pc.utf8_lower(flat)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    for s in GOPHER_STOPWORDS:
+        m = pc.equal(lower, s).to_numpy(zero_copy_only=False)
+        stop_hits += np.bincount(doc_idx[m & nonempty], minlength=n) > 0
+
+    n_sym = (pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+             + pc.count_substring(text, "...")
+             .to_numpy(zero_copy_only=False)).astype(np.int64)
+    symbol_ratio = np.divide(n_sym, n_words, out=np.zeros(n),
+                             where=n_words > 0)
+
+    lines = pc.split_pattern(text, "\n")
+    lflat = pc.list_flatten(lines)
+    llens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    llens = np.nan_to_num(llens, nan=0).astype(np.int64)
+    line_doc = np.repeat(np.arange(n), llens)
+    n_lines = np.maximum(np.bincount(line_doc, minlength=n), 1)
+    bullet = pc.match_substring_regex(lflat, r"^[•*-]") \
+        .to_numpy(zero_copy_only=False)
+    ell = pc.match_substring_regex(lflat, r"(\.\.\.|…)$") \
+        .to_numpy(zero_copy_only=False)
+    bullet_frac = np.bincount(line_doc[bullet], minlength=n) / n_lines
+    ellipsis_frac = np.bincount(line_doc[ell], minlength=n) / n_lines
+
+    ok = ((n_words >= 50) & (n_words <= 100_000)
+          & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+          & (symbol_ratio <= 0.1)
+          & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+          & (alpha_frac >= 0.8) & (stop_hits >= 2))
+
+    def _r4(x):
+        return np.floor(x * 1e4 + 0.5) / 1e4
+
+    return pa.table({
+        id_col: pa.array(ids.astype(np.int64)),
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(_r4(mean_wl)),
+        "symbol_ratio": pa.array(_r4(symbol_ratio)),
+        "bullet_frac": pa.array(_r4(bullet_frac)),
+        "ellipsis_frac": pa.array(_r4(ellipsis_frac)),
+        "alpha_frac": pa.array(_r4(alpha_frac)),
+        "stop_hits": pa.array(stop_hits),
+        "gopher_pass": pa.array(ok.astype(np.int64)),
+    })
+
+
 def doc_term_freqs(batch: pa.Table, text_col: str = "text",
                    id_col: str = "doc_id") -> pa.Table:
     """(doc_id, term, freq) — one row per DISTINCT term per doc. One

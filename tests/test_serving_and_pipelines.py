@@ -650,3 +650,28 @@ def test_winnow_near_pairs_planted(ray_session):
     assert (0, 1) in pairs          # shared 60-word passage
     assert (2, 3) not in pairs      # independent random docs
     assert (out["n_shared"] >= 100).all()
+
+
+def test_gopher_rules_crafted():
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.textstats import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and keeps "
+            "running with great speed because it must reach the other "
+            "side of town before sunset today ") * 3  # 90+ words, stops
+    bullets = "\n".join("- item %d here" % i for i in range(10))
+    ellipsized = "\n".join("trailing line %d..." % i for i in range(10))
+    symbols = " ".join("#tag%d" % i for i in range(60)) + " the of"
+    short = "too few words here"
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([good, bullets, ellipsized, symbols, short]),
+    })
+    out = gopher_rules(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "gopher_pass"] == 1
+    assert out.loc[0, "stop_hits"] >= 2
+    assert out.loc[1, "bullet_frac"] == 1.0 and out.loc[1, "gopher_pass"] == 0
+    assert out.loc[2, "ellipsis_frac"] == 1.0 and out.loc[2, "gopher_pass"] == 0
+    assert out.loc[3, "symbol_ratio"] > 0.1 and out.loc[3, "gopher_pass"] == 0
+    assert out.loc[4, "n_words"] == 4 and out.loc[4, "gopher_pass"] == 0

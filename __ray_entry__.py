@@ -1715,6 +1715,50 @@ def _q_more_like_this(sf_dir: str):
     return out[out["doc_id"] != 7].head(50).reset_index(drop=True)
 
 
+def _q_dsir_topk(sf_dir: str):
+    """DSIR importance ranking (``pipelines/dsir``, arXiv:2302.03169):
+    hashed unigram+bigram bucket counts (one pre-aggregated partial per
+    block -> tiny groupby), add-one log-likelihood ratio vs the lang=en
+    target slice broadcast via ``ray.put``, per-doc sum scored in an
+    actor pool, deterministic top-100 with combiner pruning."""
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.dsir import (dsir_scores, dsir_topk,
+                                              fit_dsir)
+
+    B = 4096
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ratio_ref = ray.put(fit_dsir(ds, target_value="en", n_buckets=B))
+    scored = dsir_scores(ds.drop_columns(["lang"]), ratio_ref, n_buckets=B)
+    pdf = dsir_topk(scored, k=100)
+    pdf["logw_r"] = pdf["logw"].round(4)
+    return pdf[["doc_id", "logw_r"]]
+
+
+def _q_dsir_resample(sf_dir: str):
+    """DSIR Gumbel-top-k resampling (the paper's sampling form): same
+    importance model, noise from a seeded doc-id hash so the sample is
+    reproducible at any cluster size. No SQL oracle (the Gumbel keys
+    use float transcendentals of a 64-bit mix — replicating the exact
+    bit pattern in DuckDB is not practical); planted-separation and
+    determinism covered by pytest."""
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.dsir import (dsir_resample, dsir_scores,
+                                              fit_dsir)
+
+    B = 4096
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ratio_ref = ray.put(fit_dsir(ds, target_value="en", n_buckets=B))
+    scored = dsir_scores(ds.drop_columns(["lang"]), ratio_ref, n_buckets=B)
+    pdf = dsir_resample(scored, k=100, seed=0x5EED)
+    return pdf[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
@@ -1802,6 +1846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_page": _q_search_after,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "more_like_this": _q_more_like_this,
+        "dsir_topk": _q_dsir_topk,
+        "dsir_resample": _q_dsir_resample,
     }
 
 
@@ -3088,5 +3134,41 @@ agg AS (
 SELECT doc_id, ROUND(score, 4) AS score_r FROM agg
 WHERE doc_id <> 7
 ORDER BY score DESC, doc_id LIMIT 50
+""",
+        # DSIR importance ranking: hashed unigram+bigram buckets
+        # (bit-exact replica of the engine's string hash + the bigram
+        # rolling fold h1*P ^ h2), add-one LLR vs the lang=en target
+        # slice, per-doc sum, top-100
+        "dsir_topk": _TOK_SQL + f"""
+, uh AS (
+  SELECT doc_id, pos, {_hash_sql('term')} AS h FROM term_pos
+),
+feats AS (
+  SELECT doc_id, h FROM uh
+  UNION ALL
+  SELECT a.doc_id,
+         xor(CAST(mod(CAST(a.h AS HUGEINT) * 1099511628211,
+                      18446744073709551616::HUGEINT) AS UBIGINT),
+             b.h) AS h
+  FROM uh a JOIN uh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+fb AS (SELECT doc_id, CAST(mod(h, 4096) AS BIGINT) AS b FROM feats),
+rawc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+tgtc AS (SELECT b, count(*) AS c FROM fb JOIN documents USING (doc_id)
+         WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tgtc) AS st,
+               (SELECT sum(c) FROM rawc) AS sr),
+ratio AS (
+  SELECT r.b,
+         ln((COALESCE(t.c, 0) + 1.0) / (st + 4096.0))
+         - ln((r.c + 1.0) / (sr + 4096.0)) AS lr
+  FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tot
+),
+docw AS (
+  SELECT f.doc_id, sum(lr) AS logw
+  FROM fb f JOIN ratio USING (b) GROUP BY f.doc_id
+)
+SELECT doc_id, ROUND(logw, 4) AS logw_r FROM docw
+ORDER BY logw DESC, doc_id LIMIT 100
 """,
     }

@@ -1715,6 +1715,22 @@ def _q_more_like_this(sf_dir: str):
     return out[out["doc_id"] != 7].head(50).reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (``pipelines/semdedup``, arXiv:2303.09540): k-means
+    (deterministic lowest-id seeds, one Lloyd iteration via per-block
+    partial dim-sums + tiny groupby) then within-cluster cosine
+    pruning in ``groupby(cluster).map_groups`` — keep[i] = no
+    lower-id cluster member with cos > 0.4. Float64 end-to-end so
+    the DuckDB oracle replicates the exact cosine expression."""
+    import ray.data
+
+    from iresearch_ray.pipelines.semdedup import semdedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semdedup(ds, k=8, iters=1, tau=0.4)
+
+
 def _q_dsir_topk(sf_dir: str):
     """DSIR importance ranking (``pipelines/dsir``, arXiv:2302.03169):
     hashed unigram+bigram bucket counts (one pre-aggregated partial per
@@ -1848,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         "dsir_topk": _q_dsir_topk,
         "dsir_resample": _q_dsir_resample,
+        "semdedup_keep": _q_semdedup,
     }
 
 
@@ -3170,5 +3187,58 @@ docw AS (
 )
 SELECT doc_id, ROUND(logw, 4) AS logw_r FROM docw
 ORDER BY logw DESC, doc_id LIMIT 100
+""",
+        # SemDeDup: lowest-id seeds -> one Lloyd iteration (per-dim
+        # avg) -> max-cosine assignment (ties -> lowest cid) ->
+        # within-cluster lower-id cosine pruning. All cosine math in
+        # DOUBLE, mirroring the engine's float64 pipeline.
+        "semdedup_keep": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+nn AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM emb),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         e AS c
+  FROM emb ORDER BY vec_id LIMIT 8
+),
+sn AS (SELECT cid, c, sqrt(list_dot_product(c, c)) AS cn FROM seeds),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, s.c) / (n.nrm * s.cn) DESC,
+                      s.cid) AS rn
+    FROM emb v JOIN nn n USING (vec_id) CROSS JOIN sn s)
+  WHERE rn = 1
+),
+expl AS (
+  SELECT a0.cid, unnest(e) AS x, generate_subscripts(e, 1) AS dim
+  FROM emb JOIN a0 USING (vec_id)
+),
+cdims AS (SELECT cid, dim, avg(x) AS m FROM expl GROUP BY cid, dim),
+cent AS (SELECT cid, list(m ORDER BY dim) AS c FROM cdims GROUP BY cid),
+cn2 AS (SELECT cid, c, sqrt(list_dot_product(c, c)) AS cn FROM cent),
+asgn AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, s.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, s.c) / (n.nrm * s.cn) DESC,
+                      s.cid) AS rn
+    FROM emb v JOIN nn n USING (vec_id) CROSS JOIN cn2 s)
+  WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT i.vec_id
+  FROM asgn i JOIN asgn j ON i.cid = j.cid AND j.vec_id < i.vec_id
+  JOIN emb ei ON ei.vec_id = i.vec_id
+  JOIN emb ej ON ej.vec_id = j.vec_id
+  JOIN nn ni ON ni.vec_id = i.vec_id
+  JOIN nn nj ON nj.vec_id = j.vec_id
+  WHERE list_dot_product(ei.e, ej.e) / (ni.nrm * nj.nrm) > 0.4
+)
+SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NULL) AS keep
+FROM asgn a LEFT JOIN dups d USING (vec_id)
+ORDER BY a.vec_id
 """,
     }

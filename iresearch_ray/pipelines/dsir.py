@@ -148,8 +148,13 @@ class DsirScorer:
 
 def dsir_scores(ds, ratio_ref, n_buckets: int = 4096,
                 text_col: str = "text", id_col: str = "doc_id",
-                concurrency: int = 4):
-    """Dataset[(id, n_feats, logw)] for docs with >= 1 feature."""
+                concurrency=None):
+    """Dataset[(id, n_feats, logw)] for docs with >= 1 feature.
+    ``concurrency=None`` -> elastic pool up to CPUs - 2 (a fixed pool
+    equal to the session CPUs starves the read stage)."""
+    from iresearch_ray.pipelines.decontam import _auto_concurrency
+
+    concurrency = _auto_concurrency(concurrency)
     return ds.map_batches(
         DsirScorer, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"ratio": ratio_ref, "n_buckets": n_buckets,

@@ -1756,10 +1756,10 @@ def _q_dsir_topk(sf_dir: str):
 def _q_dsir_resample(sf_dir: str):
     """DSIR Gumbel-top-k resampling (the paper's sampling form): same
     importance model, noise from a seeded doc-id hash so the sample is
-    reproducible at any cluster size. No SQL oracle (the Gumbel keys
-    use float transcendentals of a 64-bit mix — replicating the exact
-    bit pattern in DuckDB is not practical); planted-separation and
-    determinism covered by pytest."""
+    reproducible at any cluster size. The SQL oracle replicates the
+    whole chain (feature hash, LLR, the seeded 64-bit mix -> Gumbel);
+    ln() ulp noise (<1e-15) cannot flip the compared top-100 doc_id
+    SELECTION. Planted-separation and determinism also in pytest."""
     import ray
     import ray.data
 
@@ -2163,6 +2163,41 @@ SELECT d.doc_id, COALESCE(b.lang, 'unk') AS lang_pred
 FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
   USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+# DSIR prelude shared by the dsir_topk / dsir_resample oracles:
+# bit-exact replica of the engine's string hash + bigram rolling fold
+# (h1*P ^ h2), add-one LLR vs the lang=en target slice, per-doc sum.
+_DSIR_DOCW_SQL = f"""
+, uh AS (
+  SELECT doc_id, pos, {_hash_sql('term')} AS h FROM term_pos
+),
+feats AS (
+  SELECT doc_id, h FROM uh
+  UNION ALL
+  SELECT a.doc_id,
+         xor(CAST(mod(CAST(a.h AS HUGEINT) * 1099511628211,
+                      18446744073709551616::HUGEINT) AS UBIGINT),
+             b.h) AS h
+  FROM uh a JOIN uh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+fb AS (SELECT doc_id, CAST(mod(h, 4096) AS BIGINT) AS b FROM feats),
+rawc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
+tgtc AS (SELECT b, count(*) AS c FROM fb JOIN documents USING (doc_id)
+         WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tgtc) AS st,
+               (SELECT sum(c) FROM rawc) AS sr),
+ratio AS (
+  SELECT r.b,
+         ln((COALESCE(t.c, 0) + 1.0) / (st + 4096.0))
+         - ln((r.c + 1.0) / (sr + 4096.0)) AS lr
+  FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tot
+),
+docw AS (
+  SELECT f.doc_id, sum(lr) AS logw
+  FROM fb f JOIN ratio USING (b) GROUP BY f.doc_id
+)
 """
 
 
@@ -3156,37 +3191,40 @@ ORDER BY score DESC, doc_id LIMIT 50
         # (bit-exact replica of the engine's string hash + the bigram
         # rolling fold h1*P ^ h2), add-one LLR vs the lang=en target
         # slice, per-doc sum, top-100
-        "dsir_topk": _TOK_SQL + f"""
-, uh AS (
-  SELECT doc_id, pos, {_hash_sql('term')} AS h FROM term_pos
-),
-feats AS (
-  SELECT doc_id, h FROM uh
-  UNION ALL
-  SELECT a.doc_id,
-         xor(CAST(mod(CAST(a.h AS HUGEINT) * 1099511628211,
-                      18446744073709551616::HUGEINT) AS UBIGINT),
-             b.h) AS h
-  FROM uh a JOIN uh b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-),
-fb AS (SELECT doc_id, CAST(mod(h, 4096) AS BIGINT) AS b FROM feats),
-rawc AS (SELECT b, count(*) AS c FROM fb GROUP BY b),
-tgtc AS (SELECT b, count(*) AS c FROM fb JOIN documents USING (doc_id)
-         WHERE lang = 'en' GROUP BY b),
-tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tgtc) AS st,
-               (SELECT sum(c) FROM rawc) AS sr),
-ratio AS (
-  SELECT r.b,
-         ln((COALESCE(t.c, 0) + 1.0) / (st + 4096.0))
-         - ln((r.c + 1.0) / (sr + 4096.0)) AS lr
-  FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tot
-),
-docw AS (
-  SELECT f.doc_id, sum(lr) AS logw
-  FROM fb f JOIN ratio USING (b) GROUP BY f.doc_id
-)
+        "dsir_topk": _TOK_SQL + _DSIR_DOCW_SQL + """
 SELECT doc_id, ROUND(logw, 4) AS logw_r FROM docw
 ORDER BY logw DESC, doc_id LIMIT 100
+""",
+        # DSIR Gumbel-top-k resampling: same docw prelude, then the
+        # engine's seeded doc-id mix (FNV wrap-mul, xor-shift, 64-bit
+        # murmur finalizer via 32-bit split multiply so HUGEINT never
+        # overflows) -> uniform -> Gumbel; top-100 by logw+Gumbel.
+        # ln() ulp differences vs numpy (<1e-15) cannot flip a top-100
+        # SELECTION, and only doc_ids are compared.
+        "dsir_resample": _TOK_SQL + _DSIR_DOCW_SQL + f"""
+, s1 AS (
+  SELECT doc_id, logw,
+         xor(CAST(mod(CAST(doc_id AS HUGEINT) * 1099511628211,
+                      18446744073709551616::HUGEINT) AS UBIGINT),
+             CAST(24301 AS UBIGINT)) AS h1
+  FROM docw),
+s2 AS (SELECT doc_id, logw, xor(h1, h1 >> 33) AS h2 FROM s1),
+s3 AS (
+  SELECT doc_id, logw, CAST(mod(
+      CAST(h2 & 4294967295 AS HUGEINT) * {0xFF51AFD7ED558CCD & 0xFFFFFFFF}
+      + mod(CAST(h2 & 4294967295 AS HUGEINT) * {0xFF51AFD7ED558CCD >> 32}
+            + CAST(h2 >> 32 AS HUGEINT) * {0xFF51AFD7ED558CCD & 0xFFFFFFFF},
+            4294967296::HUGEINT) * 4294967296::HUGEINT,
+      18446744073709551616::HUGEINT) AS UBIGINT) AS hm FROM s2),
+s4 AS (SELECT doc_id, logw, xor(hm, hm >> 33) AS h3 FROM s3),
+noisy AS (
+  SELECT doc_id,
+         logw - ln(-ln((CAST(h3 AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0)) AS gkey
+  FROM s4)
+SELECT doc_id FROM (
+  SELECT doc_id FROM noisy ORDER BY gkey DESC, doc_id LIMIT 100)
+ORDER BY doc_id
 """,
         # SemDeDup: lowest-id seeds -> one Lloyd iteration (per-dim
         # avg) -> max-cosine assignment (ties -> lowest cid) ->

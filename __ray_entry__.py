@@ -282,6 +282,31 @@ def _q_quality(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus-level line dedup (Raffel et al. 2020 §2.2): a
+    line occurring anywhere else in the corpus is kept only at its
+    first occurrence and deleted from every other document. The corpus
+    text has no newlines, so the query lineates deterministically —
+    one newline after every 8th word, a regex the SQL oracle repeats
+    verbatim (both sides are RE2, non-overlapping sequential matches)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import line_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def lineate(t):
+        return t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pc.replace_substring_regex(
+                t.column("text"), r"((\S+ ){7}\S+) ", "\\1\n"))
+
+    out = line_dedup(ds.map_batches(lineate, batch_format="pyarrow"))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_gopher_rules(sf_dir: str):
     """Gopher document-quality gate (Rae et al. 2021 §A1.1): every
     rule metric plus the combined pass flag, per doc."""
@@ -462,6 +487,60 @@ def _q_hash_split_sample(sf_dir: str):
                                columns=["doc_id"])
     out = assign_splits(hash_sample(ds, "doc_id", 0.2), "doc_id")
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-scaled source mixing (GPT-3 / Pile mixture
+    reweighting, ``pipelines/sampling.temperature_mix``): per-source
+    rates derived from a group-cardinality-sized count groupby
+    (alpha=0.5 upweights small sources), applied as the zero-shuffle
+    deterministic hash threshold; the oracle recomputes the identical
+    rate expression (pow(c,0.5) is IEEE-exact sqrt on both sides)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sampling import temperature_mix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    out = temperature_mix(ds, "doc_id", "source", alpha=0.5,
+                          target_frac=0.3)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_pmi_collocations(sf_dir: str):
+    """Top-100 word-bigram collocations by PMI (Church & Hanks 1990,
+    ``pipelines/textstats.pmi_collocations``): vocab-bounded combiner
+    groupbys, min_count filter BEFORE the two unigram hash joins, one
+    small sort on the surviving collocation set. Float PMI is computed
+    in the documented left-to-right order so the SQL oracle is
+    bit-exact."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import pmi_collocations
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = pmi_collocations(ds, min_count=5, k=100)
+    return out.to_pandas().reset_index(drop=True)
+
+
+def _q_significant_terms(sf_dir: str):
+    """Per-language significant terms (the Elasticsearch
+    `significant_terms` aggregation, JLH heuristic —
+    ``pipelines/textstats.significant_terms``): exact per-doc distinct
+    term df via one np.unique per batch, background derived FROM the
+    foreground aggregate (vocab-sized second groupby, corpus never
+    re-read), group-cardinality broadcast for group sizes, group_topk
+    combiner prune for the final selection."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import significant_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    out = significant_terms(ds, group_col="lang", n=5)
+    return (out.to_pandas().sort_values(["lang", "rank"])
+            .reset_index(drop=True))
 
 
 def _q_tfidf_keywords(sf_dir: str):
@@ -1810,6 +1889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "hash_split_sample": _q_hash_split_sample,
         "stratified_sample": _q_stratified_sample,
+        "temperature_mix": _q_temperature_mix,
+        "pmi_collocations": _q_pmi_collocations,
+        "significant_terms": _q_significant_terms,
         "tfidf_keywords": _q_tfidf_keywords,
         "pack_sequences": _q_pack_sequences,
         "events_hourly": _q_events_hourly,
@@ -1858,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "transcripts_flagship": _q_transcripts_flagship,
         "gopher_rules": _q_gopher_rules,
+        "line_dedup": _q_line_dedup,
         "facet_counts": _q_facet_counts,
         "search_after_page": _q_search_after,
         "hybrid_rrf_topk": _q_hybrid_rrf,
@@ -2572,6 +2655,37 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM dl ORDER BY doc_id
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
 FROM documents GROUP BY text ORDER BY doc_id
 """,
+        # C4 line dedup: same lineating regex as the query (both RE2),
+        # first-occurrence winner = min (doc_id, line_idx) packed key
+        # (engine packs doc_id * 2^21 + li), kept lines string_agg'd
+        # back; docs whose every line dropped keep ''. The engine keys
+        # lines by 128-bit hash, the oracle by text equality — equal
+        # absent a collision.
+        "line_dedup": """
+WITH lt AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')
+         AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1
+              AS BIGINT) AS li,
+         unnest(string_split(text, chr(10))) AS l
+  FROM lt),
+keyed AS (
+  SELECT doc_id, li, l, doc_id * 2097152 + li AS key FROM lines),
+kept AS (
+  SELECT doc_id, li, l FROM (
+    SELECT *, min(key) OVER (PARTITION BY l) AS mk FROM keyed)
+  WHERE key = mk),
+agg AS (
+  SELECT doc_id, string_agg(l, chr(10) ORDER BY li) AS text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
         "payload_term_scores": _TOK_SQL + """
 SELECT doc_id, CAST(SUM(pos) AS BIGINT) AS pay_sum
 FROM term_pos WHERE term = 'scan'
@@ -2714,6 +2828,72 @@ WHERE (doc_id * 2654435761) % 4294967296 <
                 WHEN 'fr' THEN 536870912
                 ELSE 214748364 END
 ORDER BY doc_id
+""",
+        # temperature mix: same rate expression in the same
+        # parenthesized order (pow(c,0.5) = IEEE-exact sqrt both
+        # sides), same Knuth hash threshold with int() = floor for
+        # positive rates
+        "temperature_mix": """
+WITH gc AS (
+  SELECT source AS g, CAST(count(*) AS DOUBLE) AS c
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(c, 0.5)) AS s, sum(c) AS n FROM gc),
+r AS (
+  SELECT g, least(1.0, ((0.3 * n) * pow(c, 0.5)) / (s * c)) AS rate
+  FROM gc, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.g
+WHERE (d.doc_id * 2654435761) % 4294967296 <
+      CAST(floor(rate * 4294967296.0) AS BIGINT)
+ORDER BY doc_id
+""",
+        # PMI collocations: ln-sum evaluated in the engine's exact
+        # left-to-right order; N1 = total tokens, N2 = total bigram
+        # windows; c12 >= 5 filter matches min_count
+        "pmi_collocations": _TOK_SQL + """
+, uni AS (SELECT term, count(*) AS c FROM term_pos GROUP BY term),
+totals AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END)
+              AS DOUBLE) AS n2
+  FROM dl),
+bi AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) AS c12
+  FROM term_pos a JOIN term_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 5),
+p AS (
+  SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         round(ln(CAST(c12 AS DOUBLE)) - ln(CAST(u1.c AS DOUBLE))
+           - ln(CAST(u2.c AS DOUBLE)) + 2 * ln(n1) - ln(n2), 6) AS pmi
+  FROM bi JOIN uni u1 ON bi.w1 = u1.term
+          JOIN uni u2 ON bi.w2 = u2.term, totals)
+SELECT w1, w2, c12, pmi FROM p ORDER BY pmi DESC, w1, w2 LIMIT 100
+""",
+        # significant terms (JLH): same float expression order; exact
+        # per-doc-distinct df; rank ties broken by term on both sides
+        "significant_terms": _TOK_SQL + """
+, dt AS (SELECT DISTINCT doc_id, term FROM term_pos),
+fgt AS (
+  SELECT d.lang, dt.term, CAST(count(*) AS DOUBLE) AS fgc
+  FROM dt JOIN documents d USING (doc_id) GROUP BY d.lang, dt.term),
+bgt AS (SELECT term, sum(fgc) AS bgc FROM fgt GROUP BY term),
+gdt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS gdocs
+        FROM documents GROUP BY lang),
+tott AS (SELECT CAST(count(*) AS DOUBLE) AS tdocs FROM documents),
+sc2 AS (
+  SELECT fgt.lang, fgt.term,
+         ((fgc / gdocs) - (bgc / tdocs))
+           * ((fgc / gdocs) / (bgc / tdocs)) AS score
+  FROM fgt JOIN bgt USING (term) JOIN gdt USING (lang), tott),
+rk AS (
+  SELECT lang, term, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, term) AS rank
+  FROM sc2)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, score
+FROM rk WHERE rank <= 5 ORDER BY lang, rank
 """,
         # PII scrub: identical deterministic plant + the same ordered
         # RE2 chain (DuckDB regexp_* is RE2, like pyarrow)

@@ -323,12 +323,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     advice without shipping text through the shuffle."""
     if num_partitions is None:
         # the join back is the pipeline's one all-to-all: size it to
-        # the session so a 32-cpu box doesn't funnel through 16 tasks
+        # the session so a 32-cpu box doesn't funnel through few tasks.
+        # NEVER above the CPU count: hash-shuffle aggregator actors are
+        # sized from num_partitions, and more of them than cores
+        # starves the upstream map tasks (observed livelock at
+        # 16 partitions on a 4-cpu session).
         import ray as _ray
 
-        num_partitions = max(16, int(
+        num_partitions = max(2, int(
             _ray.cluster_resources().get("CPU", 8))) \
-            if _ray.is_initialized() else 16
+            if _ray.is_initialized() else 8
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1041,3 +1045,185 @@ def winnow_near_pairs(ds, k: int = 5, w: int = 4, min_shared: int = 20,
 
     return (paired.map_batches(block_count, batch_format="pyarrow")
             .groupby("salt").map_groups(salt_sum, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level line dedup
+# ---------------------------------------------------------------------------
+
+_LINE_BITS = 21  # packed key = doc_id * 2^21 + line_idx
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n", num_partitions: int | None = None):
+    """Corpus-wide line-level dedup (C4, Raffel et al. 2020 §2.2: all
+    but one occurrence of a repeated span is discarded): a line that
+    appears anywhere else in the corpus survives ONLY at its first
+    occurrence — lowest ``(doc_id, line_idx)`` — and is deleted from
+    every other document. Returns ``(id_col, text_col)`` with the
+    cleaned text (kept lines rejoined with ``sep``; a doc whose every
+    line was dropped keeps an empty string).
+
+    Scale shape: pass 1 ships only ``(h_lo, h_hi, packed_key)`` per
+    line — text never enters the shuffle; the 128-bit line key matches
+    ``exact_dedup``'s collision budget. Winners come from ONE
+    ``groupby.aggregate(Min, Count)``; only line groups with count>1
+    join back, so the drop join's right side is bounded by the
+    duplicate volume, not the corpus. The drop list is re-keyed per doc
+    (``groupby.map_groups`` over dup rows only) and LEFT-joined to the
+    originals, so unaffected docs stream through the final rebuild
+    untouched. The line-emit pass runs twice (winner pass + drop join)
+    rather than materializing the exploded stream — recompute is
+    cheaper than holding corpus x lines_per_doc rows in the store."""
+    from ray.data.aggregate import Count, Min
+
+    if num_partitions is None:
+        # capped at the CPU count like exact_dedup: this DAG holds TWO
+        # joins alive at once, and partitions > cores livelocks the
+        # shuffle on small sessions (16 partitions on 4 cpus hung)
+        import ray as _ray
+
+        num_partitions = max(2, int(
+            _ray.cluster_resources().get("CPU", 8))) \
+            if _ray.is_initialized() else 8
+
+    def emit(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        lines = pc.split_pattern(texts, sep)
+        offs = np.asarray(lines.offsets)
+        counts = np.diff(offs)
+        if counts.size and int(counts.max()) >= (1 << _LINE_BITS):
+            raise ValueError(
+                f"doc with >= 2^{_LINE_BITS} lines; raise _LINE_BITS")
+        flat = lines.values
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, counts)
+        li = np.arange(offs[-1] - offs[0], dtype=np.int64) \
+            - np.repeat(offs[:-1] - offs[0], counts)
+        return pa.table({
+            "h_lo": pa.array(_hash_strings(flat).astype(np.int64)),
+            "h_hi": pa.array(_hash_strings(
+                flat, seed=0x9E3779B97F4A7C15).astype(np.int64)),
+            "key": pa.array(doc * np.int64(1 << _LINE_BITS) + li),
+        })
+
+    exploded = ds.map_batches(emit, batch_format="pyarrow")
+    winners = exploded.groupby(["h_lo", "h_hi"]).aggregate(
+        Min("key"), Count())
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("h_lo", pa.int64()), ("h_hi", pa.int64()),
+                            ("__min_key", pa.int64())])
+        if "min(key)" not in t.column_names:
+            return schema.empty_table()
+        n = t.column("count()").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(n > 1))
+        return pa.table({
+            "h_lo": t.column("h_lo").cast(pa.int64()),
+            "h_hi": t.column("h_hi").cast(pa.int64()),
+            "__min_key": t.column("min(key)").cast(pa.int64()),
+        })
+
+    dup_winners = winners.map_batches(dup_only, batch_format="pyarrow")
+    left = _pad_side(ds.map_batches(emit, batch_format="pyarrow"),
+                     {"h_lo": _PAD_LEFT_BASE, "h_hi": _PAD_LEFT_BASE},
+                     num_partitions,
+                     schema=pa.schema([("h_lo", pa.int64()),
+                                       ("h_hi", pa.int64()),
+                                       ("key", pa.int64())]))
+    right = _pad_side(dup_winners,
+                      {"h_lo": _PAD_RIGHT_BASE, "h_hi": _PAD_RIGHT_BASE},
+                      num_partitions,
+                      schema=pa.schema([("h_lo", pa.int64()),
+                                        ("h_hi", pa.int64()),
+                                        ("__min_key", pa.int64())]))
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("h_lo", "h_hi"))
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        mk = t.column("__min_key").to_numpy(zero_copy_only=False)
+        # pad sentinel rows carry null key/min_key -> NaN-safe compare
+        ok = np.flatnonzero((key != mk) & (key >= 0))
+        key = key[ok]
+        return pa.table({
+            id_col: pa.array(key >> np.int64(_LINE_BITS)),
+            "__li": pa.array(key & np.int64((1 << _LINE_BITS) - 1)),
+        })
+
+    drops = joined.map_batches(to_drops, batch_format="pyarrow")
+
+    def pack_doc(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        lis = t.column("__li").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, lis = ids[order], lis[order]
+        starts = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))
+        offs = np.append(starts, ids.size).astype(np.int64)
+        # Acero (the join kernel) rejects list<> payload columns, so
+        # the per-doc drop list rides the join as a csv string
+        lis_csv = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int64()),
+                pc.cast(pa.array(lis, type=pa.int64()), pa.string())),
+            ",")
+        return pa.table({
+            "__drop_doc": pa.array(ids[starts]),
+            "__drop_lis": lis_csv,
+        })
+
+    droplists = drops.groupby(id_col).map_groups(
+        pack_doc, batch_format="pyarrow")
+    left2 = _pad_side(ds, {id_col: _PAD_LEFT_BASE}, num_partitions)
+    right2 = _pad_side(
+        droplists, {"__drop_doc": _PAD_RIGHT_BASE}, num_partitions,
+        schema=pa.schema([("__drop_doc", pa.int64()),
+                          ("__drop_lis", pa.string())]))
+    merged = left2.join(right2, join_type="left_outer",
+                        num_partitions=num_partitions,
+                        on=(id_col,), right_on=("__drop_doc",))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        real = pa.array(ids > -(1 << 61))  # drop surviving pad rows
+        t = t.filter(real)
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        lines = pc.split_pattern(texts, sep)
+        offs = np.asarray(lines.offsets)
+        counts = np.diff(offs)
+        starts = (offs[:-1] - offs[0]).astype(np.int64)
+        dl = t.column("__drop_lis")
+        if isinstance(dl, pa.ChunkedArray):
+            dl = dl.combine_chunks()
+        dl = pc.fill_null(dl, "")
+        split = pc.split_pattern(dl, ",")
+        dlen = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dlen[pc.equal(dl, "").to_numpy(zero_copy_only=False)] = 0
+        flat = pc.list_flatten(split)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        dvals = pc.cast(flat, pa.int64()).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(t), dtype=np.int64), dlen)
+        keep = np.ones(int(offs[-1] - offs[0]), dtype=bool)
+        if dvals.size:
+            keep[starts[parent] + dvals] = False
+        new_counts = counts - dlen
+        new_offs = np.concatenate(
+            ([0], np.cumsum(new_counts))).astype(np.int64)
+        kept = lines.values.filter(pa.array(keep))
+        out = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()),
+            kept.cast(pa.string()))
+        return pa.table({
+            id_col: t.column(id_col),
+            text_col: pc.binary_join(out, sep),
+        })
+
+    return merged.map_batches(rebuild, batch_format="pyarrow")

@@ -94,3 +94,32 @@ def assign_splits(ds, key_col: str,
             out_col, pa.array(labels[idx], type=pa.string()))
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+def temperature_mix(ds, key_col: str, group_col: str, alpha: float = 0.5,
+                    target_frac: float = 0.25, salt: int = 0):
+    """Temperature-scaled source mixing (the GPT-3 / Pile mixture
+    reweighting): sample so the kept corpus is ~``target_frac * N``
+    rows distributed across groups proportional to ``n_g ** alpha``
+    (alpha < 1 upweights small sources, alpha = 1 is uniform sampling):
+
+        rate_g = min(1, ((target_frac * N) * n_g**alpha) / (S * n_g)),
+        S = sum_g n_g**alpha
+
+    The group-count groupby output is group-cardinality-sized (sources
+    / languages — O(10..1e4) rows), so collecting it on the driver is a
+    broadcast-side build, not a corpus materialization; the per-row
+    decision then reuses ``stratified_sample``'s zero-shuffle hash
+    threshold, so re-runs and resumes keep identical rows. The rate
+    expression is evaluated in exactly the parenthesized order above so
+    a SQL oracle reproduces the float bit-for-bit (alpha = 0.5 makes
+    ``pow`` the IEEE-exact sqrt on both sides)."""
+    rows = ds.groupby(group_col).count().take_all()
+    counts = {r[group_col]: float(r["count()"]) for r in rows}
+    n = 0.0
+    s = 0.0
+    for g in sorted(counts):
+        n += counts[g]
+        s += counts[g] ** alpha
+    rates = {g: min(1.0, ((target_frac * n) * (c ** alpha)) / (s * c))
+             for g, c in counts.items()}
+    return stratified_sample(ds, key_col, group_col, rates, salt=salt)

@@ -557,3 +557,261 @@ def dup_passage_spans(ds, n: int = 8, text_col: str = "text",
 
     return joined.groupby(id_col).map_groups(
         merge_spans, batch_format="pandas")
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
+                     k: int = 100, num_partitions: int = 8):
+    """Top-k word-bigram collocations by pointwise mutual information —
+    the classic corpus-analysis / phrase-mining op (Church & Hanks 1990):
+
+        pmi(w1,w2) = ln c12 - ln c1 - ln c2 + 2 ln N1 - ln N2
+
+    with c12 the bigram count, c1/c2 unigram counts, N1 total tokens,
+    N2 total bigram windows (sum over docs of max(0, n_tokens-1)).
+    Returns Dataset(w1, w2, c12, pmi) sorted by (pmi desc, w1, w2),
+    limited to k. The float expression is evaluated in exactly this
+    left-to-right order so a SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: per-batch dictionary-encode + bincount combiners mean
+    only (gram, partial_count) rows — vocab-bounded, not corpus-bounded
+    — enter the two groupby shuffles; the min_count filter runs BEFORE
+    the unigram joins, so the join left side is the surviving
+    collocation set; the unigram table (vocab-sized) is materialized
+    once and joined twice by hash, never broadcast; the final sort sees
+    only filtered collocations.
+    """
+    from ray.data.aggregate import Sum
+
+    from iresearch_ray.pipelines.dedup import (_PAD_LEFT_BASE,
+                                               _PAD_RIGHT_BASE, _pad_side)
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"w": enc.dictionary.cast(pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        grams, _ = word_ngrams(b, 2, text_col)
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if len(grams) == 0:
+            return empty
+        enc = grams.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        # tokens contain no spaces (split on non-alnum), so the joined
+        # gram splits back into exactly its two constituents
+        parts = pc.split_pattern(enc.dictionary.cast(pa.string()), " ")
+        return pa.table({
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    def totals_partial(b: pa.Table) -> pa.Table:
+        flat, didx = _flat_tokens(b, text_col)
+        lens = np.bincount(didx, minlength=len(b)).astype(np.int64)
+        return pa.table({
+            "n1": pa.array([int(lens.sum())]),
+            "n2": pa.array([int(np.maximum(lens - 1, 0).sum())]),
+        })
+
+    tot = ds.map_batches(totals_partial, batch_format="pyarrow") \
+        .sum(["n1", "n2"])
+    n1 = float(tot["sum(n1)"])
+    n2 = float(tot["sum(n2)"])
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("c")).materialize()
+
+    def floor_filter(b: pa.Table) -> pa.Table:
+        if "sum(c)" not in b.column_names:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "c12": pa.array([], type=pa.int64())})
+        b = b.filter(pc.greater_equal(b.column("sum(c)"), min_count))
+        return pa.table({"w1": b.column("w1").cast(pa.string()),
+                         "w2": b.column("w2").cast(pa.string()),
+                         "c12": b.column("sum(c)").cast(pa.int64())})
+
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c")) \
+        .map_batches(floor_filter, batch_format="pyarrow")
+
+    def u_side(name):
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({name: b.column("w").cast(pa.string()),
+                             f"__c{name[-1]}": b.column("sum(c)")
+                             .cast(pa.int64())})
+        return uni.map_batches(rename, batch_format="pyarrow")
+
+    j1 = _pad_side(bi, {"w1": _PAD_LEFT_BASE}, num_partitions,
+                   schema=pa.schema([("w1", pa.string()),
+                                     ("w2", pa.string()),
+                                     ("c12", pa.int64())])) \
+        .join(_pad_side(u_side("u1"), {"u1": _PAD_RIGHT_BASE},
+                        num_partitions,
+                        schema=pa.schema([("u1", pa.string()),
+                                          ("__c1", pa.int64())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("w1",), right_on=("u1",))
+    j1 = j1.map_batches(
+        lambda b: b.select(["w1", "w2", "c12", "__c1"]),
+        batch_format="pyarrow")
+    j2 = _pad_side(j1, {"w2": _PAD_LEFT_BASE}, num_partitions,
+                   schema=pa.schema([("w1", pa.string()),
+                                     ("w2", pa.string()),
+                                     ("c12", pa.int64()),
+                                     ("__c1", pa.int64())])) \
+        .join(_pad_side(u_side("u2"), {"u2": _PAD_RIGHT_BASE},
+                        num_partitions,
+                        schema=pa.schema([("u2", pa.string()),
+                                          ("__c2", pa.int64())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("w2",), right_on=("u2",))
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = b.column("c12").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = b.column("__c1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c2 = b.column("__c2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pmi = np.log(c12) - np.log(c1) - np.log(c2) \
+            + 2.0 * np.log(n1) - np.log(n2)
+        # numpy log and DuckDB ln disagree in the last ulp; round
+        # half-away-from-zero to 6 dp (= DuckDB ROUND) and sort on the
+        # rounded value so rank order is engine-independent too
+        pmi = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6
+        return pa.table({"w1": b.column("w1"), "w2": b.column("w2"),
+                         "c12": b.column("c12"),
+                         "pmi": pa.array(pmi)})
+
+    return j2.map_batches(score, batch_format="pyarrow") \
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False]) \
+        .limit(k)
+
+
+def significant_terms(ds, group_col: str = "lang",
+                      text_col: str = "text", n: int = 5,
+                      num_partitions: int = 8):
+    """Per-group significant terms — which terms are over-represented
+    in a group relative to the whole corpus (the Elasticsearch
+    `significant_terms` aggregation with its JLH heuristic):
+
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate),
+        fg_rate = group doc-frequency / group docs,
+        bg_rate = corpus doc-frequency / corpus docs
+
+    -> Dataset(group, rank, term, score), top-``n`` per group by score
+    desc (ties by term). Float score is evaluated in exactly this
+    order so a SQL oracle is bit-exact.
+
+    Scale shape: per-doc DISTINCT terms come from one np.unique per
+    batch (a doc is one row, so its terms never span batches — exact
+    df); only (group, term, partial_count) rows enter the groupby; the
+    BACKGROUND table is derived from the foreground aggregate (a
+    second, vocab-sized groupby — the corpus is never re-read); docs
+    per group is a group-cardinality-sized broadcast; the final
+    selection reuses group_topk's per-batch combiner prune."""
+    from ray.data.aggregate import Sum
+
+    from iresearch_ray.pipelines.aggregates import group_topk
+    from iresearch_ray.pipelines.dedup import (_PAD_LEFT_BASE,
+                                               _PAD_RIGHT_BASE, _pad_side)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], type=pa.string()),
+                          "term": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        flat, didx = _flat_tokens(b, text_col)
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        ci = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(enc.dictionary)
+        uk = np.unique(didx * nv + ci)          # per-doc distinct terms
+        ud, uc = uk // nv, uk % nv
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        genc = g.dictionary_encode()
+        gi = genc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ud]
+        k2, cnt = np.unique(gi * nv + uc, return_counts=True)
+        return pa.table({
+            group_col: genc.dictionary.take(
+                pa.array(k2 // nv)).cast(pa.string()),
+            "term": enc.dictionary.take(
+                pa.array(k2 % nv)).cast(pa.string()),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    fg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "term"]).aggregate(Sum("c")).materialize()
+
+    def bg_in(b: pa.Table) -> pa.Table:
+        return pa.table({"__bterm": b.column("term").cast(pa.string()),
+                         "c2": b.column("sum(c)").cast(pa.int64())})
+
+    bg = fg.map_batches(bg_in, batch_format="pyarrow") \
+        .groupby("__bterm").aggregate(Sum("c2"))
+
+    def fg_norm(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b.column(group_col).cast(pa.string()),
+                         "term": b.column("term").cast(pa.string()),
+                         "fgc": b.column("sum(c)").cast(pa.int64())})
+
+    def bg_norm(b: pa.Table) -> pa.Table:
+        if "sum(c2)" not in b.column_names:
+            return pa.table({"__bterm": pa.array([], type=pa.string()),
+                             "bgc": pa.array([], type=pa.int64())})
+        return pa.table({"__bterm": b.column("__bterm").cast(pa.string()),
+                         "bgc": b.column("sum(c2)").cast(pa.int64())})
+
+    joined = _pad_side(
+        fg.map_batches(fg_norm, batch_format="pyarrow"),
+        {"term": _PAD_LEFT_BASE}, num_partitions,
+        schema=pa.schema([(group_col, pa.string()), ("term", pa.string()),
+                          ("fgc", pa.int64())])) \
+        .join(_pad_side(bg.map_batches(bg_norm, batch_format="pyarrow"),
+                        {"__bterm": _PAD_RIGHT_BASE}, num_partitions,
+                        schema=pa.schema([("__bterm", pa.string()),
+                                          ("bgc", pa.int64())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("term",), right_on=("__bterm",))
+
+    gd_rows = ds.groupby(group_col).count().take_all()
+    gdocs = {r[group_col]: float(r["count()"]) for r in gd_rows}
+    tdocs = float(sum(int(r["count()"]) for r in gd_rows))
+
+    def score(b: pa.Table) -> pa.Table:
+        g = b.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        genc = g.dictionary_encode()
+        lut = np.array([gdocs.get(v, np.nan)
+                        for v in genc.dictionary.to_pylist()] + [np.nan])
+        gi = genc.indices.fill_null(len(lut) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        gd = lut[gi]
+        fgc = b.column("fgc").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        bgc = b.column("bgc").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        fr = fgc / gd
+        br = bgc / tdocs
+        sc = (fr - br) * (fr / br)
+        return pa.table({group_col: b.column(group_col),
+                         "term": b.column("term"),
+                         "score": pa.array(sc)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return group_topk(scored, group_col, "score", n=n, id_col="term")

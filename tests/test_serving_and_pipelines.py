@@ -69,6 +69,35 @@ def test_exact_dedup(ray_session):
     assert sorted(out["doc_id"]) == [1, 2, 4]
 
 
+def test_line_dedup_first_occurrence_wins(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta\ncommon line here\ngamma",
+            "common line here\ndelta",
+            "unique one\ncommon line here",
+            "common line here",   # only line is a dup -> empty doc
+            "",                   # one empty line, first "" wins
+            "x\n\ny",             # its "" is a dup of doc 4's
+        ]),
+    })
+    out = (line_dedup(ray.data.from_arrow(t))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["text"]) == [
+        "alpha beta\ncommon line here\ngamma", "delta", "unique one",
+        "", "", "x\ny"]
+    # idempotent: a second pass changes nothing
+    t2 = pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                   "text": pa.array(out["text"])})
+    again = (line_dedup(ray.data.from_arrow(t2))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(again["text"]) == list(out["text"])
+
+
 def test_minhash_finds_near_dups(ray_session):
     import ray.data
 
@@ -675,3 +704,87 @@ def test_gopher_rules_crafted():
     assert out.loc[2, "ellipsis_frac"] == 1.0 and out.loc[2, "gopher_pass"] == 0
     assert out.loc[3, "symbol_ratio"] > 0.1 and out.loc[3, "gopher_pass"] == 0
     assert out.loc[4, "n_words"] == 4 and out.loc[4, "gopher_pass"] == 0
+
+
+def test_temperature_mix_rates(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.sampling import _M32, _hash32, temperature_mix
+
+    n_a, n_b = 90, 10
+    t = pa.table({
+        "doc_id": pa.array(range(n_a + n_b), type=pa.int64()),
+        "source": pa.array(["a"] * n_a + ["b"] * n_b),
+    })
+    out = (temperature_mix(ray.data.from_arrow(t), "doc_id", "source",
+                           alpha=0.5, target_frac=0.5)
+           .to_pandas().sort_values("doc_id"))
+    # rate_b = min(1, 50*sqrt(10)/(S*10)) = 1.0 -> every b row kept
+    b_kept = out[out["source"] == "b"]["doc_id"].tolist()
+    assert b_kept == list(range(n_a, n_a + n_b))
+    # rate_a replicated exactly
+    s = 90.0 ** 0.5 + 10.0 ** 0.5
+    rate_a = ((0.5 * 100.0) * 90.0 ** 0.5) / (s * 90.0)
+    thresh = np.uint64(int(rate_a * _M32))
+    ids = np.arange(n_a, dtype=np.int64)
+    expect = ids[_hash32(ids) < thresh].tolist()
+    assert out[out["source"] == "a"]["doc_id"].tolist() == expect
+
+
+def test_pmi_collocations_top_pair(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import pmi_collocations
+
+    docs = (["new york is big"] * 6
+            + ["the cat sat on the mat", "a dog and a cat",
+               "the mat was new", "york here alone"])
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs)})
+    out = (pmi_collocations(ray.data.from_arrow(t), min_count=2, k=5)
+           .to_pandas())
+    assert list(out.columns) == ["w1", "w2", "c12", "pmi"]
+    # survivors at min_count=2: (new,york)=(york,is)=(is,big)=6 but
+    # with unigram counts 6-7; (the,mat)=2 with c(the)=3, c(mat)=2 —
+    # PMI ln(2/(3*2)) beats ln(6/49), so the RARE pair tops the list
+    assert out.iloc[0]["w1"] == "the" and out.iloc[0]["w2"] == "mat"
+    assert out.iloc[0]["c12"] == 2
+    assert {"new", "york"} <= set(out["w1"]) | set(out["w2"])
+    # pmi formula replicated: c(the)=3, c(mat)=2, N1=sum tokens,
+    # N2=sum max(0, n_tok-1)
+    toks = [len(d.split()) for d in docs]
+    n1 = float(sum(toks))
+    n2 = float(sum(x - 1 for x in toks if x > 0))
+    want = (np.log(2.0) - np.log(3.0) - np.log(2.0)
+            + 2.0 * np.log(n1) - np.log(n2))
+    # the pipeline rounds half-away to 6 dp (DuckDB ROUND parity)
+    want = np.sign(want) * np.floor(np.abs(want) * 1e6 + 0.5) / 1e6
+    assert out.iloc[0]["pmi"] == want
+    # descending, deterministic tie order
+    pmis = out["pmi"].to_numpy()
+    assert (np.diff(pmis) <= 1e-15).all()
+
+
+def test_significant_terms_jlh(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import significant_terms
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "lang": pa.array(["a"] * 3 + ["b"] * 3),
+        "text": pa.array(["apple pie sweet", "apple tart sweet",
+                          "apple cake sweet", "banana split sweet",
+                          "banana boat sweet", "banana bread sweet"]),
+    })
+    out = (significant_terms(ray.data.from_arrow(t), group_col="lang", n=2)
+           .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True))
+    assert list(out.columns) == ["lang", "rank", "term", "score"]
+    a_top = out[(out["lang"] == "a") & (out["rank"] == 1)].iloc[0]
+    b_top = out[(out["lang"] == "b") & (out["rank"] == 1)].iloc[0]
+    assert a_top["term"] == "apple" and b_top["term"] == "banana"
+    # fr=3/3=1, br=3/6=0.5 -> (1-0.5)*(1/0.5) = 1.0 exactly
+    assert a_top["score"] == 1.0 and b_top["score"] == 1.0
+    # 'sweet' is everywhere -> score 0, never outranks group terms
+    assert not (out["term"] == "sweet").any() or (
+        out[out["term"] == "sweet"]["score"] == 0.0).all()

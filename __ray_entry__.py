@@ -1854,6 +1854,123 @@ def _q_dsir_resample(sf_dir: str):
     return pdf[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_events_interval_join(sf_dir: str):
+    """Range (interval) join: every event inside a same-user purchase
+    attribution window [purchase_ts, purchase_ts + 24h] — tagged-union
+    co-partitioned on user_id, per-group sorted starts + two
+    searchsorteds + one repeat/arange expansion
+    (``pipelines/windows.interval_join``); DuckDB oracle is the plain
+    BETWEEN join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.windows import interval_join
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        day = pa.scalar(86_400_000_000, type=pa.duration("us"))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "start": t.column("ts"),
+            "end": pc.add(t.column("ts"), day),
+            "purchase_id": t.column("event_id"),
+        })
+
+    right = ev.map_batches(mk_windows, batch_format="pyarrow")
+    pdf = interval_join(ev, right, by="user_id", on="ts",
+                        start_col="start", end_col="end",
+                        left_id="event_id",
+                        right_id="purchase_id").to_pandas()
+    return pdf[["user_id", "event_id", "purchase_id", "dt_us"]] \
+        .sort_values(["event_id", "purchase_id"]).reset_index(drop=True)
+
+
+def _q_semi_join_urgent(sf_dir: str):
+    """Broadcast semi join (EXISTS): customers with at least one
+    1-URGENT order — build side reduced to distinct custkeys by a
+    per-batch unique combiner, broadcast once, probe rows filtered in
+    place with a searchsorted membership test (zero probe shuffle)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.relational import broadcast_semi_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    out = broadcast_semi_join(cust, urgent, "c_custkey", "o_custkey")
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_anti_join_urgent(sf_dir: str):
+    """Broadcast anti join (NOT EXISTS): customers with NO 1-URGENT
+    order — same broadcast key set, negated membership."""
+    import ray.data
+
+    from iresearch_ray.pipelines.relational import broadcast_semi_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    out = broadcast_semi_join(cust, urgent, "c_custkey", "o_custkey",
+                              anti=True)
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_group_reservoir(sf_dir: str):
+    """Deterministic per-group reservoir: the 5 events per event_type
+    with the smallest Knuth hash32(event_id) — block-layout- and
+    retry-invariant fixed-size group sample, combiner-pruned before
+    the one tiny shuffle (``pipelines/sampling.group_reservoir_sample``)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sampling import group_reservoir_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+    pdf = group_reservoir_sample(ds, "event_type", "event_id",
+                                 n=5).to_pandas()
+    return pdf.sort_values(["event_type", "event_id"]) \
+        .reset_index(drop=True)
+
+
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet perplexity partitioning (Wenzek et al. 2020): bigram-LM
+    score per doc (rounded to 1e-4 so both engines order identically),
+    then per-language rank-based head/middle/tail thirds — ntile
+    semantics, pure integer cuts (``pipelines/lm.perplexity_buckets``)."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.lm import (fit_bigram_lm, lm_score,
+                                            perplexity_buckets)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    model_ref = ray.put(fit_bigram_lm(ds))
+    scored = lm_score(ds, model_ref, keep_cols=("lang",))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        x = t.column("lm_logprob").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "lm_logprob_r", pa.array(np.floor(x * 1e4 + 0.5) / 1e4))
+
+    scored = scored.map_batches(rnd, batch_format="pyarrow")
+    pdf = perplexity_buckets(scored).to_pandas()
+    return pdf[["doc_id", "lang", "bucket"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk_term": _q_bm25_term,
@@ -1912,6 +2029,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
+        "events_interval_join": _q_events_interval_join,
+        "semi_join_urgent": _q_semi_join_urgent,
+        "anti_join_urgent": _q_anti_join_urgent,
+        "group_reservoir_sample": _q_group_reservoir,
+        "perplexity_buckets": _q_perplexity_buckets,
         "event_value_quantiles": _q_event_quantiles,
         "distinct_users_per_event": _q_distinct_users,
         "value_histogram": _q_value_histogram,
@@ -2373,6 +2495,42 @@ FROM (SELECT * FROM events WHERE event_type = 'click') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY click_id
+""",
+        "events_interval_join": """
+SELECT e.user_id, e.event_id, p.purchase_id,
+       datediff('microsecond', p.pts, e.ts) AS dt_us
+FROM events e
+JOIN (SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.pts AND e.ts <= p.pts + INTERVAL 24 HOUR
+ORDER BY e.event_id, p.purchase_id
+""",
+        "semi_join_urgent": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+        "anti_join_urgent": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+        # same Knuth hash32 as hash_split_sample; ties (equal hashes)
+        # break by ascending event_id on both sides
+        "group_reservoir_sample": """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id
+         ) AS rn
+  FROM events)
+WHERE rn <= 5 ORDER BY event_type, event_id
 """,
         "events_sliding_window": """
 SELECT user_id, event_id,
@@ -3093,6 +3251,47 @@ JOIN B b USING (bg)
 JOIN U u ON u.term = f.w1
 CROSS JOIN VV vv
 GROUP BY f.doc_id ORDER BY f.doc_id
+""",
+        # same LM prelude; rank-based CCNet head/middle/tail thirds
+        # per language — ntile over the ROUNDED score (identical
+        # ordering on both engines), pure integer cuts
+        "perplexity_buckets": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+term_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, term AS w1,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bg
+  FROM term_pos
+),
+bgf AS (SELECT doc_id, w1, bg FROM bg WHERE bg IS NOT NULL),
+U AS (SELECT term, count(*) AS c FROM term_pos GROUP BY 1),
+VV AS (SELECT count(*) AS v FROM U),
+B AS (SELECT bg, count(*) AS c FROM bgf GROUP BY 1),
+score AS (
+  SELECT f.doc_id,
+         floor(avg(ln((b.c + 1.0) / (u.c + vv.v))) * 10000 + 0.5) / 10000
+           AS s
+  FROM bgf f
+  JOIN B b USING (bg)
+  JOIN U u ON u.term = f.w1
+  CROSS JOIN VV vv
+  GROUP BY f.doc_id
+)
+SELECT s.doc_id, d.lang,
+       CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY s.s DESC, s.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM score s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
 """,
 
         # composed curation chain: dedup winners (train side only) +

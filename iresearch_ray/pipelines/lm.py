@@ -61,7 +61,7 @@ class BigramLMScorer:
     ``ray.ObjectRef`` from ``ray.put(fit_bigram_lm(...))``)."""
 
     def __init__(self, model, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", keep_cols: tuple = ()):
         import ray
 
         if isinstance(model, ray.ObjectRef):
@@ -72,14 +72,18 @@ class BigramLMScorer:
         self.bi_c = model["bi"].to_numpy()
         self.V = model["V"]
         self.text_col, self.id_col = text_col, id_col
+        self.keep_cols = tuple(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bi, d = word_ngrams(batch, 2, self.text_col)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         if len(bi) == 0:
-            return pa.table({self.id_col: pa.array([], type=pa.int64()),
-                             "n_bigrams": pa.array([], type=pa.int64()),
-                             "lm_logprob": pa.array([], type=pa.float64())})
+            cols = {self.id_col: pa.array([], type=pa.int64()),
+                    "n_bigrams": pa.array([], type=pa.int64()),
+                    "lm_logprob": pa.array([], type=pa.float64())}
+            for c in self.keep_cols:
+                cols[c] = batch.column(c).slice(0, 0)
+            return pa.table(cols)
         import pyarrow.compute as pc
 
         bi_np = bi.to_numpy(zero_copy_only=False)
@@ -94,17 +98,70 @@ class BigramLMScorer:
         cnt = np.bincount(d, minlength=n)
         has = cnt > 0
         docs = np.flatnonzero(has)
-        return pa.table({
+        cols = {
             self.id_col: pa.array(ids[docs].astype(np.int64)),
             "n_bigrams": pa.array(cnt[docs].astype(np.int64)),
             "lm_logprob": pa.array(tot[docs] / cnt[docs]),
-        })
+        }
+        for c in self.keep_cols:
+            cols[c] = batch.column(c).take(pa.array(docs))
+        return pa.table(cols)
 
 
 def lm_score(ds, model_ref, text_col: str = "text",
-             id_col: str = "doc_id", concurrency: int = 4):
-    """Dataset[(id, n_bigrams, lm_logprob)] for docs with >= 1 bigram."""
+             id_col: str = "doc_id", concurrency: int = 4,
+             keep_cols: tuple = ()):
+    """Dataset[(id, n_bigrams, lm_logprob, *keep_cols)] for docs with
+    >= 1 bigram."""
     return ds.map_batches(
         BigramLMScorer, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"model": model_ref, "text_col": text_col,
-                               "id_col": id_col})
+                               "id_col": id_col, "keep_cols": keep_cols})
+
+
+def perplexity_buckets(scored, group_col: str = "lang",
+                       score_col: str = "lm_logprob_r",
+                       id_col: str = "doc_id", n_buckets: int = 3,
+                       labels: tuple = ("head", "middle", "tail")):
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020, §4.3):
+    per group (language), rank docs by LM score DESC (highest mean
+    log-probability = lowest perplexity first, ties by ascending id)
+    and cut the ranking into ``n_buckets`` equal-count buckets — SQL
+    ``ntile(n) OVER (PARTITION BY group ORDER BY score DESC, id)``
+    (first ``n_rows % n`` buckets take the extra row, like ntile).
+
+    -> Dataset(id, group, bucket). ``score_col`` must be PRE-ROUNDED
+    (e.g. ``floor(x*1e4+0.5)/1e4``) so the ordering is bit-identical
+    to the oracle's — rank-based cuts make the bucket assignment pure
+    integer arithmetic, immune to the float-threshold ulp flips a
+    quantile-threshold cut risks.
+
+    Scale shape: ONE shuffle on the group column, one lexsort per
+    group. Assumption (same as ``aggregates.group_quantiles``): a
+    group fits one worker. At corpus scale use the sampled-threshold
+    form instead: per-group score quantiles from a ``hash_sample``
+    (CCNet itself cuts at thresholds fit on a sample) broadcast
+    through ``aggregates.filter_by_group_quantile``."""
+    if len(labels) != n_buckets:
+        raise ValueError("labels must match n_buckets")
+    lab = np.asarray(labels, dtype=object)
+
+    def per_group(g):
+        import pandas as pd
+        s = g[score_col].to_numpy(dtype=np.float64)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, -s))
+        m = ids.size
+        sizes = np.full(n_buckets, m // n_buckets, dtype=np.int64)
+        sizes[: m % n_buckets] += 1
+        bucket = np.repeat(np.arange(n_buckets), sizes)
+        out = np.empty(m, dtype=object)
+        out[order] = lab[bucket]
+        return pd.DataFrame({
+            id_col: ids,
+            group_col: g[group_col].to_numpy(),
+            "bucket": out,
+        })
+
+    return scored.groupby(group_col).map_groups(per_group,
+                                                batch_format="pandas")

@@ -95,6 +95,62 @@ def assign_splits(ds, key_col: str,
 
     return ds.map_batches(label, batch_format="pyarrow")
 
+def group_reservoir_sample(ds, group_col: str, key_col: str, n: int = 5,
+                           salt: int = 0):
+    """Exactly ``n`` rows per group (fewer if the group is smaller),
+    chosen as the ``n`` smallest ``hash32(key)`` values — a
+    deterministic fixed-size-per-group reservoir sample: the selection
+    is a pure function of the key set, so any block layout, cluster
+    size, retry or resume picks the identical rows (unlike a classic
+    randomized reservoir, which is order-dependent).
+
+    -> Dataset(group, key) (input order of columns preserved from the
+    args). Scale shape = ``aggregates.group_topk``: every batch prunes
+    ITSELF to its local n smallest hashes per group (one lexsort +
+    run-boundary rank), so at most n x groups_per_batch candidate rows
+    cross the shuffle; ties (hash collisions) break by ascending key
+    on both sides of the oracle."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = _hash32(k, salt)
+        order = np.lexsort((k, h, gcodes))
+        gs = gcodes[order]
+        run_start = np.empty(gs.size, dtype=bool)
+        if gs.size:
+            run_start[0] = True
+            run_start[1:] = gs[1:] != gs[:-1]
+        starts = np.cumsum(run_start) - 1
+        first = np.flatnonzero(run_start)
+        rank = np.arange(gs.size) - first[starts]
+        keep = order[rank < n]
+        return pa.table({
+            group_col: g.take(pa.array(np.sort(keep))),
+            key_col: pa.array(k[np.sort(keep)]),
+        })
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    def final(grp):
+        import pandas as pd
+        k = grp[key_col].to_numpy(dtype=np.int64)
+        h = _hash32(k, salt)
+        order = np.lexsort((k, h))[:n]
+        return pd.DataFrame({
+            group_col: grp[group_col].to_numpy()[order],
+            key_col: k[order],
+        })
+
+    return pruned.groupby(group_col).map_groups(final,
+                                                batch_format="pandas")
+
+
 def temperature_mix(ds, key_col: str, group_col: str, alpha: float = 0.5,
                     target_frac: float = 0.25, salt: int = 0):
     """Temperature-scaled source mixing (the GPT-3 / Pile mixture

@@ -112,6 +112,79 @@ def sliding_window(ds, window_s: float = 3600.0, by: str = "user_id",
     return ds.groupby(by).map_groups(per_key, batch_format="pandas")
 
 
+def interval_join(left, right, by: str = "user_id", on: str = "ts",
+                  start_col: str = "start", end_col: str = "end",
+                  left_id: str = "event_id", right_id: str = "interval_id"):
+    """Inner range (interval) join: every (left, right) pair of the
+    same ``by`` key with left ``on`` in ``[start, end]`` (both ends
+    inclusive, SQL ``l.ts BETWEEN r.start AND r.end``).
+
+    -> Dataset(<by>, <left_id>, <right_id>, dt_us) where ``dt_us`` =
+    left ``on`` − interval start (microseconds).
+
+    Scale shape: like :func:`asof_join`, both sides are tagged and
+    unioned so ONE shuffle on ``by`` co-partitions them; per group the
+    right side is sorted by start once, then every left row resolves
+    its candidate slice with two ``searchsorted`` calls against
+    ``[ts − max_width, ts]`` (``max_width`` = the group's widest
+    interval) and the expansion is one ``repeat`` + offset ``arange``
+    — no per-row Python and no cross-pair materialization beyond the
+    true candidates. Caveat (standard for range joins): one interval
+    much wider than its group's median inflates every row's candidate
+    slice; at production scale split long intervals into max-width
+    slabs before the join (slab id folded into ``right_id``).
+    """
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t.column(on)
+        return pa.table({by: t.column(by), "_t1": ts, "_t2": ts,
+                         "_id": t.column(left_id),
+                         "_side": pa.array(
+                             np.zeros(t.num_rows, dtype=np.int8))})
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        return pa.table({by: t.column(by), "_t1": t.column(start_col),
+                         "_t2": t.column(end_col),
+                         "_id": t.column(right_id),
+                         "_side": pa.array(
+                             np.ones(t.num_rows, dtype=np.int8))})
+
+    u = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    empty = {by: np.empty(0, np.int64), left_id: np.empty(0, np.int64),
+             right_id: np.empty(0, np.int64), "dt_us": np.empty(0, np.int64)}
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = g["_t1"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t2 = g["_t2"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ids = g["_id"].to_numpy(dtype=np.int64)
+        lm = g["_side"].to_numpy(dtype=np.int8) == 0
+        l_ts, l_id = t1[lm], ids[lm]
+        r_order = np.lexsort((ids[~lm], t1[~lm]))
+        r_lo, r_hi = t1[~lm][r_order], t2[~lm][r_order]
+        r_id = ids[~lm][r_order]
+        if l_ts.size == 0 or r_lo.size == 0:
+            return pd.DataFrame(empty)
+        max_w = np.int64(max((r_hi - r_lo).max(), 0))
+        lo = np.searchsorted(r_lo, l_ts - max_w, side="left")
+        hi = np.searchsorted(r_lo, l_ts, side="right")
+        counts = hi - lo
+        li = np.repeat(np.arange(l_ts.size), counts)
+        # offset-arange: position within each left row's candidate run
+        ri = np.arange(li.size) - np.repeat(
+            np.cumsum(counts) - counts, counts) + lo[li]
+        ok = r_hi[ri] >= l_ts[li]
+        li, ri = li[ok], ri[ok]
+        return pd.DataFrame({
+            by: np.full(li.size, g[by].iloc[0], dtype=np.int64),
+            left_id: l_id[li],
+            right_id: r_id[ri],
+            "dt_us": l_ts[li] - r_lo[ri],
+        })
+
+    return u.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
 def context_windows(ds, k: int = 3, by: str = "user_id", on: str = "ts",
                     id_col: str = "event_id", text_col: str = "event_type",
                     sep: str = " "):

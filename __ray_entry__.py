@@ -1854,6 +1854,19 @@ def _q_dsir_resample(sf_dir: str):
     return pdf[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_sloppy_phrase(sf_dir: str):
+    """Ordered proximity phrase 'hash ... join ... table' with slop 8
+    (span slack <= 8): greedy minimal-successor chain over the per-term
+    position keys (``filters.SloppyPhrase``); DuckDB oracle is the
+    3-way ordered position self-join."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s, F.SloppyPhrase(["hash", "join", "table"], slop=8))
+
+
 def _q_events_interval_join(sf_dir: str):
     """Range (interval) join: every event inside a same-user purchase
     attribution window [purchase_ts, purchase_ts + 24h] — tagged-union
@@ -2029,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
+        "sloppy_phrase_match": _q_sloppy_phrase,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
         "anti_join_urgent": _q_anti_join_urgent,
@@ -2725,6 +2739,15 @@ SELECT DISTINCT t1.doc_id AS doc_id
 FROM term_pos t1 JOIN term_pos t2
   ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.term = 'table' AND t2.term = 'part'
+ORDER BY doc_id
+""",
+        "sloppy_phrase_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id AS doc_id
+FROM term_pos a, term_pos b, term_pos c
+WHERE a.term = 'hash' AND b.term = 'join' AND c.term = 'table'
+  AND a.doc_id = b.doc_id AND b.doc_id = c.doc_id
+  AND b.pos > a.pos AND c.pos > b.pos
+  AND c.pos - a.pos - 2 <= 8
 ORDER BY doc_id
 """,
         "prefix_match": _TOK_SQL + """

@@ -369,6 +369,36 @@ class SamePosition(Filter):
 
 
 @dataclass
+class SloppyPhrase(Filter):
+    """Ordered proximity phrase: the terms must appear in query order
+    (strictly increasing positions) with total span slack
+    ``(p_last - p_first) - (m-1) <= slop``; ``slop=0`` degenerates to
+    the exact adjacent phrase. This is the ordered span-near query
+    the reference expresses through ``by_phrase`` with per-term
+    position offsets (``core/search/phrase_filter.hpp:135`` variadic
+    parts carry an offset each); here the offsets are existentially
+    quantified up to the slop budget instead of fixed. tf = number of
+    first-term positions opening a qualifying chain; per-term idfs sum
+    into one stats group like Phrase."""
+
+    terms: list
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        states = [searcher.resolve_term(t, self.field) for t in self.terms]
+        fs = searcher.field_stats(self.field)
+        idf_sum = sum(
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            for st in states if st.docs_with_term
+        )
+        ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
+        return PreparedSloppyPhrase(searcher, states, int(self.slop),
+                                    ctx, scorer, self.field)
+
+
+@dataclass
 class NumericRange(Filter):
     """Numeric range over a stored column — the pushdown analogue of the
     reference's numeric-trie ``by_granular_range``
@@ -957,6 +987,76 @@ class PreparedPhrase(Prepared):
             docs, tfs = self._docs_tfs(common)
         dls = seg.field_norms(self.field)[docs - 1]
         return docs, self.scorer.score(self.ctx, tfs, dls), common
+
+
+class PreparedSloppyPhrase(Prepared):
+    """Greedy minimal-successor chain over per-slot sorted
+    ``(doc << 32) | pos`` keys: from every first-term occurrence, each
+    later slot resolves to its smallest same-doc position strictly
+    after the chain's previous position (one ``searchsorted`` per
+    slot, vectorized across ALL starts at once). The greedy chain
+    minimizes the end position for a given start, so a start matches
+    iff its greedy span slack is within the slop — no per-doc DP and
+    no candidate enumeration beyond the true first-term occurrences."""
+
+    _DOCM = ~np.int64((1 << 32) - 1)
+
+    def __init__(self, searcher, states, slop, ctx, scorer, field=None):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.states = states
+        self.slop = slop
+        self.ctx = ctx
+        self.field = field
+        self._memo: dict = {}
+
+    def cost(self, seg_ord):
+        dfs = []
+        for st in self.states:
+            row = st.rows[seg_ord]
+            if row < 0:
+                return 0
+            dfs.append(int(self.searcher.segments[seg_ord].doc_freq[row]))
+        return min(dfs) if dfs else 0
+
+    def execute(self, seg_ord):
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            hit = self._execute_impl(seg_ord)
+            self._memo[seg_ord] = hit
+        docs, tfs = hit
+        if docs.size == 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        dls = seg.field_norms(self.field)[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
+
+    def _execute_impl(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        rows = []
+        for st in self.states:
+            row = st.rows[seg_ord]
+            if row < 0:
+                return _EMPTY_I, _EMPTY_I
+            rows.append(int(row))
+        keys = [seg.phrase_keys(r, 0) for r in rows]
+        start = keys[0]
+        cur = start
+        for k in keys[1:]:
+            if cur.size == 0:
+                return _EMPTY_I, _EMPTY_I
+            idx = np.searchsorted(k, cur + 1, side="left")
+            ok = idx < k.size
+            nxt = k[np.minimum(idx, max(k.size - 1, 0))]
+            ok &= (nxt & self._DOCM) == (cur & self._DOCM)
+            start, cur = start[ok], nxt[ok]
+        slack = (cur - start) - np.int64(len(keys) - 1)
+        m = slack <= self.slop
+        if not m.any():
+            return _EMPTY_I, _EMPTY_I
+        docs_all = (start[m] >> np.int64(32)).astype(np.int64)
+        docs, tfs = np.unique(docs_all, return_counts=True)
+        return docs, tfs
 
 
 class PreparedNGramSimilarity(Prepared):

@@ -103,6 +103,48 @@ def test_phrase_three_terms(searcher, small_corpus, oracle):
     assert got == sorted(oracle.score_phrase(["deploy", "target"]))
 
 
+def _brute_sloppy(oracle, terms, slop):
+    """Independent brute force: doc matches iff some strictly-increasing
+    position chain (one position per query slot, in order) has total span
+    slack (p_last - p_first) - (m-1) <= slop. Enumerates chains directly
+    (itertools product), no greedy shortcut."""
+    from itertools import product
+
+    hits = set()
+    for doc0, toks in enumerate(oracle.docs_tokens):
+        pos_lists = [
+            [i for i, t in enumerate(toks) if t == q] for q in terms
+        ]
+        if any(not p for p in pos_lists):
+            continue
+        for chain in product(*pos_lists):
+            if all(b > a for a, b in zip(chain, chain[1:])) and (
+                chain[-1] - chain[0] - (len(terms) - 1) <= slop
+            ):
+                hits.add(doc0 + 1)
+                break
+    return sorted(hits)
+
+
+def test_sloppy_phrase_matches_brute_force(searcher, oracle):
+    for terms, slop in [
+        (["ref", "name"], 0),
+        (["ref", "name"], 3),
+        (["deploy", "target"], 2),
+        (["the", "ref", "deploy"], 6),
+        (["second", "the"], 4),
+    ]:
+        got = ids(searcher.match_docs(F.SloppyPhrase(terms, slop=slop)))
+        assert got == _brute_sloppy(oracle, terms, slop), (terms, slop)
+
+
+def test_sloppy_phrase_slop0_equals_exact_phrase(searcher):
+    for terms in (["ref", "name"], ["deploy", "target"]):
+        sloppy = ids(searcher.match_docs(F.SloppyPhrase(terms, slop=0)))
+        exact = ids(searcher.match_docs(F.Phrase(terms)))
+        assert sloppy == exact, terms
+
+
 def test_prefix(searcher, oracle):
     exp = set()
     for t, posts in oracle.postings.items():

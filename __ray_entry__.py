@@ -1867,6 +1867,32 @@ def _q_sloppy_phrase(sf_dir: str):
         s, F.SloppyPhrase(["hash", "join", "table"], slop=8))
 
 
+def _q_regexp(sf_dir: str):
+    """Anchored regular-expression term filter: every doc containing a
+    token that fully matches ``s[ch]a[nl]e?`` (scan/shale/sale-family
+    terms) — ``filters.Regexp``, the generalization of by_wildcard's
+    automaton-dictionary intersection. DuckDB oracle anchors the same
+    RE2 pattern."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Regexp("s[ch]a[nl]e?"))
+
+
+def _q_gap_phrase(sf_dir: str):
+    """Gap phrase 'hash <any one word> table' — reference
+    ``by_phrase`` parts carry an explicit position offset each
+    (``core/search/phrase_filter.hpp:135``); ``Phrase(gaps=[0,1])``
+    places 'table' exactly two positions after 'hash'. Oracle: ordered
+    position self-join with pos delta exactly 2."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.Phrase(["hash", "table"], gaps=[0, 1]))
+
+
 def _q_events_interval_join(sf_dir: str):
     """Range (interval) join: every event inside a same-user purchase
     attribution window [purchase_ts, purchase_ts + 24h] — tagged-union
@@ -2043,6 +2069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_sliding_window": _q_events_sliding,
         "sloppy_phrase_match": _q_sloppy_phrase,
+        "gap_phrase_match": _q_gap_phrase,
+        "regexp_match": _q_regexp,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
         "anti_join_urgent": _q_anti_join_urgent,
@@ -2748,6 +2776,18 @@ WHERE a.term = 'hash' AND b.term = 'join' AND c.term = 'table'
   AND a.doc_id = b.doc_id AND b.doc_id = c.doc_id
   AND b.pos > a.pos AND c.pos > b.pos
   AND c.pos - a.pos - 2 <= 8
+ORDER BY doc_id
+""",
+        "gap_phrase_match": _TOK_SQL + """
+SELECT DISTINCT t1.doc_id AS doc_id
+FROM term_pos t1 JOIN term_pos t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 2
+WHERE t1.term = 'hash' AND t2.term = 'table'
+ORDER BY doc_id
+""",
+        "regexp_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE regexp_matches(term, '^(?:s[ch]a[nl]e?)$')
 ORDER BY doc_id
 """,
         "prefix_match": _TOK_SQL + """

@@ -237,6 +237,64 @@ class Wildcard(Filter):
                           node_key=nk)
 
 
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _regex_literal_prefix(pat: str) -> str:
+    """Literal prefix of a regex usable to narrow the dictionary scan
+    (the automaton common-prefix walk). Conservative: a following
+    ``* ? {`` quantifier makes the last literal char optional (drop
+    it), and any ``|`` anywhere disables narrowing (a top-level
+    alternation need not share the prefix)."""
+    if "|" in pat:
+        return ""
+    out = []
+    for i, c in enumerate(pat):
+        if c in _REGEX_META:
+            if c in "*?{" and out:
+                out.pop()
+            break
+        out.append(c)
+    return "".join(out)
+
+
+@dataclass
+class Regexp(Filter):
+    """Full-match regular expression over the term dictionary — the
+    generalization of ``by_wildcard`` (whose `%`/`_` patterns the
+    reference compiles to the same UTF-8 automaton machinery,
+    ``core/utils/wildcard_utils.hpp:30-38`` via ``fst::MakeAutomaton``);
+    the pattern must match the ENTIRE term (anchored), like Lucene's
+    RegexpQuery. Matching terms form a multiterm union with the same
+    two-tier scored/unscored split as prefix/wildcard/fuzzy."""
+
+    pattern: str
+    boost: float = 1.0
+    field: str | None = None
+    scored_terms_limit: int | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        anchored = f"^(?:{self.pattern})$"
+
+        def pred(terms: np.ndarray):
+            arr = pa.array(terms, type=pa.string())
+            m = pc.match_substring_regex(arr, anchored) \
+                .to_numpy(zero_copy_only=False)
+            return terms[m].tolist()
+
+        lit = _regex_literal_prefix(self.pattern)
+        nk = ("regexp", self.field, self.pattern)
+        matched = _cached_scan(
+            searcher, nk,
+            lambda: searcher.scan_terms(
+                pred, self.field,
+                lo=lit or None, hi=_prefix_successor(lit) if lit else None,
+                inc_hi=False))
+        return _multiterm(searcher, scorer, matched, boost * self.boost,
+                          self.field, self.scored_terms_limit,
+                          node_key=nk)
+
+
 @dataclass
 class Fuzzy(Filter):
     """Levenshtein distance <= max_distance term expansion
@@ -296,6 +354,12 @@ class Phrase(Filter):
     terms: list
     boost: float = 1.0
     field: str | None = None
+    # extra position gap BEFORE each slot (reference by_phrase parts
+    # carry an offset each, core/search/phrase_filter.hpp:135 —
+    # push_back(part, offs) places the part offs positions beyond the
+    # adjacent slot). gaps[0] is ignored; slot i sits at
+    # start + i + sum(gaps[1..i]).
+    gaps: list | None = None
 
     def _slot_terms(self, searcher, slot) -> list[str]:
         if isinstance(slot, str):
@@ -343,7 +407,16 @@ class Phrase(Filter):
             for states in slot_states for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
-        return PreparedPhrase(searcher, slot_states, ctx, scorer, self.field)
+        shifts = None
+        if self.gaps is not None:
+            if len(self.gaps) != len(self.terms):
+                raise ValueError("gaps must have one entry per slot")
+            shifts = (np.arange(len(self.terms), dtype=np.int64)
+                      + np.concatenate([[0], np.cumsum(
+                          np.asarray(self.gaps[1:], dtype=np.int64))])
+                      ).tolist() if len(self.terms) > 1 else [0]
+        return PreparedPhrase(searcher, slot_states, ctx, scorer, self.field,
+                              shifts=shifts)
 
 
 @dataclass
@@ -748,7 +821,7 @@ class PreparedConjunction(Prepared):
 
 class PreparedPhrase(Prepared):
     def __init__(self, searcher, slot_states, ctx, scorer, field=None,
-                 same_position=False):
+                 same_position=False, shifts=None):
         super().__init__(scorer)
         self.searcher = searcher
         # list per phrase slot of TermStates (1 for simple slots, many
@@ -757,6 +830,13 @@ class PreparedPhrase(Prepared):
         self.ctx = ctx
         self.field = field
         self.same_position = same_position
+        # per-slot position shift relative to the phrase start: slot
+        # index by default (adjacent), all-zero for same_position,
+        # explicit for gap phrases (Phrase.gaps)
+        if shifts is None:
+            shifts = [0] * len(slot_states) if same_position \
+                else list(range(len(slot_states)))
+        self.shifts = [int(s) for s in shifts]
 
     def cost(self, seg_ord):
         costs = []
@@ -871,7 +951,7 @@ class PreparedPhrase(Prepared):
             tuple(int(st.rows[seg_ord]) for st in states)
             for states in self.slot_states
         )
-        return (rows, self.same_position)
+        return (rows, tuple(self.shifts))
 
     def _execute_impl(self, seg_ord, cand: np.ndarray | None = None):
         seg = self.searcher.segments[seg_ord]
@@ -920,7 +1000,7 @@ class PreparedPhrase(Prepared):
         keysets = []
         POSM = np.int64((1 << 32) - 1)
         for i, states in enumerate(self.slot_states):
-            shift = np.int64(0 if self.same_position else i)
+            shift = np.int64(self.shifts[i])
             key_parts = []
             for st in states:
                 row = st.rows[seg_ord]

@@ -138,11 +138,73 @@ def test_sloppy_phrase_matches_brute_force(searcher, oracle):
         assert got == _brute_sloppy(oracle, terms, slop), (terms, slop)
 
 
+def _brute_gap(oracle, terms, gaps):
+    """Independent brute force for gap phrases: slot i must sit at
+    start + i + sum(gaps[1..i])."""
+    shifts = [i + sum(gaps[1 : i + 1]) for i in range(len(terms))]
+    hits = set()
+    for doc0, toks in enumerate(oracle.docs_tokens):
+        for p in range(len(toks)):
+            if all(
+                p + s < len(toks) and toks[p + s] == t
+                for t, s in zip(terms, shifts)
+            ):
+                hits.add(doc0 + 1)
+                break
+    return sorted(hits)
+
+
+def test_gap_phrase_matches_brute_force(searcher, oracle):
+    for terms, gaps in [
+        (["ref", "name"], [0, 1]),
+        (["ref", "name"], [0, 2]),
+        (["deploy", "target"], [0, 1]),
+        (["the", "ref", "ok"], [0, 1, 0]),
+        (["the", "deploy", "target"], [0, 2, 0]),
+    ]:
+        got = ids(searcher.match_docs(F.Phrase(terms, gaps=gaps)))
+        assert got == _brute_gap(oracle, terms, gaps), (terms, gaps)
+
+
+def test_gap_phrase_zero_gaps_equals_exact_phrase(searcher):
+    for terms in (["ref", "name"], ["deploy", "target"]):
+        gapped = ids(searcher.match_docs(F.Phrase(terms, gaps=[0] * len(terms))))
+        exact = ids(searcher.match_docs(F.Phrase(terms)))
+        assert gapped == exact, terms
+
+
 def test_sloppy_phrase_slop0_equals_exact_phrase(searcher):
     for terms in (["ref", "name"], ["deploy", "target"]):
         sloppy = ids(searcher.match_docs(F.SloppyPhrase(terms, slop=0)))
         exact = ids(searcher.match_docs(F.Phrase(terms)))
         assert sloppy == exact, terms
+
+
+def test_regexp_matches_brute_force(searcher, oracle):
+    import re
+
+    for pat in [r"ref|deploy", r"sec[a-z]+", r"rare0000[13]", r"th?e",
+                r"dep(loy)?s?"]:
+        rx = re.compile(f"^(?:{pat})$")
+        exp = set()
+        for t, posts in oracle.postings.items():
+            if rx.match(t):
+                exp |= set(posts)
+        got = ids(searcher.match_docs(F.Regexp(pat)))
+        assert got == sorted(exp), pat
+
+
+def test_regexp_literal_prefix_helper():
+    from iresearch_ray.search.filters import _regex_literal_prefix as lp
+
+    assert lp("abc") == "abc"
+    assert lp("abc.*") == "abc"
+    assert lp("abc*") == "ab"      # '*' makes the 'c' optional
+    assert lp("abc?d") == "ab"
+    assert lp("abc{0,2}") == "ab"
+    assert lp("ab|cd") == ""       # alternation disables narrowing
+    assert lp("(ab)c") == ""
+    assert lp("a[bc]") == "a"
 
 
 def test_prefix(searcher, oracle):

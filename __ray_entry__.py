@@ -1867,6 +1867,40 @@ def _q_sloppy_phrase(sf_dir: str):
         s, F.SloppyPhrase(["hash", "join", "table"], slop=8))
 
 
+def _titleize(batch):
+    """Derive a 'title' column = first 3 tokens of the lowered text,
+    space-joined — tokenization-parity with the segmentation analyzer
+    (and with _TOK_SQL's list_slice(toks, 1, 3))."""
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(batch.column("text"))
+    low = pc.replace_substring_regex(low, "^[^a-z0-9]+", "")
+    low = pc.replace_substring_regex(low, "[^a-z0-9]+$", "")
+    toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    title = pc.binary_join(pc.list_slice(toks, 0, 3), " ")
+    return batch.append_column("title", title)
+
+
+def _q_bm25f(sf_dir: str):
+    """BM25F two-field scoring (body text w=1, derived title w=3):
+    per-term field-normalized tfs are weight-summed BEFORE one BM25
+    saturation (Robertson & Zaragoza 2009). The title field is the
+    first 3 tokens, so union df == text df and the oracle reuses the
+    _TOK_SQL stats plus a title-token replica."""
+    from iresearch_ray.api import topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "bm25f", transform=_titleize,
+        text_fields=("title",),
+    )
+    return topk_frame(
+        s, F.BM25F(["customer", "vector"],
+                   fields={"text": 1.0, "title": 3.0}),
+        k=100, scorer=_bm25_f64(),
+    )
+
+
 def _q_regexp(sf_dir: str):
     """Anchored regular-expression term filter: every doc containing a
     token that fully matches ``s[ch]a[nl]e?`` (scan/shale/sale-family
@@ -2071,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sloppy_phrase_match": _q_sloppy_phrase,
         "gap_phrase_match": _q_gap_phrase,
         "regexp_match": _q_regexp,
+        "bm25f_topk": _q_bm25f,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
         "anti_join_urgent": _q_anti_join_urgent,
@@ -2789,6 +2824,44 @@ ORDER BY doc_id
 SELECT DISTINCT doc_id FROM term_pos
 WHERE regexp_matches(term, '^(?:s[ch]a[nl]e?)$')
 ORDER BY doc_id
+""",
+        # BM25F: title = first 3 tokens (a subset of the text tokens,
+        # so union df == text df); weighted field-normalized tfs sum
+        # before the single saturation
+        "bm25f_topk": _TOK_SQL + """
+, ttl_pos AS (
+  SELECT doc_id, unnest(list_slice(toks, 1, 3)) AS term FROM tok
+),
+tf_ttl AS (
+  SELECT doc_id, term, count(*) AS tf FROM ttl_pos GROUP BY doc_id, term
+),
+dl_ttl AS (SELECT doc_id, least(3, len(toks)) AS n FROM tok),
+fstat_ttl AS (
+  SELECT count(*) FILTER (WHERE n > 0) AS dwf,
+         CAST(sum(n) AS BIGINT) AS ttf
+  FROM dl_ttl
+),
+qt AS (
+  SELECT t.doc_id,
+         2.2 * ln(1 + ((f.dwf - d.dwt) + 0.5) / (d.dwt + 0.5)) AS idf,
+         (1.0 * t.tf / ((1 - 0.75)
+              + 0.75 * l.n_tokens / (CAST(f.ttf AS DOUBLE) / f.dwf))
+          + 3.0 * coalesce(tt.tf, 0) / ((1 - 0.75)
+              + 0.75 * lt.n / (CAST(ft.ttf AS DOUBLE) / ft.dwf))) AS wtf
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+  JOIN dl_ttl lt ON lt.doc_id = t.doc_id
+  LEFT JOIN tf_ttl tt ON tt.doc_id = t.doc_id AND tt.term = t.term
+  CROSS JOIN fstats f CROSS JOIN fstat_ttl ft
+  WHERE t.term IN ('customer', 'vector')
+),
+sc AS (
+  SELECT doc_id, sum(idf * wtf / (1.2 + wtf)) AS score
+  FROM qt GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM sc ORDER BY score DESC, doc_id LIMIT 100
 """,
         "prefix_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE 's%' ORDER BY doc_id

@@ -53,7 +53,8 @@ class SegmentEncoder:
                  stored_cols: tuple | None = None,
                  exact_fields: tuple = (),
                  numeric_fields: tuple = (),
-                 index_features: tuple = ()):
+                 index_features: tuple = (),
+                 text_fields: tuple = ()):
         # each actor reserves 1 CPU — pin Arrow's internal pools to it,
         # otherwise every actor spawns a machine-wide thread pool and the
         # node oversubscribes (regex split / sorts / parquet writes)
@@ -68,6 +69,7 @@ class SegmentEncoder:
         self.exact_fields = exact_fields
         self.numeric_fields = numeric_fields
         self.index_features = index_features
+        self.text_fields = text_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -86,6 +88,7 @@ class SegmentEncoder:
             exact_fields=self.exact_fields,
             numeric_fields=self.numeric_fields,
             index_features=self.index_features,
+            text_fields=self.text_fields,
         )
         return pa.table({
             "name": pa.array([meta["name"]]),
@@ -109,6 +112,7 @@ def build_index(
     exact_fields: tuple = (),
     numeric_fields: tuple = (),
     index_features: tuple = (),
+    text_fields: tuple = (),
     base_segments: list | None = None,
     commit_every: int | None = None,
     commit: bool = True,
@@ -140,7 +144,7 @@ def build_index(
         if cols is None:
             cols = None if stored_cols is None else sorted(
                 {text_col, *key_cols, *(stored_cols or ()), *exact_fields,
-                 *numeric_fields}
+                 *numeric_fields, *text_fields}
             )
         # size read blocks to the segment size (metadata-only row count):
         # otherwise many small input files yield ~2k-row blocks and
@@ -192,6 +196,7 @@ def build_index(
         exact_fields=exact_fields,
         numeric_fields=numeric_fields,
         index_features=index_features,
+        text_fields=text_fields,
     )
     summaries = ds.map_batches(
         SegmentEncoder,

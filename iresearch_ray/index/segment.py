@@ -658,6 +658,7 @@ def write_segment(
     exact_fields: tuple = (),
     numeric_fields: tuple = (),
     index_features: tuple = (),
+    text_fields: tuple = (),
 ) -> dict:
     """Encode one input partition into a committed segment directory.
 
@@ -685,11 +686,13 @@ def write_segment(
     last_key = tuple(batch.column(k)[n - 1].as_py() for k, _ in sort_keys) if sort_keys and n else ("", 0)
     digest_cols = tuple(k for k, _ in sort_keys) + (text_col,)
     digest = content_digest(batch, digest_cols)
-    if index_features:
-        # features change the encoded layout: same input + different
-        # features must not reuse a checkpointed segment
+    if index_features or text_fields:
+        # features / extra analyzed fields change the encoded layout:
+        # same input + different features must not reuse a
+        # checkpointed segment
         digest = hashlib.sha1(
-            (digest + "+" + ",".join(sorted(index_features))).encode()
+            (digest + "+" + ",".join(sorted(index_features))
+             + "+" + ",".join(text_fields)).encode()
         ).hexdigest()[:10]
     name = segment_name(first_key, n, digest)
     seg_dir = os.path.join(index_dir, name)
@@ -702,6 +705,13 @@ def write_segment(
         batch.column(text_col), analyzer,
         offsets="offs" in index_features,
         payloads="pay" in index_features))]
+    for col in text_fields:
+        # additional analyzed TextFields (FREQ|POS|Norm2) — the
+        # multi-field document shape of the reference (a WikiDoc
+        # carries title AND body TextFields, utils/index-put.cpp:
+        # 190-258); each gets its own dictionary range + len_<field>
+        # norms column, enabling per-field queries and BM25F
+        field_invs.append((col, invert_batch(batch.column(col), analyzer)))
     kw = KeywordAnalyzer()
     for col in exact_fields:
         vals = batch.column(col)
@@ -763,6 +773,7 @@ def write_segment(
         "key_cols": list(key_cols),
         "exact_fields": list(exact_fields),
         "numeric_fields": list(numeric_fields),
+        "text_fields": list(text_fields),
         "index_features": sorted(index_features),
         "analyzer": analyzer_spec or {"name": "segmentation", "options": {}},
         "lineage": {

@@ -472,6 +472,72 @@ class SloppyPhrase(Filter):
 
 
 @dataclass
+class BM25F(Filter):
+    """BM25F multi-field weighted scoring (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", 2009 — public
+    knowledge; the reference scores one field at a time,
+    ``core/search/bm25.cpp``, so this is a beyond-reference composite).
+    Per doc and term t the field-normalized weighted tf is
+
+        wtf_t = sum_f  w_f * tf_{t,f} / B_{f,d}
+        B_{f,d} = (1 - b) + b * dl_{f,d} / avgdl_f
+
+    saturated ONCE (the defining BM25F property — weighting happens
+    before saturation, not per-field BM25 summed):
+
+        score = sum_t (k1 + 1) * idf_t * wtf_t / (k1 + wtf_t)
+
+    idf_t = log1p((N - df_t + 0.5)/(df_t + 0.5)) with df_t = docs
+    containing t in ANY scored field and N = docs_with_field of the
+    first listed field. Exhaustive evaluation (no cross-field
+    block-max bound); all math in float64, cast at return."""
+
+    terms: list
+    fields: dict  # field name -> weight
+    k1: float = 1.2
+    b: float = 0.75
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        fnames = list(self.fields)
+        states = {
+            (f, t): searcher.resolve_term(t, f)
+            for f in fnames for t in self.terms
+        }
+        # global avgdl per field (collector semantics: sums over segs)
+        avgdl = {}
+        for f in fnames:
+            fs = searcher.field_stats(f)
+            avgdl[f] = (fs.total_term_freq / fs.docs_with_field
+                        if fs.docs_with_field else 1.0)
+        n_docs = searcher.field_stats(fnames[0]).docs_with_field
+        # union df per term: per segment, union of the per-field doc
+        # lists (decoded postings are FIFO-cached on the segment, so
+        # the execute pass below reuses them)
+        dfs = {}
+        for t in self.terms:
+            df = 0
+            for i, seg in enumerate(searcher.segments):
+                parts = []
+                for f in fnames:
+                    row = states[(f, t)].rows[i]
+                    if row >= 0:
+                        parts.append(seg.postings(int(row)).docs)
+                if len(parts) == 1:
+                    df += parts[0].size
+                elif parts:
+                    df += np.unique(np.concatenate(parts)).size
+            dfs[t] = df
+        idf = {
+            t: float(np.log1p(((n_docs - dfs[t]) + 0.5) / (dfs[t] + 0.5)))
+            for t in self.terms
+        }
+        return PreparedBM25F(searcher, self.terms, self.fields, states,
+                             avgdl, idf, float(self.k1), float(self.b),
+                             float(boost * self.boost), scorer)
+
+
+@dataclass
 class NumericRange(Filter):
     """Numeric range over a stored column — the pushdown analogue of the
     reference's numeric-trie ``by_granular_range``
@@ -1137,6 +1203,70 @@ class PreparedSloppyPhrase(Prepared):
         docs_all = (start[m] >> np.int64(32)).astype(np.int64)
         docs, tfs = np.unique(docs_all, return_counts=True)
         return docs, tfs
+
+
+class PreparedBM25F(Prepared):
+    def __init__(self, searcher, terms, weights, states, avgdl, idf,
+                 k1, b, boost, scorer):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.terms = terms
+        self.weights = weights
+        self.states = states
+        self.avgdl = avgdl
+        self.idf = idf
+        self.k1 = k1
+        self.b = b
+        self.boost = boost
+
+    def cost(self, seg_ord):
+        c = 0
+        for st in self.states.values():
+            row = st.rows[seg_ord]
+            if row >= 0:
+                c += int(self.searcher.segments[seg_ord].doc_freq[row])
+        return c
+
+    def execute(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        k1, b = self.k1, self.b
+        all_docs: list = []
+        all_scores: list = []
+        for t in self.terms:
+            docs_parts: list = []
+            wtf_parts: list = []
+            for f, w in self.weights.items():
+                st = self.states[(f, t)]
+                row = st.rows[seg_ord]
+                if row < 0:
+                    continue
+                pl = seg.postings(int(row))
+                dl = seg.field_norms(f)[pl.docs - 1].astype(np.float64)
+                B = (1.0 - b) + b * (dl / self.avgdl[f])
+                docs_parts.append(pl.docs)
+                wtf_parts.append(w * (pl.tfs.astype(np.float64) / B))
+            if not docs_parts:
+                continue
+            if len(docs_parts) == 1:
+                docs_u, wtf = docs_parts[0], wtf_parts[0]
+            else:
+                cat = np.concatenate(docs_parts)
+                docs_u, inv = np.unique(cat, return_inverse=True)
+                wtf = np.zeros(docs_u.size, dtype=np.float64)
+                np.add.at(wtf, inv, np.concatenate(wtf_parts))
+            all_docs.append(docs_u)
+            all_scores.append(
+                (k1 + 1.0) * self.idf[t] * wtf / (k1 + wtf))
+        if not all_docs:
+            return _empty(self.dtype)
+        if len(all_docs) == 1:
+            docs, scores = all_docs[0], all_scores[0]
+        else:
+            cat = np.concatenate(all_docs)
+            docs, inv = np.unique(cat, return_inverse=True)
+            scores = np.zeros(docs.size, dtype=np.float64)
+            np.add.at(scores, inv, np.concatenate(all_scores))
+        return docs, (self.boost * scores).astype(self.dtype)
 
 
 class PreparedNGramSimilarity(Prepared):

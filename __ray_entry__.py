@@ -1901,6 +1901,21 @@ def _q_bm25f(sf_dir: str):
     )
 
 
+def _q_collapse_topk(sf_dir: str):
+    """Search-time field collapsing: top-10 of the customer∨vector BM25
+    disjunction keeping only the best doc per ``source`` (the Lucene/ES
+    collapse operator). Oracle: ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY score DESC, doc_id) = 1, then global top-10."""
+    from iresearch_ray.api import collapse_topk, documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return collapse_topk(
+        s, F.Or([F.Term("customer"), F.Term("vector")]),
+        group_col="source", k=10, scorer=_bm25_f64(),
+    )
+
+
 def _q_regexp(sf_dir: str):
     """Anchored regular-expression term filter: every doc containing a
     token that fully matches ``s[ch]a[nl]e?`` (scan/shale/sale-family
@@ -2106,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_phrase_match": _q_gap_phrase,
         "regexp_match": _q_regexp,
         "bm25f_topk": _q_bm25f,
+        "collapse_topk": _q_collapse_topk,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
         "anti_join_urgent": _q_anti_join_urgent,
@@ -2862,6 +2878,21 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "collapse_topk": _TOK_SQL + """
+, pair AS (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
+),
+ranked AS (
+  SELECT p.doc_id, d.source, p.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY p.score DESC, p.doc_id) AS rn
+  FROM pair p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT doc_id, source, ROUND(score, 4) AS score_r
+FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT 10
 """,
         "prefix_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos WHERE term LIKE 's%' ORDER BY doc_id

@@ -156,6 +156,33 @@ def more_like_this(searcher: IndexSearcher, text: str, *, top_terms: int = 5,
     return topk_frame(searcher, flt, k=k, scorer=scorer)
 
 
+def collapse_topk(searcher: IndexSearcher, flt, group_col: str, k: int,
+                  scorer=None, round_to: int | None = 4) -> pd.DataFrame:
+    """Search-time field collapsing (the Lucene/ES "collapse" operator,
+    beyond-reference): keep only the best-scoring doc per ``group_col``
+    value, then global top-k over the collapsed set. Best-per-group tie
+    resolves to the lower doc (search() already emits score desc, doc
+    asc), matching a ROW_NUMBER() OVER (PARTITION BY g ORDER BY score
+    DESC, doc_id) = 1 oracle. Output is group-bounded; the intermediate
+    is the scored match set (at cluster scale the per-group max is a
+    groupby aggregate over the per-shard collapsed candidates — each
+    shard can pre-collapse locally because max is associative)."""
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n_docs, scorer=scorer, mode="all")
+    stored = searcher.fetch_stored(
+        res["doc_id"].to_numpy(), ("doc_id", group_col))
+    out = pd.DataFrame({
+        "doc_id": stored["doc_id"].astype("int64"),
+        group_col: stored[group_col],
+        "score_r": res["score"].astype(np.float64),
+    })
+    out = out.drop_duplicates(subset=[group_col], keep="first").head(k)
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out.reset_index(drop=True)
+
+
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     """All matching docs as their stored doc_id (unscored set query)."""
     docs = searcher.match_docs(flt)

@@ -2954,6 +2954,10 @@ SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table' ORDER BY doc_id
         # nordicization — other non-ASCII letters (é, ü, ß) would need
         # strip_accents here to mirror the engine's NFKD fold.
         "collation_order_match": """
+-- Replicates only the sv å/ö→PUA tailoring; the engine's key also
+-- NFKD-strips untailored accents (é→e < z) which this key does not.
+-- Equivalent here because the synthetic corpus is pure ASCII before
+-- the a→å / o→ö substitution — no other non-ASCII letter can appear.
 SELECT doc_id FROM (
   SELECT doc_id,
          replace(replace(lower(

@@ -157,7 +157,8 @@ def more_like_this(searcher: IndexSearcher, text: str, *, top_terms: int = 5,
 
 
 def collapse_topk(searcher: IndexSearcher, flt, group_col: str, k: int,
-                  scorer=None, round_to: int | None = 4) -> pd.DataFrame:
+                  scorer=None, round_to: int | None = 4,
+                  id_col: str | None = "doc_id") -> pd.DataFrame:
     """Search-time field collapsing (the Lucene/ES "collapse" operator,
     beyond-reference): keep only the best-scoring doc per ``group_col``
     value, then global top-k over the collapsed set. Best-per-group tie
@@ -169,10 +170,16 @@ def collapse_topk(searcher: IndexSearcher, flt, group_col: str, k: int,
     shard can pre-collapse locally because max is associative)."""
     n_docs = int(sum(s.docs_count for s in searcher.segments))
     res = searcher.search(flt, k=n_docs, scorer=scorer, mode="all")
-    stored = searcher.fetch_stored(
-        res["doc_id"].to_numpy(), ("doc_id", group_col))
+    if id_col is None:  # corpora without a stored id: global doc index
+        stored = searcher.fetch_stored(
+            res["doc_id"].to_numpy(), (group_col,))
+        id_vals = res["doc_id"].to_numpy().astype("int64")
+    else:
+        stored = searcher.fetch_stored(
+            res["doc_id"].to_numpy(), (id_col, group_col))
+        id_vals = stored[id_col].astype("int64")
     out = pd.DataFrame({
-        "doc_id": stored["doc_id"].astype("int64"),
+        "doc_id": id_vals,
         group_col: stored[group_col],
         "score_r": res["score"].astype(np.float64),
     })

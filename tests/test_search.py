@@ -450,3 +450,30 @@ def test_levenshtein_transpositions_kernel():
         got = _levenshtein_many(a, bs, 6, transpositions=True)
         for b, g in zip(bs, got):
             assert int(g) == osa(a, b), (a, b)
+
+
+def test_collapse_topk_matches_brute_force(searcher):
+    from iresearch_ray.api import collapse_topk
+
+    flt = F.Or([F.Term("deploy"), F.Term("ref")])
+    got = collapse_topk(searcher, flt, group_col="role", k=5,
+                        round_to=None, id_col=None)
+
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n_docs, mode="all")
+    stored = searcher.fetch_stored(res["doc_id"].to_numpy(), ("role",))
+    # brute force: results already score desc / doc asc; first per role
+    seen, want = set(), []
+    for did, role, sc in zip(res["doc_id"], stored["role"],
+                             res["score"]):
+        if role in seen:
+            continue
+        seen.add(role)
+        want.append((int(did), role, float(sc)))
+        if len(want) == 5:
+            break
+    assert list(got["doc_id"]) == [w[0] for w in want]
+    assert list(got["role"]) == [w[1] for w in want]
+    assert np.allclose(got["score_r"], [w[2] for w in want])
+    # one row per group, groups unique
+    assert got["role"].is_unique

@@ -1916,6 +1916,33 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_unordered_near(sf_dir: str):
+    """Unordered window proximity (Lucene SpanNear inOrder=false
+    analogue, beyond-reference): docs with occurrences of customer,
+    vector AND merge all inside a window of span <= 8, any order."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s, F.UnorderedNear(["customer", "vector", "merge"], window=8))
+
+
+def _q_dismax_topk(sf_dir: str):
+    """DisjunctionMax with tie_breaker (Lucene DisMaxQuery,
+    beyond-reference; the reference stops at Sum/Max mergers,
+    ``core/search/boolean_filter.hpp`` ScoreMergeType): doc score =
+    max(child scores) + 0.3 * (sum - max)."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.Or([F.Term("customer"), F.Term("vector"), F.Term("window")],
+                score_merge="dismax", tie_breaker=0.3),
+        k=100, scorer=_bm25_f64())
+
+
 def _q_regexp(sf_dir: str):
     """Anchored regular-expression term filter: every doc containing a
     token that fully matches ``s[ch]a[nl]e?`` (scan/shale/sale-family
@@ -2122,6 +2149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_match": _q_regexp,
         "bm25f_topk": _q_bm25f,
         "collapse_topk": _q_collapse_topk,
+        "unordered_near_match": _q_unordered_near,
+        "dismax_topk": _q_dismax_topk,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
         "anti_join_urgent": _q_anti_join_urgent,
@@ -2878,6 +2907,24 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "unordered_near_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id AS doc_id
+FROM term_pos a
+JOIN term_pos b ON b.doc_id = a.doc_id AND b.term = 'vector'
+JOIN term_pos c ON c.doc_id = a.doc_id AND c.term = 'merge'
+WHERE a.term = 'customer'
+  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 8
+ORDER BY doc_id
+""",
+        "dismax_topk": _TOK_SQL + """
+, agg AS (
+  SELECT doc_id, max(score) AS mx, sum(score) AS sm
+  FROM scored WHERE term IN ('customer', 'vector', 'window')
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(mx + 0.3 * (sm - mx), 4) AS score_r
+FROM agg ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id LIMIT 100
 """,
         "collapse_topk": _TOK_SQL + """
 , pair AS (

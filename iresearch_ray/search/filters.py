@@ -472,6 +472,40 @@ class SloppyPhrase(Filter):
 
 
 @dataclass
+class UnorderedNear(Filter):
+    """Unordered window proximity (the Lucene SpanNearQuery
+    ``inOrder=false`` analogue; beyond-reference — the reference's
+    ``by_phrase`` variadic offsets express only ORDERED proximity):
+    every distinct query term must occur in the doc with all K chosen
+    positions inside a window of span <= ``window``
+    (``max(pos) - min(pos) <= window``). Exact anchor formulation: a
+    qualifying position set has a minimum element p, so the doc
+    matches iff SOME occurrence p of SOME term has every other term
+    occurring in ``[p, p + window]`` — one searchsorted per
+    (anchor-term, other-term) pair over all anchors at once, no per-doc
+    loop. tf = number of distinct qualifying anchor positions; per-term
+    idfs sum into one stats group like Phrase."""
+
+    terms: list
+    window: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        if len(set(self.terms)) != len(self.terms):
+            raise ValueError("UnorderedNear terms must be distinct")
+        states = [searcher.resolve_term(t, self.field) for t in self.terms]
+        fs = searcher.field_stats(self.field)
+        idf_sum = sum(
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            for st in states if st.docs_with_term
+        )
+        ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
+        return PreparedUnorderedNear(searcher, states, int(self.window),
+                                     ctx, scorer, self.field)
+
+
+@dataclass
 class BM25F(Filter):
     """BM25F multi-field weighted scoring (Robertson & Zaragoza, "The
     Probabilistic Relevance Framework: BM25 and Beyond", 2009 — public
@@ -657,14 +691,19 @@ class Or(Filter):
     filters: list = dc_field(default_factory=list)
     min_match: int = 1
     boost: float = 1.0
-    score_merge: str = "sum"  # ScoreMergeType: "sum" (default) | "max"
+    # ScoreMergeType: "sum" (default) | "max" | "dismax" (max +
+    # tie_breaker * (sum - max), the Lucene DisjunctionMaxQuery
+    # semantics; tie_breaker=0 degenerates to "max", 1 to "sum")
+    score_merge: str = "sum"
+    tie_breaker: float = 0.0
 
     def prepare(self, searcher, scorer, boost: float = 1.0):
         pos = [f.prepare(searcher, scorer, boost * self.boost)
                for f in self.filters if not isinstance(f, Not)]
         neg = [f.filter.prepare(searcher, scorer, boost * self.boost)
                for f in self.filters if isinstance(f, Not)]
-        dis = PreparedDisjunction(pos, self.min_match, scorer, self.score_merge)
+        dis = PreparedDisjunction(pos, self.min_match, scorer,
+                                  self.score_merge, self.tie_breaker)
         if neg:
             return PreparedConjunction([dis], neg, scorer)
         return dis
@@ -816,11 +855,13 @@ class PreparedPayloadTerm(Prepared):
 
 
 class PreparedDisjunction(Prepared):
-    def __init__(self, children, min_match, scorer, score_merge="sum"):
+    def __init__(self, children, min_match, scorer, score_merge="sum",
+                 tie_breaker=0.0):
         super().__init__(scorer)
         self.children = children
         self.min_match = max(1, int(min_match))
         self.score_merge = score_merge
+        self.tie_breaker = float(tie_breaker)
 
     def cost(self, seg_ord):
         return sum(c.cost(seg_ord) for c in self.children)
@@ -837,6 +878,7 @@ class PreparedDisjunction(Prepared):
         return _merge_disjunction(
             [(d, s) for d, s in parts if d.size],
             self.min_match, self.score_merge, self.dtype,
+            self.tie_breaker,
         )
 
 
@@ -1205,6 +1247,78 @@ class PreparedSloppyPhrase(Prepared):
         return docs, tfs
 
 
+class PreparedUnorderedNear(Prepared):
+    """Anchor-on-the-minimum window check over per-slot sorted
+    ``(doc << 32) | pos`` keys (see ``UnorderedNear``): for each slot a
+    as the window minimum, every other slot s must have its smallest
+    same-doc key >= anchor within ``anchor + window`` — K*(K-1)
+    vectorized searchsorted passes, qualifying anchors deduped across
+    slots for tf."""
+
+    _DOCM = ~np.int64((1 << 32) - 1)
+
+    def __init__(self, searcher, states, window, ctx, scorer, field=None):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.states = states
+        self.window = window
+        self.ctx = ctx
+        self.field = field
+        self._memo: dict = {}
+
+    def cost(self, seg_ord):
+        dfs = []
+        for st in self.states:
+            row = st.rows[seg_ord]
+            if row < 0:
+                return 0
+            dfs.append(int(self.searcher.segments[seg_ord].doc_freq[row]))
+        return min(dfs) if dfs else 0
+
+    def execute(self, seg_ord):
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            hit = self._execute_impl(seg_ord)
+            self._memo[seg_ord] = hit
+        docs, tfs = hit
+        if docs.size == 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        dls = seg.field_norms(self.field)[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
+
+    def _execute_impl(self, seg_ord):
+        seg = self.searcher.segments[seg_ord]
+        rows = []
+        for st in self.states:
+            row = st.rows[seg_ord]
+            if row < 0:
+                return _EMPTY_I, _EMPTY_I
+            rows.append(int(row))
+        keys = [seg.phrase_keys(r, 0) for r in rows]
+        w = np.int64(self.window)
+        good: list[np.ndarray] = []
+        for a, anchors in enumerate(keys):
+            ok = np.ones(anchors.size, dtype=bool)
+            for s, k in enumerate(keys):
+                if s == a or not ok.any():
+                    continue
+                idx = np.searchsorted(k, anchors, side="left")
+                valid = idx < k.size
+                cand = k[np.minimum(idx, max(k.size - 1, 0))]
+                ok &= valid
+                ok &= (cand & self._DOCM) == (anchors & self._DOCM)
+                ok &= cand <= anchors + w
+            if ok.any():
+                good.append(anchors[ok])
+        if not good:
+            return _EMPTY_I, _EMPTY_I
+        anchors = np.unique(np.concatenate(good))
+        docs, tfs = np.unique(
+            (anchors >> np.int64(32)).astype(np.int64), return_counts=True)
+        return docs, tfs
+
+
 class PreparedBM25F(Prepared):
     def __init__(self, searcher, terms, weights, states, avgdl, idf,
                  k1, b, boost, scorer):
@@ -1482,7 +1596,8 @@ def _keys_in_docs(keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
     return keys[idx]
 
 
-def _merge_disjunction(parts, min_match, score_merge, dtype):
+def _merge_disjunction(parts, min_match, score_merge, dtype,
+                       tie_breaker=0.0):
     """Shared disjunction merge kernel. Every scored disjunction-shaped
     path (Or, multiterm, ngram gram-union, the strict MAXSCORE
     evaluation) MUST go through this one function: the per-doc float32
@@ -1529,6 +1644,16 @@ def _merge_disjunction(parts, min_match, score_merge, dtype):
                 if d.size:
                     acc[d] = np.maximum(acc[d], s)
                     cnt[d] += 1
+        elif score_merge == "dismax":
+            mx = np.full(n, -np.inf, sdt)
+            acc = np.zeros(n, sdt)
+            for d, s in parts:
+                if d.size:
+                    mx[d] = np.maximum(mx[d], s)
+                    acc[d] += s
+                    cnt[d] += 1
+            hit = cnt > 0
+            acc[hit] = mx[hit] + sdt.type(tie_breaker) * (acc[hit] - mx[hit])
         else:
             acc = np.zeros(n, sdt)
             for d, s in parts:
@@ -1546,6 +1671,11 @@ def _merge_disjunction(parts, min_match, score_merge, dtype):
     out_docs = docs[starts]
     if score_merge == "max":
         out_scores = np.maximum.reduceat(scores, starts).astype(dtype)
+    elif score_merge == "dismax":
+        mx = np.maximum.reduceat(scores, starts)
+        sm = np.add.reduceat(scores, starts)
+        out_scores = (mx + scores.dtype.type(tie_breaker) * (sm - mx)) \
+            .astype(dtype)
     else:
         out_scores = np.add.reduceat(scores, starts).astype(dtype)
     if min_match > 1:

@@ -477,3 +477,78 @@ def test_collapse_topk_matches_brute_force(searcher):
     assert np.allclose(got["score_r"], [w[2] for w in want])
     # one row per group, groups unique
     assert got["role"].is_unique
+
+
+def _brute_unordered_near(oracle, terms, window):
+    hits = set()
+    for doc0, toks in enumerate(oracle.docs_tokens):
+        pos = {t: [p for p, x in enumerate(toks) if x == t] for t in terms}
+        if any(not v for v in pos.values()):
+            continue
+        import itertools
+        for combo in itertools.product(*(pos[t] for t in terms)):
+            if max(combo) - min(combo) <= window:
+                hits.add(doc0 + 1)
+                break
+    return sorted(hits)
+
+
+def test_unordered_near_matches_brute_force(searcher, oracle):
+    for terms, w in [
+        (["ref", "name"], 0),
+        (["ref", "name"], 4),
+        (["deploy", "target"], 2),
+        (["the", "ref", "deploy"], 6),
+        (["second", "the"], 5),
+    ]:
+        got = ids(searcher.match_docs(F.UnorderedNear(terms, window=w)))
+        assert got == _brute_unordered_near(oracle, terms, w), (terms, w)
+
+
+def test_unordered_near_superset_of_sloppy(searcher):
+    # any ordered chain with span slack <= s is a window of span
+    # <= s + m - 1, so sloppy matches are a subset
+    terms, slop = ["the", "ref"], 3
+    sl = set(np.asarray(searcher.match_docs(
+        F.SloppyPhrase(terms, slop=slop))).tolist())
+    un = set(np.asarray(searcher.match_docs(
+        F.UnorderedNear(terms, window=slop + len(terms) - 1))).tolist())
+    assert sl <= un
+
+
+def test_dismax_matches_manual_combine(searcher):
+    from iresearch_ray.search.scorers import BM25
+
+    sc = BM25(dtype=np.float64)
+    terms = ["deploy", "ref", "the"]
+    per = {}
+    for t in terms:
+        r = searcher.search(F.Term(t), k=10**6, scorer=sc, mode="all")
+        per[t] = dict(zip(r["doc_id"].tolist(), r["score"].tolist()))
+    want = {}
+    for t in terms:
+        for d, s in per[t].items():
+            want.setdefault(d, []).append(s)
+    tb = 0.37
+    want = {d: max(v) + tb * (sum(v) - max(v)) for d, v in want.items()}
+    got = searcher.search(
+        F.Or([F.Term(t) for t in terms], score_merge="dismax",
+             tie_breaker=tb),
+        k=10**6, scorer=sc, mode="all")
+    assert len(got) == len(want)
+    for d, s in zip(got["doc_id"], got["score"]):
+        assert abs(s - want[int(d)]) < 1e-9, d
+
+
+def test_dismax_degenerate_ends(searcher):
+    sc_terms = [F.Term("deploy"), F.Term("ref")]
+    base = searcher.search(F.Or(sc_terms), k=50, mode="all")
+    tb1 = searcher.search(F.Or(sc_terms, score_merge="dismax",
+                               tie_breaker=1.0), k=50, mode="all")
+    assert list(base["doc_id"]) == list(tb1["doc_id"])
+    assert np.allclose(base["score"], tb1["score"], rtol=1e-6)
+    mx = searcher.search(F.Or(sc_terms, score_merge="max"), k=50, mode="all")
+    tb0 = searcher.search(F.Or(sc_terms, score_merge="dismax",
+                               tie_breaker=0.0), k=50, mode="all")
+    assert list(mx["doc_id"]) == list(tb0["doc_id"])
+    assert np.allclose(mx["score"], tb0["score"], rtol=1e-6)

@@ -1916,6 +1916,20 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """RAG-style fixed-size character chunking with overlap: 80-char
+    chunks on a 64-char stride (16-char overlap), one row per
+    (doc, chunk ordinal). Oracle: substr over unnest(range(n_chunks))."""
+    import ray.data
+
+    from iresearch_ray.pipelines.packing import chunk_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = chunk_documents(ds, size=80, stride=64).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _q_unordered_near(sf_dir: str):
     """Unordered window proximity (Lucene SpanNear inOrder=false
     analogue, beyond-reference): docs with occurrences of customer,
@@ -2150,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _q_bm25f,
         "collapse_topk": _q_collapse_topk,
         "unordered_near_match": _q_unordered_near,
+        "chunk_documents": _q_chunk_documents,
         "dismax_topk": _q_dismax_topk,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
@@ -2907,6 +2922,16 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "chunk_documents": """
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 80) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+           AS chunk_idx
+  FROM documents)
+ORDER BY doc_id, chunk_idx
 """,
         "unordered_near_match": _TOK_SQL + """
 SELECT DISTINCT a.doc_id AS doc_id

@@ -788,3 +788,32 @@ def test_significant_terms_jlh(ray_session):
     # 'sweet' is everywhere -> score 0, never outranks group terms
     assert not (out["term"] == "sweet").any() or (
         out[out["term"] == "sweet"]["score"] == 0.0).all()
+
+
+def test_chunk_documents(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from iresearch_ray.pipelines.packing import chunk_documents
+
+    texts = ["abcdefghij",        # 10 chars -> 3 chunks at stride 4
+             "xy",                # shorter than size -> 1 chunk
+             "",                  # empty -> no chunks
+             "0123456789abcdef"]  # 16 chars -> 4 chunks
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": texts})
+    out = chunk_documents(ray.data.from_arrow(t), size=6, stride=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["chunk"]))
+    want = []
+    for did, s in zip([1, 2, 3, 4], texts):
+        i = 0
+        while i * 4 < len(s):
+            want.append((did, i, s[i * 4:i * 4 + 6]))
+            i += 1
+    assert got == want
+    # stride == size -> non-overlapping exact cover
+    out2 = chunk_documents(ray.data.from_arrow(t), size=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    joined = out2.groupby("doc_id")["chunk"].apply("".join)
+    assert joined[1] == texts[0] and joined[4] == texts[3]

@@ -1916,6 +1916,31 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_span_first(sf_dir: str):
+    """SpanFirst: docs whose first 5 token positions contain
+    'customer' (Lucene SpanFirstQuery analogue)."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.SpanFirst("customer", end=5))
+
+
+def _q_negative_boost(sf_dir: str):
+    """BoostingQuery: customer∨vector BM25 sum, demoted 0.5x for docs
+    that also contain 'slow' (negative side never changes the match
+    set)."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.NegativeBoost(
+            F.Or([F.Term("customer"), F.Term("vector")]),
+            F.Term("slow"), neg_boost=0.5),
+        k=100, scorer=_bm25_f64())
+
+
 def _q_chunk_documents(sf_dir: str):
     """RAG-style fixed-size character chunking with overlap: 80-char
     chunks on a 64-char stride (16-char overlap), one row per
@@ -2165,6 +2190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": _q_collapse_topk,
         "unordered_near_match": _q_unordered_near,
         "chunk_documents": _q_chunk_documents,
+        "span_first_match": _q_span_first,
+        "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
         "events_interval_join": _q_events_interval_join,
         "semi_join_urgent": _q_semi_join_urgent,
@@ -2922,6 +2949,25 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "span_first_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE term = 'customer' AND pos < 5 ORDER BY doc_id
+""",
+        "negative_boost_topk": _TOK_SQL + """
+, pair AS (
+  SELECT doc_id, sum(score) AS score
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id
+),
+neg AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'slow'),
+demoted AS (
+  SELECT p.doc_id,
+         p.score * CASE WHEN n.doc_id IS NULL THEN 1.0 ELSE 0.5 END
+           AS score
+  FROM pair p LEFT JOIN neg n ON n.doc_id = p.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM demoted ORDER BY score DESC, doc_id LIMIT 100
 """,
         "chunk_documents": """
 SELECT doc_id, chunk_idx,

@@ -472,6 +472,52 @@ class SloppyPhrase(Filter):
 
 
 @dataclass
+class SpanFirst(Filter):
+    """Term restricted to the first ``end`` token positions of the doc
+    (the Lucene SpanFirstQuery analogue; beyond-reference — position
+    streams are already indexed for phrases, this reads the same keys):
+    matches docs where ``term`` occurs at position < ``end``; tf counts
+    only qualifying occurrences, scored like Term."""
+
+    term: str
+    end: int = 1
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        st = searcher.resolve_term(self.term, self.field)
+        fs = searcher.field_stats(self.field)
+        ctx = scorer.make_ctx(
+            fs,
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            if st.docs_with_term else 0.0,
+            boost * self.boost,
+        )
+        return PreparedSpanFirst(searcher, st, int(self.end), ctx, scorer,
+                                 self.field)
+
+
+@dataclass
+class NegativeBoost(Filter):
+    """Demotion composite (the Lucene BoostingQuery analogue;
+    beyond-reference): docs match exactly the ``positive`` filter; a
+    doc that ALSO matches ``negative`` keeps its positive score
+    multiplied by ``neg_boost`` (< 1 demotes, the negative side never
+    adds or removes matches)."""
+
+    positive: "Filter"
+    negative: "Filter"
+    neg_boost: float = 0.5
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return PreparedNegativeBoost(
+            self.positive.prepare(searcher, scorer, boost * self.boost),
+            self.negative.prepare(searcher, scorer, 1.0),
+            float(self.neg_boost), scorer)
+
+
+@dataclass
 class UnorderedNear(Filter):
     """Unordered window proximity (the Lucene SpanNearQuery
     ``inOrder=false`` analogue; beyond-reference — the reference's
@@ -1245,6 +1291,77 @@ class PreparedSloppyPhrase(Prepared):
         docs_all = (start[m] >> np.int64(32)).astype(np.int64)
         docs, tfs = np.unique(docs_all, return_counts=True)
         return docs, tfs
+
+
+class PreparedSpanFirst(Prepared):
+    """Position-restricted term: one mask over the term's sorted
+    ``(doc << 32) | pos`` keys (pos < end), then per-doc counts."""
+
+    def __init__(self, searcher, state, end, ctx, scorer, field=None):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.state = state
+        self.end = end
+        self.ctx = ctx
+        self.field = field
+        self._memo: dict = {}
+
+    def cost(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        return 0 if row < 0 else int(
+            self.searcher.segments[seg_ord].doc_freq[row])
+
+    def execute(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        if row < 0:
+            return _empty(self.dtype)
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            seg = self.searcher.segments[seg_ord]
+            keys = seg.phrase_keys(int(row), 0)
+            keys = keys[(keys & np.int64((1 << 32) - 1)) < self.end]
+            docs, tfs = np.unique(
+                (keys >> np.int64(32)).astype(np.int64),
+                return_counts=True)
+            hit = self._memo[seg_ord] = (docs, tfs)
+        docs, tfs = hit
+        if docs.size == 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        dls = seg.field_norms(self.field)[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
+
+
+class PreparedNegativeBoost(Prepared):
+    def __init__(self, positive, negative, neg_boost, scorer):
+        super().__init__(scorer)
+        self.positive = positive
+        self.negative = negative
+        self.neg_boost = neg_boost
+
+    def cost(self, seg_ord):
+        return self.positive.cost(seg_ord)
+
+    def max_score(self, seg_ord):
+        # neg_boost <= 1 demotes, > 1 promotes; bound accordingly
+        v = self.positive.max_score(seg_ord)
+        return v * max(1.0, self.neg_boost) if v != float("-inf") else v
+
+    def execute(self, seg_ord):
+        docs, scores = self.positive.execute(seg_ord)
+        if docs.size == 0:
+            return docs, scores
+        ndocs, _ = self.negative.execute(seg_ord)
+        if ndocs.size:
+            idx = np.searchsorted(ndocs, docs)
+            valid = idx < ndocs.size
+            demote = np.zeros(docs.size, dtype=bool)
+            demote[valid] = ndocs[np.minimum(idx, ndocs.size - 1)][valid] \
+                == docs[valid]
+            scores = scores.copy()
+            scores[demote] = scores[demote] * scores.dtype.type(
+                self.neg_boost)
+        return docs, scores
 
 
 class PreparedUnorderedNear(Prepared):

@@ -552,3 +552,43 @@ def test_dismax_degenerate_ends(searcher):
                                tie_breaker=0.0), k=50, mode="all")
     assert list(mx["doc_id"]) == list(tb0["doc_id"])
     assert np.allclose(mx["score"], tb0["score"], rtol=1e-6)
+
+
+def test_span_first_matches_brute_force(searcher, oracle):
+    for term, end in [("the", 1), ("ref", 3), ("deploy", 5), ("second", 2)]:
+        exp = sorted(
+            doc0 + 1 for doc0, toks in enumerate(oracle.docs_tokens)
+            if term in toks[:end]
+        )
+        got = ids(searcher.match_docs(F.SpanFirst(term, end=end)))
+        assert got == exp, (term, end)
+
+
+def test_span_first_tf_counts_window_occurrences(searcher, oracle):
+    # a doc with the term only AFTER the window must not match; tf in a
+    # matching doc counts only in-window occurrences
+    term, end = "the", 4
+    res = searcher.search(F.SpanFirst(term, end=end), k=10**6, mode="all")
+    full = searcher.search(F.Term(term), k=10**6, mode="all")
+    assert set(res["doc_id"]) <= set(full["doc_id"])
+    for d in res["doc_id"][:20]:
+        toks = oracle.docs_tokens[int(d) - 1]
+        assert term in toks[:end]
+
+
+def test_negative_boost_demotes_only(searcher):
+    from iresearch_ray.search.scorers import BM25
+
+    sc = BM25(dtype=np.float64)
+    pos = F.Or([F.Term("deploy"), F.Term("ref")])
+    base = searcher.search(pos, k=10**6, scorer=sc, mode="all")
+    nb = searcher.search(
+        F.NegativeBoost(pos, F.Term("the"), neg_boost=0.25),
+        k=10**6, scorer=sc, mode="all")
+    # same match set
+    assert set(base["doc_id"]) == set(nb["doc_id"])
+    neg = set(np.asarray(searcher.match_docs(F.Term("the"))).tolist())
+    b = dict(zip(base["doc_id"].tolist(), base["score"].tolist()))
+    for d, s in zip(nb["doc_id"], nb["score"]):
+        want = b[int(d)] * (0.25 if int(d) in neg else 1.0)
+        assert abs(s - want) < 1e-9, d

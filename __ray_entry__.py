@@ -1916,6 +1916,26 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_suggest_prefix(sf_dir: str):
+    """Weighted prefix autocomplete: top-10 dictionary terms starting
+    with 's' by document frequency (desc, term asc) — two searchsorted
+    per segment bound the dictionary slice."""
+    from iresearch_ray.api import documents_searcher, suggest_prefix
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return suggest_prefix(s, "s", n=10)
+
+
+def _q_spell_correct(sf_dir: str):
+    """Did-you-mean: dictionary terms within Levenshtein distance 2 of
+    'pert' ranked by doc frequency (the Fuzzy filter's banded-DP
+    expansion surfaced as a vocabulary service)."""
+    from iresearch_ray.api import documents_searcher, spell_correct
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return spell_correct(s, "pert", max_distance=2, n=5)
+
+
 def _q_span_first(sf_dir: str):
     """SpanFirst: docs whose first 5 token positions contain
     'customer' (Lucene SpanFirstQuery analogue)."""
@@ -2191,6 +2211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unordered_near_match": _q_unordered_near,
         "chunk_documents": _q_chunk_documents,
         "span_first_match": _q_span_first,
+        "suggest_prefix": _q_suggest_prefix,
+        "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
         "events_interval_join": _q_events_interval_join,
@@ -2949,6 +2971,16 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "suggest_prefix": _TOK_SQL + """
+SELECT term, CAST(dwt AS BIGINT) AS doc_freq
+FROM df WHERE term LIKE 's%'
+ORDER BY dwt DESC, term LIMIT 10
+""",
+        "spell_correct": _TOK_SQL + """
+SELECT term, CAST(dwt AS BIGINT) AS doc_freq
+FROM df WHERE levenshtein(term, 'pert') <= 2
+ORDER BY dwt DESC, term LIMIT 5
 """,
         "span_first_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos

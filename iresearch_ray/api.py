@@ -197,3 +197,71 @@ def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": stored["doc_id"].astype("int64")}).sort_values(
         "doc_id"
     ).reset_index(drop=True)
+
+
+def suggest_prefix(searcher: IndexSearcher, prefix: str, n: int = 10,
+                   field: str | None = None) -> pd.DataFrame:
+    """Weighted prefix autocomplete (the Lucene suggester family,
+    beyond-reference — built on the same byte-sorted term dictionary
+    the reference's FST range walk serves): dictionary terms starting
+    with ``prefix``, ranked by total document frequency (desc, then
+    term asc). Two searchsorted per segment bound the scan; only the
+    in-range dictionary slice and its df column are touched."""
+    from iresearch_ray.search.filters import _prefix_successor
+
+    hi = _prefix_successor(prefix)
+    parts = []
+    for seg in searcher.segments:
+        rows = seg.term_range(prefix, hi, True, False, field)
+        if rows.size:
+            parts.append(pd.DataFrame({
+                "term": seg.terms_at(rows),
+                "doc_freq": seg.doc_freq[rows].astype("int64"),
+            }))
+    if not parts:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "doc_freq": pd.Series([], dtype="int64")})
+    out = (pd.concat(parts).groupby("term", as_index=False)["doc_freq"]
+           .sum()
+           .sort_values(["doc_freq", "term"], ascending=[False, True],
+                        kind="mergesort")
+           .head(n))
+    return out.reset_index(drop=True)
+
+
+def spell_correct(searcher: IndexSearcher, term: str,
+                  max_distance: int = 1, n: int = 5,
+                  field: str | None = None) -> pd.DataFrame:
+    """Did-you-mean suggester: dictionary terms within Levenshtein
+    distance ``max_distance`` of ``term`` ranked by document frequency
+    (desc, then term asc) — the same banded-DP candidate expansion the
+    Fuzzy filter uses (``core/search/levenshtein_filter.hpp`` is the
+    query-side analogue), surfaced as a vocabulary service."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from iresearch_ray.search.filters import _levenshtein_many
+
+    def pred(terms: np.ndarray):
+        lens = pc.utf8_length(pa.array(terms, type=pa.string()))
+        keep = np.abs(lens.to_numpy(zero_copy_only=False)
+                      - len(term)) <= max_distance
+        cands = terms[keep].tolist()
+        if not cands:
+            return []
+        dist = _levenshtein_many(term, cands, max_distance)
+        return [t for t, d in zip(cands, dist) if d <= max_distance]
+
+    matched = searcher.scan_terms(pred, field)
+    rows = []
+    for t in matched:
+        st = searcher.resolve_term(t, field)
+        rows.append((t, int(st.docs_with_term)))
+    out = pd.DataFrame(rows, columns=["term", "doc_freq"])
+    if out.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "doc_freq": pd.Series([], dtype="int64")})
+    out["doc_freq"] = out["doc_freq"].astype("int64")
+    return (out.sort_values(["doc_freq", "term"],
+                            ascending=[False, True], kind="mergesort")
+            .head(n).reset_index(drop=True))

@@ -592,3 +592,31 @@ def test_negative_boost_demotes_only(searcher):
     for d, s in zip(nb["doc_id"], nb["score"]):
         want = b[int(d)] * (0.25 if int(d) in neg else 1.0)
         assert abs(s - want) < 1e-9, d
+
+
+def test_suggest_prefix_and_spell_correct(searcher, oracle):
+    from iresearch_ray.api import spell_correct, suggest_prefix
+
+    # independent df table from the oracle postings
+    df = {t: len(p) for t, p in oracle.postings.items()}
+
+    got = suggest_prefix(searcher, "de", n=8)
+    want = sorted(((t, d) for t, d in df.items() if t.startswith("de")),
+                  key=lambda x: (-x[1], x[0]))[:8]
+    assert list(zip(got["term"], got["doc_freq"])) == want
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    got = spell_correct(searcher, "deploi", max_distance=2, n=5)
+    want = sorted(((t, d) for t, d in df.items()
+                   if lev("deploi", t) <= 2),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert list(zip(got["term"], got["doc_freq"])) == want

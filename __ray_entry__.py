@@ -1916,6 +1916,29 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_percolate(sf_dir: str):
+    """Percolation (ES percolator analogue): five registered standing
+    queries (term, and-not, 2-of-3, phrase, prefix) evaluated against
+    the document stream; one row per (doc, matching query)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.percolate import percolate
+    from iresearch_ray.search import filters as F
+
+    queries = {
+        "topic_customer": F.Term("customer"),
+        "slow_not_vector": F.And([F.Term("slow"), F.Not(F.Term("vector"))]),
+        "scan_sort_merge_2": F.Or(
+            [F.Term("scan"), F.Term("sort"), F.Term("merge")], min_match=2),
+        "batch_batch": F.Phrase(["batch", "batch"]),
+        "win_prefix": F.Prefix("wi"),
+    }
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = percolate(ds, queries).to_pandas()
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
 def _q_suggest_prefix(sf_dir: str):
     """Weighted prefix autocomplete: top-10 dictionary terms starting
     with 's' by document frequency (desc, term asc) — two searchsorted
@@ -2212,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "span_first_match": _q_span_first,
         "suggest_prefix": _q_suggest_prefix,
+        "percolate_stream": _q_percolate,
         "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
@@ -2971,6 +2995,31 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "percolate_stream": _TOK_SQL + """
+, hits AS (
+  SELECT DISTINCT doc_id, 'topic_customer' AS query_id
+  FROM term_pos WHERE term = 'customer'
+  UNION ALL
+  SELECT doc_id, 'slow_not_vector' FROM (
+    SELECT DISTINCT doc_id FROM term_pos WHERE term = 'slow'
+    EXCEPT
+    SELECT DISTINCT doc_id FROM term_pos WHERE term = 'vector')
+  UNION ALL
+  SELECT doc_id, 'scan_sort_merge_2' FROM (
+    SELECT doc_id FROM term_pos
+    WHERE term IN ('scan', 'sort', 'merge')
+    GROUP BY doc_id HAVING count(DISTINCT term) >= 2)
+  UNION ALL
+  SELECT DISTINCT t1.doc_id, 'batch_batch'
+  FROM term_pos t1 JOIN term_pos t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'batch' AND t2.term = 'batch'
+  UNION ALL
+  SELECT DISTINCT doc_id, 'win_prefix'
+  FROM term_pos WHERE term LIKE 'wi%'
+)
+SELECT doc_id, query_id FROM hits ORDER BY query_id, doc_id
 """,
         "suggest_prefix": _TOK_SQL + """
 SELECT term, CAST(dwt AS BIGINT) AS doc_freq

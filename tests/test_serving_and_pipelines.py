@@ -817,3 +817,59 @@ def test_chunk_documents(ray_session):
         .to_pandas().sort_values(["doc_id", "chunk_idx"])
     joined = out2.groupby("doc_id")["chunk"].apply("".join)
     assert joined[1] == texts[0] and joined[4] == texts[3]
+
+
+def test_percolate_matches_brute_force(ray_session, small_corpus):
+    import re
+
+    import ray
+
+    from iresearch_ray.pipelines.percolate import percolate
+    from iresearch_ray.search import filters as F
+
+    corpus = small_corpus.append_column(
+        "row_id", __import__("pyarrow").array(
+            range(small_corpus.num_rows), type=__import__("pyarrow").int64()))
+    queries = {
+        "q_term": F.Term("deploy"),
+        "q_andnot": F.And([F.Term("ref"), F.Not(F.Term("the"))]),
+        "q_2of3": F.Or([F.Term("ref"), F.Term("ok"), F.Term("deploy")],
+                       min_match=2),
+        "q_phrase": F.Phrase(["deploy", "target"]),
+        "q_prefix": F.Prefix("dep"),
+    }
+    out = percolate(ray.data.from_arrow(corpus), queries,
+                    id_col="row_id").to_pandas()
+    got = set(zip(out["row_id"], out["query_id"]))
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    want = set()
+    for rid, text in enumerate(corpus.column("text").to_pylist()):
+        ts = toks(text)
+        st = set(ts)
+        if "deploy" in st:
+            want.add((rid, "q_term"))
+        if "ref" in st and "the" not in st:
+            want.add((rid, "q_andnot"))
+        if sum(t in st for t in ("ref", "ok", "deploy")) >= 2:
+            want.add((rid, "q_2of3"))
+        if any(a == "deploy" and b == "target"
+               for a, b in zip(ts, ts[1:])):
+            want.add((rid, "q_phrase"))
+        if any(t.startswith("dep") for t in ts):
+            want.add((rid, "q_prefix"))
+    assert got == want
+
+
+def test_percolate_rejects_unsupported(ray_session):
+    import pytest as _pytest
+
+    from iresearch_ray.pipelines.percolate import PercolateBatch
+    from iresearch_ray.search import filters as F
+
+    with _pytest.raises(ValueError):
+        PercolateBatch({"q": F.Fuzzy("scan", 1)})
+    with _pytest.raises(ValueError):
+        PercolateBatch({"q": F.Phrase([{"prefix": "de"}, "x"])})

@@ -1916,6 +1916,16 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_span_not(sf_dir: str):
+    """SpanNot: docs with an occurrence of 'customer' having NO 'slow'
+    within 3 positions either side (Lucene SpanNotQuery analogue)."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(s, F.SpanNot("customer", "slow", pre=3, post=3))
+
+
 def _q_percolate(sf_dir: str):
     """Percolation (ES percolator analogue): five registered standing
     queries (term, and-not, 2-of-3, phrase, prefix) evaluated against
@@ -2236,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first_match": _q_span_first,
         "suggest_prefix": _q_suggest_prefix,
         "percolate_stream": _q_percolate,
+        "span_not_match": _q_span_not,
         "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
@@ -2995,6 +3006,16 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "span_not_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id AS doc_id
+FROM term_pos a
+WHERE a.term = 'customer'
+  AND NOT EXISTS (
+    SELECT 1 FROM term_pos b
+    WHERE b.doc_id = a.doc_id AND b.term = 'slow'
+      AND b.pos BETWEEN a.pos - 3 AND a.pos + 3)
+ORDER BY doc_id
 """,
         "percolate_stream": _TOK_SQL + """
 , hits AS (

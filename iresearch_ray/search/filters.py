@@ -518,6 +518,36 @@ class NegativeBoost(Filter):
 
 
 @dataclass
+class SpanNot(Filter):
+    """Positional exclusion (the Lucene SpanNotQuery analogue,
+    beyond-reference): matches occurrences of ``term`` that have NO
+    occurrence of ``exclude`` within ``pre`` positions before or
+    ``post`` positions after; a doc matches iff at least one such
+    occurrence survives, tf = surviving occurrences, scored like
+    Term."""
+
+    term: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        st = searcher.resolve_term(self.term, self.field)
+        ex = searcher.resolve_term(self.exclude, self.field)
+        fs = searcher.field_stats(self.field)
+        ctx = scorer.make_ctx(
+            fs,
+            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            if st.docs_with_term else 0.0,
+            boost * self.boost,
+        )
+        return PreparedSpanNot(searcher, st, ex, int(self.pre),
+                               int(self.post), ctx, scorer, self.field)
+
+
+@dataclass
 class UnorderedNear(Filter):
     """Unordered window proximity (the Lucene SpanNearQuery
     ``inOrder=false`` analogue; beyond-reference — the reference's
@@ -1362,6 +1392,61 @@ class PreparedNegativeBoost(Prepared):
             scores[demote] = scores[demote] * scores.dtype.type(
                 self.neg_boost)
         return docs, scores
+
+
+class PreparedSpanNot(Prepared):
+    """One searchsorted of the exclude keys per segment: for each
+    anchor key ``a``, the first exclude key >= max(a - pre, doc start)
+    excludes ``a`` iff it is same-doc and <= a + post (keys are
+    (doc << 32) | pos, so the doc-start clamp keeps a small ``pos``
+    from borrowing into the previous doc's range)."""
+
+    _DOCM = ~np.int64((1 << 32) - 1)
+
+    def __init__(self, searcher, state, ex_state, pre, post, ctx, scorer,
+                 field=None):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.state = state
+        self.ex_state = ex_state
+        self.pre = pre
+        self.post = post
+        self.ctx = ctx
+        self.field = field
+        self._memo: dict = {}
+
+    def cost(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        return 0 if row < 0 else int(
+            self.searcher.segments[seg_ord].doc_freq[row])
+
+    def execute(self, seg_ord):
+        row = self.state.rows[seg_ord]
+        if row < 0:
+            return _empty(self.dtype)
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            seg = self.searcher.segments[seg_ord]
+            a = seg.phrase_keys(int(row), 0)
+            ex_row = self.ex_state.rows[seg_ord]
+            if ex_row >= 0 and a.size:
+                b = seg.phrase_keys(int(ex_row), 0)
+                lo = np.maximum(a - np.int64(self.pre), a & self._DOCM)
+                idx = np.searchsorted(b, lo, side="left")
+                valid = idx < b.size
+                cand = b[np.minimum(idx, max(b.size - 1, 0))]
+                excl = valid & ((cand & self._DOCM) == (a & self._DOCM)) \
+                    & (cand <= a + np.int64(self.post))
+                a = a[~excl]
+            docs, tfs = np.unique(
+                (a >> np.int64(32)).astype(np.int64), return_counts=True)
+            hit = self._memo[seg_ord] = (docs, tfs)
+        docs, tfs = hit
+        if docs.size == 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        dls = seg.field_norms(self.field)[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
 
 
 class PreparedUnorderedNear(Prepared):

@@ -620,3 +620,31 @@ def test_suggest_prefix_and_spell_correct(searcher, oracle):
                    if lev("deploi", t) <= 2),
                   key=lambda x: (-x[1], x[0]))[:5]
     assert list(zip(got["term"], got["doc_freq"])) == want
+
+
+def test_span_not_matches_brute_force(searcher, oracle):
+    for term, excl, pre, post in [
+        ("ref", "the", 2, 2),
+        ("deploy", "target", 0, 1),
+        ("the", "ref", 3, 0),
+        ("second", "zzz-missing", 5, 5),
+    ]:
+        exp = set()
+        for doc0, toks in enumerate(oracle.docs_tokens):
+            for p, t in enumerate(toks):
+                if t != term:
+                    continue
+                window = toks[max(0, p - pre):p + post + 1]
+                if excl not in window:
+                    exp.add(doc0 + 1)
+                    break
+        got = ids(searcher.match_docs(
+            F.SpanNot(term, excl, pre=pre, post=post)))
+        assert got == sorted(exp), (term, excl, pre, post)
+
+
+def test_span_not_missing_exclude_equals_term(searcher):
+    a = ids(searcher.match_docs(F.SpanNot("ref", "zzz-missing", pre=9,
+                                          post=9)))
+    b = ids(searcher.match_docs(F.Term("ref")))
+    assert a == b

@@ -1916,6 +1916,19 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_event_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase within 6h (existential
+    chain semantics, strictly increasing timestamps): per-step distinct
+    converting users."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sessions import funnel
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    return funnel(ds, ["view", "click", "purchase"], window_s=6 * 3600.0)
+
+
 def _q_span_not(sf_dir: str):
     """SpanNot: docs with an occurrence of 'customer' having NO 'slow'
     within 3 positions either side (Lucene SpanNotQuery analogue)."""
@@ -2247,6 +2260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix": _q_suggest_prefix,
         "percolate_stream": _q_percolate,
         "span_not_match": _q_span_not,
+        "event_funnel": _q_event_funnel,
         "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
@@ -3006,6 +3020,30 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "event_funnel": """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+s0 AS (SELECT count(DISTINCT user_id) AS n FROM v),
+s1 AS (
+  SELECT count(DISTINCT v.user_id) AS n
+  FROM v JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+   AND c.ts <= v.ts + INTERVAL 6 HOUR),
+s2 AS (
+  SELECT count(DISTINCT v.user_id) AS n
+  FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+   AND p.ts <= v.ts + INTERVAL 6 HOUR)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST(n AS BIGINT) AS n_users FROM s0
+  UNION ALL
+  SELECT 1, 'click', CAST(n AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'purchase', CAST(n AS BIGINT) FROM s2)
+ORDER BY step_idx
 """,
         "span_not_match": _TOK_SQL + """
 SELECT DISTINCT a.doc_id AS doc_id

@@ -54,3 +54,88 @@ def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
         })
 
     return ds.groupby(user_col).map_groups(fn, batch_format="pandas")
+
+
+def funnel(ds, steps: list, window_s: float,
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts", buckets: int = 64):
+    """Ordered funnel conversion (the clickstream funnel operator):
+    for each step k, count users with events e_0 < e_1 < ... < e_k of
+    types ``steps[0..k]`` at strictly increasing timestamps with
+    ``ts_k - ts_0 <= window_s`` seconds. Existential semantics — ANY
+    qualifying chain counts the user once.
+
+    -> Dataset(step_idx, step, n_users), one row per step.
+
+    Kernel: the greedy-minimal-successor chain from every step-0 event
+    (the SloppyPhrase kernel over (user_rank << 45 | dt_us) keys —
+    greedy minimizes ts_k for a given start, so a user converts iff
+    some start's greedy chain fits the window; exact, no per-event or
+    per-user Python). Scale shape: users are hash-bucketed
+    (``user % buckets``) so ONE shuffle builds bucket groups and the
+    chain kernel runs vectorized across every user in the bucket;
+    per-bucket distinct-user counts sum exactly because a user lives in
+    exactly one bucket."""
+    import pyarrow as pa
+
+    window_us = np.int64(round(window_s * 1_000_000))
+    steps = list(steps)
+    ns = len(steps)
+    SH = np.int64(45)  # dt fits 2^45 us (~1 year) per bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        keep = pc.is_in(t.column(type_col),
+                        value_set=pa.array(steps))
+        return t.append_column(
+            "bucket", pa.array((u % buckets).astype(np.int64))
+        ).filter(keep)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dt = ts - ts.min()
+        users = g[user_col].to_numpy(dtype=np.int64)
+        uniq = np.unique(users)
+        rank = np.searchsorted(uniq, users).astype(np.int64)
+        key = (rank << SH) | dt
+        types = g[type_col].to_numpy()
+        per_step = []
+        for s in steps:
+            k = np.sort(key[types == s])
+            per_step.append(k)
+        counts = np.zeros(ns, dtype=np.int64)
+        start = per_step[0]
+        counts[0] = np.unique(start >> SH).size
+        cur = start
+        for si in range(1, ns):
+            k = per_step[si]
+            if cur.size == 0 or k.size == 0:
+                break
+            idx = np.searchsorted(k, cur + 1)
+            ok = idx < k.size
+            nxt = k[np.minimum(idx, max(k.size - 1, 0))]
+            ok &= (nxt >> SH) == (cur >> SH)
+            start, cur = start[ok], nxt[ok]
+            within = (cur - start) <= window_us
+            counts[si] = np.unique(start[within] >> SH).size
+        return pd.DataFrame({
+            "step_idx": np.arange(ns, dtype=np.int64),
+            "step": steps,
+            "n_users": counts,
+        })
+
+    from ray.data.aggregate import Sum
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+    # per-bucket partials sum exactly (a user lives in one bucket);
+    # the result is ns rows, so naming the steps driver-side is free
+    agg = parts.groupby("step_idx").aggregate(Sum("n_users")).to_pandas()
+    agg = agg.rename(columns={"sum(n_users)": "n_users"}) \
+        .sort_values("step_idx").reset_index(drop=True)
+    agg["step"] = [steps[i] for i in agg["step_idx"]]
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return agg[["step_idx", "step", "n_users"]]

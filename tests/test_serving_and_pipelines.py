@@ -873,3 +873,39 @@ def test_percolate_rejects_unsupported(ray_session):
         PercolateBatch({"q": F.Fuzzy("scan", 1)})
     with _pytest.raises(ValueError):
         PercolateBatch({"q": F.Phrase([{"prefix": "de"}, "x"])})
+
+
+def test_funnel_existential_chain(ray_session):
+    import pandas as pd
+    import ray
+
+    from iresearch_ray.pipelines.sessions import funnel
+
+    # user 1: early view cannot fit the window, later view can — the
+    # existential semantics must count the user (a single greedy pass
+    # from only the first view would miss it)
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 09:30:00"),
+        (1, "purchase", "2024-01-01 10:30:00"),
+        # user 2: right order but purchase outside the 2h window
+        (2, "view", "2024-01-02 00:00:00"),
+        (2, "click", "2024-01-02 00:30:00"),
+        (2, "purchase", "2024-01-02 03:00:00"),
+        # user 3: wrong order (purchase before click)
+        (3, "view", "2024-01-03 00:00:00"),
+        (3, "purchase", "2024-01-03 00:10:00"),
+        (3, "click", "2024-01-03 00:20:00"),
+        # user 4: never views
+        (4, "click", "2024-01-04 00:00:00"),
+        (4, "purchase", "2024-01-04 00:05:00"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = funnel(ray.data.from_pandas(df), ["view", "click", "purchase"],
+                 window_s=2 * 3600.0)
+    got = dict(zip(out["step"], out["n_users"]))
+    # step0: users 1,2,3 view; step1: 1 (09:30->10:00), 2 (00:00->00:30),
+    # 3 (00:00->00:20); step2: only user 1 (09:30->10:00->10:30)
+    assert got == {"view": 3, "click": 3, "purchase": 1}

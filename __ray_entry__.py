@@ -1916,6 +1916,18 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Daily retention cohorts over the event stream: cohort = day of
+    a user's first event; n_users active on cohort day + k (k < 7)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sessions import retention_cohorts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return retention_cohorts(ds, n_periods=7)
+
+
 def _q_event_funnel(sf_dir: str):
     """Ordered funnel view -> click -> purchase within 6h (existential
     chain semantics, strictly increasing timestamps): per-step distinct
@@ -2261,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_stream": _q_percolate,
         "span_not_match": _q_span_not,
         "event_funnel": _q_event_funnel,
+        "retention_cohorts": _q_retention_cohorts,
         "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
@@ -3020,6 +3033,18 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "retention_cohorts": """
+WITH up AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events),
+coh AS (SELECT user_id, min(day) AS cohort_period FROM up GROUP BY user_id)
+SELECT c.cohort_period, u.day - c.cohort_period AS period_k,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM up u JOIN coh c USING (user_id)
+WHERE u.day - c.cohort_period < 7
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "event_funnel": """
 WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),

@@ -139,3 +139,67 @@ def funnel(ds, steps: list, window_s: float,
     agg["step"] = [steps[i] for i in agg["step_idx"]]
     agg["n_users"] = agg["n_users"].astype("int64")
     return agg[["step_idx", "step", "n_users"]]
+
+
+def retention_cohorts(ds, n_periods: int, period_s: float = 86400.0,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      buckets: int = 64):
+    """Retention cohort matrix: cohort = the period of a user's FIRST
+    event; for each (cohort, k < n_periods), count users with any
+    activity in period cohort+k. -> Dataset(cohort_period, period_k,
+    n_users) with k=0 being the cohort size.
+
+    Scale shape: ONE user-hash shuffle (``user % buckets``); inside a
+    bucket the per-user first period and distinct (user, period) pairs
+    are pure numpy (sort + reduceat-style first-occurrence masks), and
+    the bucket emits (cohort, k) partial counts that sum exactly across
+    buckets because each user lives in exactly one. The second groupby
+    runs over cohort-matrix-sized partials, not events."""
+    import pyarrow as pa
+
+    period_us = np.int64(round(period_s * 1_000_000))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((u.astype(np.int64) % buckets)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = g[user_col].to_numpy(dtype=np.int64)
+        period = ts // period_us
+        # distinct (user, period)
+        order = np.lexsort((period, users))
+        u, p = users[order], period[order]
+        keep = np.empty(u.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (u[1:] != u[:-1]) | (p[1:] != p[:-1])
+        u, p = u[keep], p[keep]
+        # first period per user = first row of each user run (sorted)
+        first_mask = np.empty(u.size, dtype=bool)
+        first_mask[0] = True
+        first_mask[1:] = u[1:] != u[:-1]
+        cohort = np.repeat(p[first_mask],
+                           np.diff(np.append(np.flatnonzero(first_mask),
+                                             u.size)))
+        k = p - cohort
+        ok = k < n_periods
+        key = cohort[ok] * np.int64(n_periods) + k[ok]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "cohort_period": uniq // np.int64(n_periods),
+            "period_k": uniq % np.int64(n_periods),
+            "n_users": cnt.astype(np.int64),
+        })
+
+    from ray.data.aggregate import Sum
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+    out = (parts.groupby(["cohort_period", "period_k"])
+           .aggregate(Sum("n_users")).to_pandas()
+           .rename(columns={"sum(n_users)": "n_users"}))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_period", "period_k"]) \
+        .reset_index(drop=True)

@@ -909,3 +909,25 @@ def test_funnel_existential_chain(ray_session):
     # step0: users 1,2,3 view; step1: 1 (09:30->10:00), 2 (00:00->00:30),
     # 3 (00:00->00:20); step2: only user 1 (09:30->10:00->10:30)
     assert got == {"view": 3, "click": 3, "purchase": 1}
+
+
+def test_retention_cohorts(ray_session):
+    import pandas as pd
+    import ray
+
+    from iresearch_ray.pipelines.sessions import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 05:00:00"), (1, "2024-01-02 01:00:00"),
+        (1, "2024-01-02 23:00:00"),  # same day twice -> one k=1
+        (2, "2024-01-01 12:00:00"), (2, "2024-01-04 00:00:00"),
+        (3, "2024-01-02 00:00:00"),
+        (4, "2024-01-01 00:00:00"), (4, "2024-01-20 00:00:00"),  # k=19 out
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = retention_cohorts(ray.data.from_pandas(df), n_periods=7)
+    d0 = pd.Timestamp("2024-01-01").value // 10**9 // 86400
+    got = {(int(r.cohort_period) - d0, int(r.period_k)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 3, (0, 1): 1, (0, 3): 1, (1, 0): 1}

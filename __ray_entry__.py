@@ -1916,6 +1916,55 @@ def _q_collapse_topk(sf_dir: str):
     )
 
 
+def _rounded_rank_topk(s, flt, scorer, k: int):
+    """Top-k ranked by the ROUNDED score (ties by doc_id): the LM
+    scorers take a log per DOC (np.log1p) while DuckDB writes
+    ln(1 + x), so mathematically-tied docs (equal tf/dl ratios) drift
+    1 ulp apart and flip order below the 4-decimal comparison
+    precision. Ranking on the rounded value on BOTH sides makes the
+    order (and the k-boundary) deterministic."""
+    import pandas as pd
+
+    n_docs = int(sum(seg.docs_count for seg in s.segments))
+    res = s.search(flt, k=n_docs, scorer=scorer, mode="all")
+    stored = s.fetch_stored(res["doc_id"].to_numpy(), ("doc_id",))
+    sc = res["score"].astype(np.float64)
+    out = pd.DataFrame({
+        "doc_id": stored["doc_id"].astype("int64"),
+        "score_r": np.floor(sc * 1e4 + 0.5) / 1e4,
+    })
+    return (out.sort_values(["score_r", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
+def _q_lmd_topk(sf_dir: str):
+    """LM Dirichlet-smoothed top-k over customer∨vector (Zhai &
+    Lafferty 2001; Lucene LMDirichletSimilarity): per-term
+    max(0, log1p(tf/(mu*p(t|C))) + log(mu/(dl+mu))), mu=2000,
+    summed over matched terms."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.scorers import LMDirichlet
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return _rounded_rank_topk(
+        s, F.Or([F.Term("customer"), F.Term("vector")]),
+        LMDirichlet(dtype=np.float64), k=100)
+
+
+def _q_lmjm_topk(sf_dir: str):
+    """LM Jelinek-Mercer top-k (lambda=0.7): per-term
+    log1p(((1-lam)/lam) * (tf/dl) / p(t|C))."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.scorers import LMJelinekMercer
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return _rounded_rank_topk(s, F.Term("customer"),
+                              LMJelinekMercer(dtype=np.float64), k=100)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Daily retention cohorts over the event stream: cohort = day of
     a user's first event; n_users active on cohort day + k (k < 7)."""
@@ -2274,6 +2323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not_match": _q_span_not,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
+        "lmd_topk": _q_lmd_topk,
+        "lmjm_topk": _q_lmjm_topk,
         "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
         "dismax_topk": _q_dismax_topk,
@@ -3033,6 +3084,36 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "lmd_topk": _TOK_SQL + """
+, lmd AS (
+  SELECT t.doc_id,
+         greatest(0.0,
+           ln(1 + t.tf * (CAST(f.ttf AS DOUBLE) / (2000.0 * d.ttf_term)))
+           + ln(2000.0 / (l.n_tokens + 2000.0))) AS sc
+  FROM tf t JOIN df d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN fstats f
+  WHERE t.term IN ('customer', 'vector')
+),
+agg AS (SELECT doc_id, sum(sc) AS score FROM lmd GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM agg ORDER BY score_r DESC, doc_id LIMIT 100
+""",
+        "lmjm_topk": _TOK_SQL + """
+, lm AS (
+  SELECT t.doc_id,
+         -- association mirrors the engine: ((c * ttf) / ttf_term)
+         -- then (* tf) then (/ dl) — 1-ulp drift flips near-ties
+         ln(1 + (1 - 0.7) / 0.7 * CAST(f.ttf AS DOUBLE) / d.ttf_term
+                * t.tf / greatest(l.n_tokens, 1)) AS score
+  FROM tf t JOIN df d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN fstats f
+  WHERE t.term = 'customer'
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM lm ORDER BY score_r DESC, doc_id LIMIT 100
 """,
         "retention_cohorts": """
 WITH up AS (

@@ -49,6 +49,17 @@ class Filter:
         raise NotImplementedError
 
 
+
+def _term_weight(scorer, fs, st) -> float:
+    """Per-term collected weight: scorers that need collection term
+    frequency (LM family) expose ``term_stat``; everything else uses
+    the classic idf(docs_with_field, docs_with_term)."""
+    f = getattr(scorer, "term_stat", None)
+    if f is not None:
+        return f(fs, st.docs_with_term, st.total_tf)
+    return scorer.idf(fs.docs_with_field, st.docs_with_term)
+
+
 @dataclass
 class Term(Filter):
     term: str
@@ -60,7 +71,7 @@ class Term(Filter):
         fs = searcher.field_stats(self.field)
         ctx = scorer.make_ctx(
             fs,
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             if st.docs_with_term
             else 0.0,
             boost * self.boost,
@@ -403,7 +414,7 @@ class Phrase(Filter):
             )
         fs = searcher.field_stats(self.field)
         idf_sum = sum(
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             for states in slot_states for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
@@ -433,7 +444,7 @@ class SamePosition(Filter):
         states = [searcher.resolve_term(t, self.field) for t in self.terms]
         fs = searcher.field_stats(self.field)
         idf_sum = sum(
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
@@ -463,7 +474,7 @@ class SloppyPhrase(Filter):
         states = [searcher.resolve_term(t, self.field) for t in self.terms]
         fs = searcher.field_stats(self.field)
         idf_sum = sum(
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
@@ -489,7 +500,7 @@ class SpanFirst(Filter):
         fs = searcher.field_stats(self.field)
         ctx = scorer.make_ctx(
             fs,
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             if st.docs_with_term else 0.0,
             boost * self.boost,
         )
@@ -539,7 +550,7 @@ class SpanNot(Filter):
         fs = searcher.field_stats(self.field)
         ctx = scorer.make_ctx(
             fs,
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             if st.docs_with_term else 0.0,
             boost * self.boost,
         )
@@ -573,7 +584,7 @@ class UnorderedNear(Filter):
         states = [searcher.resolve_term(t, self.field) for t in self.terms]
         fs = searcher.field_stats(self.field)
         idf_sum = sum(
-            scorer.idf(fs.docs_with_field, st.docs_with_term)
+            _term_weight(scorer, fs, st)
             for st in states if st.docs_with_term
         )
         ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)

@@ -148,10 +148,109 @@ class TFIDF:
         return ub
 
 
+class LMDirichlet:
+    """Language-model similarity with Dirichlet smoothing (Zhai &
+    Lafferty 2001, the Lucene LMDirichletSimilarity formula —
+    beyond-reference; the reference stops at BM25/TFIDF/boost):
+
+        p(t|C)  = total_tf(term) / total_tf(field)
+        score   = boost * max(0, log1p(tf / (mu * p(t|C)))
+                                 + log(mu / (dl + mu)))
+
+    The clamp at 0 (same as Lucene) keeps scores non-negative so the
+    disjunction upper-bound arithmetic (children contribute >= 0)
+    stays valid. ``term_stat`` feeds 1/(mu*p) through the collected
+    stats channel — it sums per stats group exactly like idf does."""
+
+    name = "lmd"
+
+    def __init__(self, mu: float = 2000.0, dtype=np.float32):
+        self.mu = mu
+        self.dtype = dtype
+
+    def term_stat(self, field: FieldStats, docs_with_term: int,
+                  total_tf: int) -> float:
+        if not total_tf or not field.total_term_freq:
+            return 0.0
+        return float(field.total_term_freq) / (self.mu * float(total_tf))
+
+    def make_ctx(self, field: FieldStats, ts_sum: float,
+                 boost: float = 1.0) -> ScoreCtx:
+        dt = self.dtype
+        return ScoreCtx(dt(boost), dt(self.mu), dt(ts_sum), dt)
+
+    def score(self, ctx: ScoreCtx, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        dt = ctx.dtype
+        s = np.log1p(tfs.astype(dt) * ctx.norm_length) \
+            + np.log(ctx.norm_const / (dls.astype(dt) + ctx.norm_const))
+        return (ctx.c0 * np.maximum(s, dt(0))).astype(dt)
+
+    def upper_bound(self, ctx: ScoreCtx, max_tf: float, min_dl: float) -> float:
+        dt = ctx.dtype
+        s = np.log1p(dt(max_tf) * ctx.norm_length) \
+            + np.log(ctx.norm_const / (dt(min_dl) + ctx.norm_const))
+        return float(ctx.c0 * max(float(s), 0.0))
+
+    def upper_bound_many(self, ctx: ScoreCtx, max_tf: np.ndarray,
+                         min_dl: np.ndarray) -> np.ndarray:
+        dt = ctx.dtype
+        s = np.log1p(max_tf.astype(dt) * ctx.norm_length) \
+            + np.log(ctx.norm_const / (min_dl.astype(dt) + ctx.norm_const))
+        return ctx.c0 * np.maximum(s, dt(0))
+
+
+class LMJelinekMercer:
+    """Language-model similarity with Jelinek-Mercer smoothing (Zhai &
+    Lafferty 2001; Lucene LMJelinekMercerSimilarity):
+
+        score = boost * log1p(((1 - lam)/lam) * (tf/dl) / p(t|C))
+
+    Always >= 0; ``term_stat`` carries ((1-lam)/lam) / p(t|C)."""
+
+    name = "lmjm"
+
+    def __init__(self, lam: float = 0.7, dtype=np.float32):
+        self.lam = lam
+        self.dtype = dtype
+
+    def term_stat(self, field: FieldStats, docs_with_term: int,
+                  total_tf: int) -> float:
+        if not total_tf or not field.total_term_freq:
+            return 0.0
+        return ((1.0 - self.lam) / self.lam) \
+            * float(field.total_term_freq) / float(total_tf)
+
+    def make_ctx(self, field: FieldStats, ts_sum: float,
+                 boost: float = 1.0) -> ScoreCtx:
+        dt = self.dtype
+        return ScoreCtx(dt(boost), None, dt(ts_sum), dt)
+
+    def score(self, ctx: ScoreCtx, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        dt = ctx.dtype
+        dl = np.maximum(dls.astype(dt), dt(1))
+        return (ctx.c0 * np.log1p(ctx.norm_length * tfs.astype(dt) / dl)) \
+            .astype(dt)
+
+    def upper_bound(self, ctx: ScoreCtx, max_tf: float, min_dl: float) -> float:
+        dt = ctx.dtype
+        return float(ctx.c0 * np.log1p(
+            ctx.norm_length * dt(max_tf) / max(dt(min_dl), dt(1))))
+
+    def upper_bound_many(self, ctx: ScoreCtx, max_tf: np.ndarray,
+                         min_dl: np.ndarray) -> np.ndarray:
+        dt = ctx.dtype
+        dl = np.maximum(min_dl.astype(dt), dt(1))
+        return ctx.c0 * np.log1p(ctx.norm_length * max_tf.astype(dt) / dl)
+
+
 def get_scorer(name: str, **kwargs):
     """Scorer registry (``REGISTER_SCORER_JSON`` analogue)."""
     if name == "bm25":
         return BM25(**kwargs)
     if name == "tfidf":
         return TFIDF(**kwargs)
+    if name == "lmd":
+        return LMDirichlet(**kwargs)
+    if name == "lmjm":
+        return LMJelinekMercer(**kwargs)
     raise KeyError(name)

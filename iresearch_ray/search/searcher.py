@@ -39,11 +39,14 @@ from iresearch_ray.search.scorers import BM25, FieldStats, get_scorer
 @dataclass
 class TermState:
     """Per-term index-wide state: dictionary row per segment + summed
-    collector stats (``core/search/term_filter.cpp:92-129``)."""
+    collector stats (``core/search/term_filter.cpp:92-129``).
+    ``total_tf`` (collection term frequency) feeds the LM scorers'
+    p(t|C); it sums associatively like docs_with_term."""
 
     term: str
     rows: np.ndarray  # int64 row ordinal per segment, -1 = absent
     docs_with_term: int
+    total_tf: int = 0
 
 
 class TopK:
@@ -278,15 +281,22 @@ class IndexSearcher:
         if st is None:
             rows = np.full(len(self.segments), -1, dtype=np.int64)
             dwt = 0
+            ttf = 0
             for i, seg in enumerate(self.segments):
                 r = seg.lookup(term, field)
                 rows[i] = r
                 if r >= 0:
                     dwt += int(seg.doc_freq[r])
+                    ttf += int(seg.total_tf[r])
             ov = self._stats_override.get("terms", {}).get((field, term))
             if ov is not None:
-                dwt = ov  # index-wide docs_with_term from the coordinator
-            st = TermState(term, rows, dwt)
+                # index-wide stats from the coordinator: legacy int
+                # (docs_with_term only) or (dwt, ttf) tuple
+                if isinstance(ov, tuple):
+                    dwt, ttf = int(ov[0]), int(ov[1])
+                else:
+                    dwt = ov
+            st = TermState(term, rows, dwt, ttf)
             self._term_cache[key] = st
         return st
 

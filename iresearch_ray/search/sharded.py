@@ -55,7 +55,8 @@ class _ShardWorker:
         s._multiterm_matched.clear()
         flt.prepare(s, get_scorer(scorer_name))
         terms = {
-            key: st.docs_with_term for key, st in s._term_cache.items()
+            key: (st.docs_with_term, st.total_tf)
+            for key, st in s._term_cache.items()
         }
         fields = {}
         for seg in s.segments:
@@ -173,8 +174,9 @@ class ShardedSearcher:
         fields: dict = {}
         multiterm: dict = {}
         for p in parts:
-            for key, dwt in p["terms"].items():
-                terms[key] = terms.get(key, 0) + dwt
+            for key, (dwt, ttf) in p["terms"].items():
+                a, b = terms.get(key, (0, 0))
+                terms[key] = (a + dwt, b + ttf)
             for fname, (dwf, ttf) in p["fields"].items():
                 a, b = fields.get(fname, (0, 0))
                 fields[fname] = (a + dwf, b + ttf)
@@ -189,7 +191,8 @@ class ShardedSearcher:
             if limit and limit > 0 and len(matched) > limit:
                 fld = node_key[1]
                 ranked = sorted(
-                    matched, key=lambda t: (-terms.get((fld, t), 0), t))
+                    matched,
+                    key=lambda t: (-terms.get((fld, t), (0, 0))[0], t))
                 scored_sets[node_key] = set(ranked[:limit])
         overrides = {"terms": terms, "fields": fields,
                      "scored_sets": scored_sets}
@@ -205,7 +208,7 @@ class ShardedSearcher:
             and mode == "strict"
         if threshold_exchange == "auto":
             use_board = use_board and \
-                sum(terms.values()) >= AUTO_EXCHANGE_MIN_DF
+                sum(v[0] for v in terms.values()) >= AUTO_EXCHANGE_MIN_DF
         if use_board:
             self._epoch += 1
             outs = ray.get([

@@ -648,3 +648,43 @@ def test_span_not_missing_exclude_equals_term(searcher):
                                           post=9)))
     b = ids(searcher.match_docs(F.Term("ref")))
     assert a == b
+
+
+def test_lm_scorers_match_formula(searcher, oracle):
+    import math
+
+    from iresearch_ray.search.scorers import LMDirichlet, LMJelinekMercer
+
+    ttf_field = int(oracle.total_term_freq)
+    term = "ref"
+    ttf_term = sum(len(p) for p in oracle.postings[term].values())
+    res = searcher.search(F.Term(term), k=10**6,
+                          scorer=LMDirichlet(dtype=np.float64), mode="all")
+    for d, s in zip(res["doc_id"][:25], res["score"][:25]):
+        tf = len(oracle.postings[term][int(d)])
+        dl = int(oracle.doc_len[int(d) - 1])
+        ts = float(ttf_field) / (2000.0 * float(ttf_term))
+        want = max(0.0, math.log1p(tf * ts) + math.log(2000.0 / (dl + 2000.0)))
+        assert abs(float(s) - want) < 1e-12, d
+
+    res = searcher.search(F.Term(term), k=10**6,
+                          scorer=LMJelinekMercer(dtype=np.float64),
+                          mode="all")
+    for d, s in zip(res["doc_id"][:25], res["score"][:25]):
+        tf = len(oracle.postings[term][int(d)])
+        dl = max(int(oracle.doc_len[int(d) - 1]), 1)
+        ts = (1.0 - 0.7) / 0.7 * float(ttf_field) / float(ttf_term)
+        want = math.log1p(ts * tf / dl)
+        assert abs(float(s) - want) < 1e-12, d
+
+
+def test_lm_strict_rank_identical(searcher):
+    from iresearch_ray.search.scorers import LMDirichlet, LMJelinekMercer
+
+    for sc in (LMDirichlet(), LMJelinekMercer()):
+        for flt in (F.Term("the"), F.Or([F.Term("ref"), F.Term("deploy")]),
+                    F.And([F.Term("the"), F.Term("ref")])):
+            a = searcher.search(flt, k=20, scorer=sc, mode="all")
+            b = searcher.search(flt, k=20, scorer=sc, mode="strict")
+            assert a["doc_id"].tolist() == b["doc_id"].tolist(), (sc, flt)
+            assert (a["score"].to_numpy() == b["score"].to_numpy()).all()

@@ -97,3 +97,22 @@ def test_highlight_offsets(searcher):
         text = snippet.replace("<em>", "").replace("</em>", "")
         for s, e in row["offsets"]:
             assert text[s:e].lower() == "deploy"
+
+
+def test_sharded_lm_scorer_equals_local(ray_session, small_index, searcher):
+    # LM stats (per-term collection ttf) must ride the coordinator's
+    # stats exchange — a shard-local ttf would change scores
+    from iresearch_ray.search.scorers import LMDirichlet
+    from iresearch_ray.search.sharded import ShardedSearcher
+
+    s = ShardedSearcher(small_index, n_shards=2, scorer="lmd")
+    try:
+        for flt in (F.Term("ref"),
+                    F.Or([F.Term("ref"), F.Term("deploy")])):
+            a = s.search(flt, k=25, mode="all")
+            b = searcher.search(flt, k=25, scorer=LMDirichlet(), mode="all")
+            assert a["doc_id"].tolist() == b["doc_id"].tolist(), flt
+            np.testing.assert_allclose(a["score"].to_numpy(),
+                                       b["score"].to_numpy(), rtol=1e-6)
+    finally:
+        s.shutdown()

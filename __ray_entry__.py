@@ -1938,6 +1938,19 @@ def _rounded_rank_topk(s, flt, scorer, k: int):
             .head(k).reset_index(drop=True))
 
 
+def _q_filter_context_topk(sf_dir: str):
+    """ES query-vs-filter context: BM25('customer') restricted to docs
+    that also contain 'scan' — the filter clause gates the match set
+    but contributes zero score (ConstantScore inside And)."""
+    from iresearch_ray.api import documents_searcher, topk_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return topk_frame(
+        s, F.And([F.Term("customer"), F.ConstantScore(F.Term("scan"))]),
+        k=100, scorer=_bm25_f64())
+
+
 def _q_lmd_topk(sf_dir: str):
     """LM Dirichlet-smoothed top-k over customer∨vector (Zhai &
     Lafferty 2001; Lucene LMDirichletSimilarity): per-term
@@ -2324,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "lmd_topk": _q_lmd_topk,
+        "filter_context_topk": _q_filter_context_topk,
         "lmjm_topk": _q_lmjm_topk,
         "spell_correct": _q_spell_correct,
         "negative_boost_topk": _q_negative_boost,
@@ -3084,6 +3098,17 @@ sc AS (
 )
 SELECT doc_id, ROUND(score, 4) AS score_r
 FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+        "filter_context_topk": _TOK_SQL + """
+, gated AS (
+  SELECT s.doc_id, s.score
+  FROM scored s
+  WHERE s.term = 'customer'
+    AND EXISTS (SELECT 1 FROM term_pos t
+                WHERE t.doc_id = s.doc_id AND t.term = 'scan')
+)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM gated ORDER BY score DESC, doc_id LIMIT 100
 """,
         "lmd_topk": _TOK_SQL + """
 , lmd AS (

@@ -529,6 +529,23 @@ class NegativeBoost(Filter):
 
 
 @dataclass
+class ConstantScore(Filter):
+    """Filter-context wrapper (the Lucene ConstantScoreQuery / ES
+    filter clause): matches exactly what ``filter`` matches but always
+    scores ``score * boost`` — inside an ``And`` this is the classic
+    "must match, don't score" clause (score=0)."""
+
+    filter: "Filter"
+    score: float = 0.0
+    boost: float = 1.0
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        return PreparedConstantScore(
+            self.filter.prepare(searcher, scorer, 1.0),
+            float(self.score) * float(boost) * self.boost, scorer)
+
+
+@dataclass
 class SpanNot(Filter):
     """Positional exclusion (the Lucene SpanNotQuery analogue,
     beyond-reference): matches occurrences of ``term`` that have NO
@@ -1403,6 +1420,23 @@ class PreparedNegativeBoost(Prepared):
             scores[demote] = scores[demote] * scores.dtype.type(
                 self.neg_boost)
         return docs, scores
+
+
+class PreparedConstantScore(Prepared):
+    def __init__(self, child, score, scorer):
+        super().__init__(scorer)
+        self.child = child
+        self.const = score
+
+    def cost(self, seg_ord):
+        return self.child.cost(seg_ord)
+
+    def max_score(self, seg_ord):
+        return self.const
+
+    def execute(self, seg_ord):
+        docs, _ = self.child.execute(seg_ord)
+        return docs, np.full(docs.size, self.const, dtype=self.dtype)
 
 
 class PreparedSpanNot(Prepared):

@@ -688,3 +688,21 @@ def test_lm_strict_rank_identical(searcher):
             b = searcher.search(flt, k=20, scorer=sc, mode="strict")
             assert a["doc_id"].tolist() == b["doc_id"].tolist(), (sc, flt)
             assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
+
+
+def test_constant_score_filter_context(searcher):
+    # gated match set == plain AND; scores == the scoring clause alone
+    gated = searcher.search(
+        F.And([F.Term("ref"), F.ConstantScore(F.Term("the"))]),
+        k=10**6, mode="all")
+    both = searcher.search(F.And([F.Term("ref"), F.Term("the")]),
+                           k=10**6, mode="all")
+    assert set(gated["doc_id"]) == set(both["doc_id"])
+    solo = searcher.search(F.Term("ref"), k=10**6, mode="all")
+    ref = dict(zip(solo["doc_id"].tolist(), solo["score"].tolist()))
+    for d, s in zip(gated["doc_id"], gated["score"]):
+        assert abs(float(s) - ref[int(d)]) < 1e-6, d
+    # standalone constant score
+    cs = searcher.search(F.ConstantScore(F.Term("ref"), score=2.5), k=5,
+                         mode="all")
+    assert (cs["score"].to_numpy() == np.float32(2.5)).all()

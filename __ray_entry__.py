@@ -1746,6 +1746,31 @@ def _q_search_after(sf_dir: str):
     })
 
 
+def _q_sort_by_field(sf_dir: str):
+    """Sort-by-stored-field top-k (Lucene Sort(SortField), no
+    relevance): Term('customer') matches ordered by n_chars desc then
+    doc_id — per-segment columnstore gather of matched rows only,
+    O(n) tie-complete selection before the k-bounded sort."""
+    from iresearch_ray.api import documents_searcher, sort_by_field_topk
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return sort_by_field_topk(s, F.Term("customer"), "n_chars", k=100)
+
+
+def _q_function_score(sf_dir: str):
+    """Field-value-factor function score (Lucene FunctionScoreQuery):
+    BM25('customer') * ln(1 + stored n_chars), exhaustive (an unbounded
+    per-doc factor breaks block-max WAND; documented in
+    ``api.function_score_topk``), top-100."""
+    from iresearch_ray.api import documents_searcher, function_score_topk
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return function_score_topk(s, F.Term("customer"), "n_chars", k=100,
+                               scorer=_bm25_f64())
+
+
 def _q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: BM25 top-50 for 'customer' fused with the
     dense cosine top-50 around the vec_id-7 embedding by Reciprocal
@@ -2378,6 +2403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "facet_counts": _q_facet_counts,
         "search_after_page": _q_search_after,
+        "sort_by_field_topk": _q_sort_by_field,
+        "function_score_topk": _q_function_score,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "more_like_this": _q_more_like_this,
         "dsir_topk": _q_dsir_topk,
@@ -4015,6 +4042,24 @@ SELECT doc_id, ROUND(score, 4) AS score_r
 FROM scored WHERE term = 'customer'
 ORDER BY score DESC, doc_id
 LIMIT 50 OFFSET 50
+""",
+        # Lucene Sort(SortField): stored-column order over the match
+        # set, relevance ignored; ints compare exactly
+        "sort_by_field_topk": _TOK_SQL + """
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM term_pos
+                   WHERE term = 'customer')
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 100
+""",
+        # FunctionScore: relevance * ln(1 + n_chars); 1 + n_chars is
+        # exact in float64 for integer n_chars so both engines evaluate
+        # the identical double before the shared-expression multiply
+        "function_score_topk": _TOK_SQL + """
+SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.term = 'customer'
+ORDER BY s.score * ln(1 + d.n_chars) DESC, s.doc_id LIMIT 100
 """,
         # RRF fusion of the BM25 top-50 and cosine top-50 rankings
         # (rank ties break by id on both sides; the two per-doc

@@ -190,6 +190,75 @@ def collapse_topk(searcher: IndexSearcher, flt, group_col: str, k: int,
     return out.reset_index(drop=True)
 
 
+def sort_by_field_topk(searcher: IndexSearcher, flt, field: str, k: int,
+                       ascending: bool = False,
+                       id_col: str | None = "doc_id") -> pd.DataFrame:
+    """Top-k matches ordered by a STORED column instead of relevance
+    (Lucene ``Sort(SortField)``; the reference serves the same reads
+    through its columnstore, ``core/index/column_info.hpp``). Ties
+    resolve by ``id_col`` ascending.
+
+    Scale shape: the match set is produced per segment and only the
+    sort column + id column of MATCHED rows are read (one lazy
+    columnstore gather); selection is an O(n) argpartition to k before
+    the final k·log k sort, and per-shard top-k partials merge
+    associatively on the coordinator (same protocol as scored top-k —
+    each shard ships k rows, never its match set)."""
+    docs = searcher.match_docs(flt)
+    if id_col is None:  # corpora without a stored id: global doc index
+        stored = searcher.fetch_stored(docs, (field,))
+        ids, id_name = docs.astype("int64"), "doc_id"
+    else:
+        stored = searcher.fetch_stored(docs, (id_col, field))
+        ids, id_name = stored[id_col].to_numpy().astype("int64"), id_col
+    vals = stored[field].to_numpy()
+    key = vals if ascending else -vals
+    if docs.size > k:  # O(n) selection: keep every tie of the kth key,
+        kth = np.partition(key, k - 1)[k - 1]  # ids break them below
+        idx = np.flatnonzero(key <= kth)
+    else:
+        idx = np.arange(docs.size)
+    order = np.lexsort((ids[idx], key[idx]))[:k]
+    sel = idx[order]
+    return pd.DataFrame({id_name: ids[sel], field: vals[sel]}) \
+        .reset_index(drop=True)
+
+
+def function_score_topk(searcher: IndexSearcher, flt, field: str, k: int,
+                        scorer=None, round_to: int | None = 4,
+                        id_col: str | None = "doc_id") -> pd.DataFrame:
+    """Field-value-factor function scoring (Lucene
+    ``FunctionScoreQuery`` / ES ``field_value_factor``): final score =
+    relevance * ln(1 + stored ``field``). The factor is applied AFTER
+    exhaustive relevance scoring — a per-doc multiplier from an
+    unbounded column breaks the block-max WAND invariant (Lucene
+    disables impacts under FunctionScore for the same reason), so this
+    runs ``mode="all"``; a bounded factor could ride WAND by scaling
+    each block max by the block's max factor (documented, not needed
+    here). Matched-set sized intermediate, column read only for
+    matches; per-shard combined top-k merges associatively."""
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n_docs, scorer=scorer, mode="all")
+    if id_col is None:
+        stored = searcher.fetch_stored(res["doc_id"].to_numpy(), (field,))
+        ids = res["doc_id"].to_numpy().astype("int64")
+    else:
+        stored = searcher.fetch_stored(res["doc_id"].to_numpy(),
+                                       (id_col, field))
+        ids = stored[id_col].to_numpy().astype("int64")
+    # ln(1 + v) spelled as log(1.0 + v): 1 + v is exact in float64 for
+    # integer v, so DuckDB's ln(1 + field) evaluates the identical
+    # double — log1p would diverge in the last ulp
+    combined = res["score"].to_numpy().astype(np.float64) \
+        * np.log(1.0 + stored[field].to_numpy().astype(np.float64))
+    order = np.lexsort((ids, -combined))[:k]
+    out = pd.DataFrame({"doc_id": ids[order], "score_r": combined[order]})
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out.reset_index(drop=True)
+
+
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     """All matching docs as their stored doc_id (unscored set query)."""
     docs = searcher.match_docs(flt)

@@ -706,3 +706,38 @@ def test_constant_score_filter_context(searcher):
     cs = searcher.search(F.ConstantScore(F.Term("ref"), score=2.5), k=5,
                          mode="all")
     assert (cs["score"].to_numpy() == np.float32(2.5)).all()
+
+
+def test_sort_by_field_topk_matches_brute_force(searcher):
+    from iresearch_ray.api import sort_by_field_topk
+
+    flt = F.Or([F.Term("deploy"), F.Term("ref")])
+    for asc in (False, True):
+        got = sort_by_field_topk(searcher, flt, "turn_idx", k=7,
+                                 ascending=asc, id_col=None)
+        docs = searcher.match_docs(flt)
+        vals = searcher.fetch_stored(docs, ("turn_idx",))[
+            "turn_idx"].to_numpy()
+        want = sorted(zip(vals.tolist(), docs.tolist()),
+                      key=lambda p: (p[0] if asc else -p[0], p[1]))[:7]
+        assert got["doc_id"].tolist() == [d for _, d in want], asc
+        assert got["turn_idx"].tolist() == [v for v, _ in want], asc
+
+
+def test_function_score_topk_matches_brute_force(searcher):
+    from iresearch_ray.api import function_score_topk
+
+    flt = F.Term("ref")
+    got = function_score_topk(searcher, flt, "turn_idx", k=9,
+                              round_to=None, id_col=None)
+    n = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n, mode="all")
+    vals = searcher.fetch_stored(res["doc_id"].to_numpy(),
+                                 ("turn_idx",))["turn_idx"].to_numpy()
+    comb = res["score"].to_numpy().astype(np.float64) \
+        * np.log(1.0 + vals.astype(np.float64))
+    want = sorted(zip(comb.tolist(), res["doc_id"].tolist()),
+                  key=lambda p: (-p[0], p[1]))[:9]
+    assert got["doc_id"].tolist() == [d for _, d in want]
+    np.testing.assert_allclose(got["score_r"].to_numpy(),
+                               [c for c, _ in want], rtol=1e-12)

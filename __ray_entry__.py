@@ -2132,6 +2132,18 @@ def _q_unordered_near(sf_dir: str):
         s, F.UnorderedNear(["customer", "vector", "merge"], window=8))
 
 
+def _q_span_containing(sf_dir: str):
+    """SpanContaining (Lucene SpanContainingQuery analogue): docs where
+    an ordered customer…merge span of width <= 12 contains a 'vector'
+    occurrence — maximal-span check, two searchsorted passes."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s, F.SpanContaining("customer", "merge", "vector", window=12))
+
+
 def _q_dismax_topk(sf_dir: str):
     """DisjunctionMax with tie_breaker (Lucene DisMaxQuery,
     beyond-reference; the reference stops at Sum/Max mergers,
@@ -2359,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix": _q_suggest_prefix,
         "percolate_stream": _q_percolate,
         "span_not_match": _q_span_not,
+        "span_containing_match": _q_span_containing,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "lmd_topk": _q_lmd_topk,
@@ -3211,6 +3224,19 @@ WHERE a.term = 'customer'
     SELECT 1 FROM term_pos b
     WHERE b.doc_id = a.doc_id AND b.term = 'slow'
       AND b.pos BETWEEN a.pos - 3 AND a.pos + 3)
+ORDER BY doc_id
+""",
+        # SpanContaining: EXISTS an ordered open..close span of width
+        # <= 12 with a little occurrence inside it
+        "span_containing_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id AS doc_id
+FROM term_pos a
+WHERE a.term = 'customer' AND EXISTS (
+  SELECT 1 FROM term_pos c, term_pos b
+  WHERE c.doc_id = a.doc_id AND c.term = 'merge'
+    AND c.pos > a.pos AND c.pos <= a.pos + 12
+    AND b.doc_id = a.doc_id AND b.term = 'vector'
+    AND b.pos >= a.pos AND b.pos <= c.pos)
 ORDER BY doc_id
 """,
         "percolate_stream": _TOK_SQL + """

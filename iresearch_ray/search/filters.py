@@ -576,6 +576,34 @@ class SpanNot(Filter):
 
 
 @dataclass
+class SpanContaining(Filter):
+    """Span containment (the Lucene SpanContainingQuery analogue,
+    beyond-reference): the "big" span is an ordered pair
+    ``(open_term, close_term)`` with ``close`` after ``open`` by at
+    most ``window`` positions; a doc matches iff some big span CONTAINS
+    an occurrence of ``little`` (open_pos <= little_pos <= close_pos).
+    tf = distinct qualifying open positions; the stats group sums the
+    three term idfs (same convention as Phrase/UnorderedNear)."""
+
+    open_term: str
+    close_term: str
+    little: str
+    window: int = 8
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        states = [searcher.resolve_term(t, self.field)
+                  for t in (self.open_term, self.close_term, self.little)]
+        fs = searcher.field_stats(self.field)
+        idf_sum = sum(_term_weight(scorer, fs, st)
+                      for st in states if st.docs_with_term)
+        ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
+        return PreparedSpanContaining(searcher, states, int(self.window),
+                                      ctx, scorer, self.field)
+
+
+@dataclass
 class UnorderedNear(Filter):
     """Unordered window proximity (the Lucene SpanNearQuery
     ``inOrder=false`` analogue; beyond-reference — the reference's
@@ -1486,6 +1514,69 @@ class PreparedSpanNot(Prepared):
             docs, tfs = np.unique(
                 (a >> np.int64(32)).astype(np.int64), return_counts=True)
             hit = self._memo[seg_ord] = (docs, tfs)
+        docs, tfs = hit
+        if docs.size == 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        dls = seg.field_norms(self.field)[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
+
+
+class PreparedSpanContaining(Prepared):
+    """Maximal-span formulation over per-term sorted ``(doc<<32)|pos``
+    keys: for each open-anchor ``a`` the largest valid close key is the
+    last close <= a + window (one searchsorted); containment then needs
+    only the FIRST little key >= a to fall at or before that close (one
+    more searchsorted) — any little inside a smaller big span is inside
+    the maximal one too, so checking the maximal span is exhaustive.
+    Three sorted streams, two searchsorted passes, no per-doc loop."""
+
+    _DOCM = ~np.int64((1 << 32) - 1)
+
+    def __init__(self, searcher, states, window, ctx, scorer, field=None):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.states = states
+        self.window = window
+        self.ctx = ctx
+        self.field = field
+        self._memo: dict = {}
+
+    def cost(self, seg_ord):
+        dfs = [0 if st.rows[seg_ord] < 0 else
+               int(self.searcher.segments[seg_ord].doc_freq[st.rows[seg_ord]])
+               for st in self.states]
+        return min(dfs)
+
+    def execute(self, seg_ord):
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            rows = [st.rows[seg_ord] for st in self.states]
+            if any(r < 0 for r in rows):
+                hit = self._memo[seg_ord] = (
+                    np.empty(0, np.int64), np.empty(0, np.int64))
+            else:
+                seg = self.searcher.segments[seg_ord]
+                a, c, b = (seg.phrase_keys(int(r), 0) for r in rows)
+                if a.size and c.size and b.size:
+                    # maximal close per anchor: last c <= a + window,
+                    # same doc, strictly after the open
+                    ic = np.searchsorted(
+                        c, a + np.int64(self.window), side="right") - 1
+                    cv = c[np.maximum(ic, 0)]
+                    ok = (ic >= 0) & (cv > a) \
+                        & ((cv & self._DOCM) == (a & self._DOCM))
+                    # first little >= open must sit inside [a, close]
+                    ib = np.searchsorted(b, a, side="left")
+                    bv = b[np.minimum(ib, max(b.size - 1, 0))]
+                    ok &= (ib < b.size) & (bv <= cv)
+                    a = a[ok]
+                else:
+                    a = np.empty(0, np.int64)
+                docs, tfs = np.unique(
+                    (a >> np.int64(32)).astype(np.int64),
+                    return_counts=True)
+                hit = self._memo[seg_ord] = (docs, tfs)
         docs, tfs = hit
         if docs.size == 0:
             return _empty(self.dtype)

@@ -741,3 +741,38 @@ def test_function_score_topk_matches_brute_force(searcher):
     assert got["doc_id"].tolist() == [d for _, d in want]
     np.testing.assert_allclose(got["score_r"].to_numpy(),
                                [c for c, _ in want], rtol=1e-12)
+
+
+def test_span_containing_matches_brute_force(searcher, oracle):
+    for op, cl, lit, w in [
+        ("ref", "the", "deploy", 6),
+        ("deploy", "target", "the", 4),
+        ("the", "the", "ref", 8),
+        ("second", "zzz-missing", "the", 5),
+    ]:
+        exp = set()
+        for doc0, toks in enumerate(oracle.docs_tokens):
+            hit = False
+            for pa, t in enumerate(toks):
+                if t != op:
+                    continue
+                for pc in range(pa + 1, min(pa + w, len(toks) - 1) + 1):
+                    if toks[pc] == cl and lit in toks[pa:pc + 1]:
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                exp.add(doc0 + 1)
+        got = ids(searcher.match_docs(
+            F.SpanContaining(op, cl, lit, window=w)))
+        assert got == sorted(exp), (op, cl, lit, w)
+
+
+def test_span_containing_strict_rank_identity(searcher):
+    flt = F.SpanContaining("ref", "the", "deploy", window=6)
+    a = searcher.search(flt, k=20, mode="all")
+    b = searcher.search(flt, k=20, mode="strict")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(),
+                                  b["score"].to_numpy())

@@ -1520,6 +1520,34 @@ def _q_value_histogram(sf_dir: str):
         .sort_values(["event_type", "bin"]).reset_index(drop=True)
 
 
+def _q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event type
+    (``pipelines/sketches.hll_cardinality``, FFGM07): per-batch
+    register combiners, one (group, j) groupby-max to merge sketches,
+    per-group estimator on <= 4096 register rows. The oracle replicates
+    the hash, the murmur finalizer, the registers and the estimator
+    bit-for-bit in SQL — the integer harmonic numerator makes the
+    estimate order-independent and therefore hashable."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.sketches import hll_cardinality
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "user_key": t.column("user_id").cast(pa.string()),
+        })
+
+    out = hll_cardinality(ds.map_batches(cast, batch_format="pyarrow"),
+                          "event_type", "user_key")
+    return out.to_pandas().sort_values("event_type") \
+        .reset_index(drop=True)
+
+
 def _q_context_windows(sf_dir: str):
     """Per-event training context — the ``sep``-joined event types of
     the same user's up-to-3 PRECEDING events
@@ -2387,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "event_value_quantiles": _q_event_quantiles,
         "distinct_users_per_event": _q_distinct_users,
+        "hll_distinct_users": _q_hll_distinct_users,
         "value_histogram": _q_value_histogram,
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
@@ -2918,6 +2947,53 @@ FROM q ORDER BY event_type, q
         "distinct_users_per_event": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # HLL sketch replica: same FNV word-fold hash (_hash_sql), the
+        # murmur fmix64 tail via 32-bit split multiply (no HUGEINT
+        # overflow), bucket = top 12 bits, rank = 53 - bitlen of the
+        # low-52 window (length(bin(w)) — exact, no float log2), then
+        # the FFGM07 estimator with an exact HUGEINT harmonic
+        # numerator and the identical precomputed float constant.
+        "hll_distinct_users": f"""
+WITH k AS (SELECT event_type, CAST(user_id AS VARCHAR) AS uk FROM events),
+hs AS (SELECT event_type, {_hash_sql('uk')} AS h0 FROM k),
+m1 AS (SELECT event_type, xor(h0, h0 >> 33) AS x FROM hs),
+m2 AS (SELECT event_type, CAST(mod(
+    CAST(x & 4294967295 AS HUGEINT) * {0xFF51AFD7ED558CCD & 0xFFFFFFFF}
+    + mod(CAST(x & 4294967295 AS HUGEINT) * {0xFF51AFD7ED558CCD >> 32}
+          + CAST(x >> 32 AS HUGEINT) * {0xFF51AFD7ED558CCD & 0xFFFFFFFF},
+          4294967296::HUGEINT) * 4294967296::HUGEINT,
+    18446744073709551616::HUGEINT) AS UBIGINT) AS hm FROM m1),
+m3 AS (SELECT event_type, xor(hm, hm >> 33) AS y FROM m2),
+m4 AS (SELECT event_type, CAST(mod(
+    CAST(y & 4294967295 AS HUGEINT) * {0xC4CEB9FE1A85EC53 & 0xFFFFFFFF}
+    + mod(CAST(y & 4294967295 AS HUGEINT) * {0xC4CEB9FE1A85EC53 >> 32}
+          + CAST(y >> 32 AS HUGEINT) * {0xC4CEB9FE1A85EC53 & 0xFFFFFFFF},
+          4294967296::HUGEINT) * 4294967296::HUGEINT,
+    18446744073709551616::HUGEINT) AS UBIGINT) AS hm2 FROM m3),
+m5 AS (SELECT event_type, xor(hm2, hm2 >> 33) AS h FROM m4),
+br AS (SELECT event_type, CAST(h >> 52 AS BIGINT) AS j,
+         CASE WHEN (h & ((CAST(1 AS UBIGINT) << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(h & ((CAST(1 AS UBIGINT) << 52) - 1)))
+         END AS rank
+       FROM m5),
+regs AS (SELECT event_type, j, MAX(rank) AS r FROM br GROUP BY event_type, j),
+st AS (SELECT event_type,
+         SUM(CAST(1 AS HUGEINT) << CAST(53 - r AS INTEGER)) AS num_seen,
+         COUNT(*) AS nseen
+       FROM regs GROUP BY event_type),
+fin AS (SELECT event_type,
+          num_seen + (4096 - nseen) * (CAST(1 AS HUGEINT) << 53) AS num,
+          4096 - nseen AS v_zero
+        FROM st)
+SELECT event_type,
+       CAST(floor(CASE WHEN v_zero > 0
+                        AND ({((0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096) * float(1 << 53)!r} / CAST(num AS DOUBLE)) <= 10240.0
+                  THEN 4096.0 * ln(4096.0 / v_zero)
+                  ELSE {((0.7213 / (1.0 + 1.079 / 4096)) * 4096 * 4096) * float(1 << 53)!r} / CAST(num AS DOUBLE)
+                  END + 0.5) AS BIGINT) AS n_distinct_hll,
+       CAST(v_zero AS BIGINT) AS v_zero
+FROM fin ORDER BY event_type
 """,
         # same clamped floor arithmetic as group_histogram (lo=0,
         # width=10, 10 bins)

@@ -208,3 +208,61 @@ def test_ivfpq_index_recall(ray_session, tmp_path):
     # scores are exact cosine after the refine pass
     both = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
     assert np.allclose(both["cosine_e"], both["cosine_a"])
+
+
+def test_hll_cardinality_accuracy_and_merge(ray_session):
+    """HLL estimate within 5% of exact at two cardinality regimes, and
+    block-layout invariant (repartitioning must not change a merged
+    sketch — register merge is max, associative + commutative)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sketches import hll_cardinality
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    t = pa.table({
+        "g": pa.array(np.where(rng.integers(0, 2, n) == 0, "lo", "hi")),
+        "k": pa.array(np.char.add("u", np.where(
+            rng.integers(0, 2, n) == 0,
+            rng.integers(0, 200, n),        # interleaved; per-group
+            rng.integers(0, 20_000, n),     # mix of hot + long tail
+        ).astype("U8"))),
+    })
+    exact = t.to_pandas().groupby("g")["k"].nunique()
+
+    out1 = hll_cardinality(ray.data.from_arrow(t).repartition(2),
+                           "g", "k").to_pandas().set_index("g")
+    out2 = hll_cardinality(ray.data.from_arrow(t).repartition(13),
+                           "g", "k").to_pandas().set_index("g")
+    # layout invariance: identical estimates from identical registers
+    assert out1["n_distinct_hll"].to_dict() == out2["n_distinct_hll"].to_dict()
+    for g, ex in exact.items():
+        est = int(out1.loc[g, "n_distinct_hll"])
+        assert abs(est - ex) / ex < 0.05, (g, est, ex)
+
+
+def test_hll_registers_match_reference_bits(ray_session):
+    """Register (j, rank) pairs equal a scalar-Python HLL over the
+    same hash chain (guards the frexp bit-length kernel and the
+    murmur finalizer against silent drift)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import _hash_strings
+    from iresearch_ray.pipelines.sketches import hll_registers
+
+    keys = [f"key-{i*i}" for i in range(997)]
+    t = pa.table({"g": pa.array(["x"] * len(keys)), "k": pa.array(keys)})
+    got = hll_registers(ray.data.from_arrow(t).repartition(4), "g", "k") \
+        .to_pandas().set_index("j")["max(rank)"].to_dict()
+
+    regs: dict[int, int] = {}
+    h = _hash_strings(pa.array(keys, pa.large_string()))
+    for hv in h:
+        hv = int(hv)
+        hv = ((hv ^ (hv >> 33)) * 0xFF51AFD7ED558CCD) % (1 << 64)
+        hv = ((hv ^ (hv >> 33)) * 0xC4CEB9FE1A85EC53) % (1 << 64)
+        hv ^= hv >> 33
+        j, w = hv >> 52, hv & ((1 << 52) - 1)
+        rank = 53 - w.bit_length() if w else 53
+        regs[j] = max(regs.get(j, 0), rank)
+    assert got == regs

@@ -1548,6 +1548,37 @@ def _q_hll_distinct_users(sf_dir: str):
         .reset_index(drop=True)
 
 
+_CMS_PROBES = ["agg", "column", "group", "join", "key", "order",
+               "scan", "slow", "sort", "the", "window", "zebra",
+               "zzz_absent"]
+
+
+def _q_cms_term_counts(sf_dir: str):
+    """Count-Min sketch point estimates for a fixed probe-term list
+    over the documents token stream
+    (``pipelines/sketches.cms_probe_counts``, Cormode & Muthukrishnan
+    2005): per-batch (d, w) counter combiners, one (i, col) groupby-sum
+    to merge, probe reads off the d*w-bounded merged sketch. Counter
+    merge is exact integer addition, so the estimates are layout
+    invariant and the oracle replicates hash chain + counters + min
+    bit-for-bit in SQL."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.sketches import cms_probe_counts
+    from iresearch_ray.pipelines.textstats import _flat_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(t, "text")
+        return pa.table({"term": flat})
+
+    stream = ds.map_batches(toks, batch_format="pyarrow")
+    return cms_probe_counts(stream, "term", list(_CMS_PROBES))
+
+
 def _q_context_windows(sf_dir: str):
     """Per-event training context — the ``sep``-joined event types of
     the same user's up-to-3 PRECEDING events
@@ -2416,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_quantiles,
         "distinct_users_per_event": _q_distinct_users,
         "hll_distinct_users": _q_hll_distinct_users,
+        "cms_term_counts": _q_cms_term_counts,
         "value_histogram": _q_value_histogram,
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
@@ -2458,6 +2490,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+
+def _fmix64_sql(inner: str, col: str) -> str:
+    """Wrap a SELECT whose ``col`` is a UBIGINT into nested subqueries
+    applying the full murmur3 fmix64 finalizer (xor-shift, two 64-bit
+    wrap-multiplies done as 32-bit split products so HUGEINT never
+    overflows, xor-shift) — the DuckDB replica of
+    ``pipelines.sketches._fmix64``, verified bit-exact. Other columns
+    pass through untouched (``SELECT * REPLACE``)."""
+    out = f"SELECT * REPLACE (xor({col}, {col} >> 33) AS {col}) FROM ({inner})"
+    for mult in (0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53):
+        lo, hi = mult & 0xFFFFFFFF, mult >> 32
+        out = f"""SELECT * REPLACE (CAST(mod(
+    CAST({col} & 4294967295 AS HUGEINT) * {lo}
+    + mod(CAST({col} & 4294967295 AS HUGEINT) * {hi}
+          + CAST({col} >> 32 AS HUGEINT) * {lo}, 4294967296::HUGEINT)
+      * 4294967296::HUGEINT,
+    18446744073709551616::HUGEINT) AS UBIGINT) AS {col}) FROM ({out})"""
+        out = f"SELECT * REPLACE (xor({col}, {col} >> 33) AS {col}) FROM ({out})"
+    return out
 
 
 def _hash_sql(col: str) -> str:
@@ -2994,6 +3046,27 @@ SELECT event_type,
                   END + 0.5) AS BIGINT) AS n_distinct_hll,
        CAST(v_zero AS BIGINT) AS v_zero
 FROM fin ORDER BY event_type
+""",
+        # CMS replica: same FNV hash + fmix64 chain on both the token
+        # stream and the probe list, double-hashing cols (a + i*b) mod
+        # w, exact integer counters per (i, col), MIN over the d rows.
+        "cms_term_counts": _TOK_SQL + f"""
+, hterm AS ({_fmix64_sql("SELECT " + _hash_sql("term") + " AS h FROM term_pos", "h")}),
+ab AS (SELECT CAST(h & 4294967295 AS BIGINT) AS a,
+              CAST((h >> 32) | 1 AS BIGINT) AS b FROM hterm),
+cells AS (SELECT i, (a + i * b) % 8192 AS col,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ab CROSS JOIN (SELECT unnest(range(4)) AS i)
+          GROUP BY 1, 2),
+probes(key) AS (VALUES {", ".join("('" + p + "')" for p in _CMS_PROBES)}),
+hp AS ({_fmix64_sql("SELECT key, " + _hash_sql("key") + " AS h FROM probes", "h")}),
+pcol AS (SELECT key, i,
+                (CAST(h & 4294967295 AS BIGINT)
+                 + i * CAST((h >> 32) | 1 AS BIGINT)) % 8192 AS col
+         FROM hp CROSS JOIN (SELECT unnest(range(4)) AS i))
+SELECT p.key, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+FROM pcol p LEFT JOIN cells c ON p.i = c.i AND p.col = c.col
+GROUP BY p.key ORDER BY p.key
 """,
         # same clamped floor arithmetic as group_histogram (lo=0,
         # width=10, 10 bins)

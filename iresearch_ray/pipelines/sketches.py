@@ -50,6 +50,16 @@ from .dedup import _hash_strings
 _U64 = np.uint64
 
 
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """Full murmur3 fmix64 finalizer (public domain constants) over a
+    uint64 array — the avalanche step both sketches need on top of the
+    repo's FNV word fold, whose top bits stay constant for short keys.
+    Replicated in the DuckDB oracles via 32-bit split multiplies."""
+    h = (h ^ (h >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
+    h = (h ^ (h >> _U64(33))) * _U64(0xC4CEB9FE1A85EC53)
+    return h ^ (h >> _U64(33))
+
+
 def _alpha(m: int) -> float:
     """FFGM07 bias constant (the published >=128-register form)."""
     return 0.7213 / (1.0 + 1.079 / m)
@@ -70,15 +80,7 @@ def hll_registers(ds, group_col: str, key_col: str, p: int = 12):
         keys = batch.column(key_col)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        h = _hash_strings(keys.cast(pa.large_string()))
-        # FULL murmur3 fmix64 (both multiplies; SQL-replicable via
-        # 32-bit split multiply): the raw FNV word fold leaves the TOP
-        # bits constant for short keys — HLL's bucket choice lives in
-        # exactly those bits — and the half-finalizer dsir uses was
-        # measurably non-uniform here (register-occupancy bias).
-        h = (h ^ (h >> _U64(33))) * _U64(0xFF51AFD7ED558CCD)
-        h = (h ^ (h >> _U64(33))) * _U64(0xC4CEB9FE1A85EC53)
-        h ^= h >> _U64(33)
+        h = _fmix64(_hash_strings(keys.cast(pa.large_string())))
         bucket = (h >> _U64(wbits)).astype(np.int64)
         w = h & _U64((1 << wbits) - 1)
         # bit length via frexp: w < 2^52 is exactly representable in
@@ -134,3 +136,70 @@ def hll_cardinality(ds, group_col: str, key_col: str, p: int = 12,
 
     return regs.groupby(group_col).map_groups(estimate,
                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(ds, key_col: str, w: int = 8192, d: int = 4):
+    """-> Dataset(i, col, n): merged Count-Min sketch of a key stream
+    — d rows of w counters; only nonzero cells appear.
+
+    The d row hashes use the standard double-hashing scheme
+    col_i = (a + i*b) mod w with (a, b) the two 32-bit halves of one
+    fmix64-finalized key hash (b forced odd) — Kirsch & Mitzenmacher
+    2006 shows pairwise-independence suffices for CMS bounds, and one
+    hash chain keeps the SQL oracle to a single replica.
+
+    Scale shape (the sketch's reason to exist): per batch ONE
+    vectorized pass builds a dense (d, w) int64 partial and emits its
+    nonzero cells, so at most d*w count rows per batch cross the
+    exchange regardless of batch rows; the shuffle is
+    ``groupby(i, col).sum`` — counter merge is addition, associative,
+    commutative and EXACT (integer), so the merged sketch — and every
+    estimate read from it — is block-layout invariant and bit-exactly
+    reproducible in the DuckDB oracle.
+    """
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = _fmix64(_hash_strings(keys.cast(pa.large_string())))
+        a = (h & _U64(0xFFFFFFFF)).astype(np.int64)
+        b = ((h >> _U64(32)) | _U64(1)).astype(np.int64)
+        dense = np.zeros((d, w), dtype=np.int64)
+        for i in range(d):
+            np.add.at(dense[i], (a + i * b) % w, 1)
+        ii, col = np.nonzero(dense)
+        return pa.table({
+            "i": pa.array(ii.astype(np.int64)),
+            "col": pa.array(col.astype(np.int64)),
+            "n": pa.array(dense[ii, col]),
+        })
+
+    parts = ds.map_batches(combiner, batch_format="pyarrow")
+    return parts.groupby(["i", "col"]).sum("n")
+
+
+def cms_probe_counts(ds, key_col: str, probes: list[str],
+                     w: int = 8192, d: int = 4) -> pd.DataFrame:
+    """-> DataFrame(key, est): CMS point estimates for a fixed probe
+    list — est >= true count always, with the usual (eps, delta)
+    overcount bound (eps = e/w, delta = e^-d). Collecting the merged
+    sketch to the driver is bounded by d*w cells — the sketch IS the
+    bounded summary; data rows never leave their batches."""
+    sk = cms_sketch(ds, key_col, w=w, d=d).to_pandas()
+    dense = np.zeros((d, w), dtype=np.int64)
+    dense[sk["i"].to_numpy(), sk["col"].to_numpy()] = \
+        sk["sum(n)"].to_numpy()
+
+    ph = _fmix64(_hash_strings(pa.array(probes, pa.large_string())))
+    a = (ph & _U64(0xFFFFFFFF)).astype(np.int64)
+    b = ((ph >> _U64(32)) | _U64(1)).astype(np.int64)
+    est = np.min(np.stack([dense[i, (a + i * b) % w]
+                           for i in range(d)]), axis=0)
+    return pd.DataFrame({"key": probes, "est": est.astype(np.int64)}) \
+        .sort_values("key").reset_index(drop=True)

@@ -266,3 +266,30 @@ def test_hll_registers_match_reference_bits(ray_session):
         rank = 53 - w.bit_length() if w else 53
         regs[j] = max(regs.get(j, 0), rank)
     assert got == regs
+
+
+def test_cms_overcount_bound_and_layout_invariance(ray_session):
+    """CMS point estimates always >= the true count, are block-layout
+    invariant (counter merge is exact integer addition), and stay
+    within the eps*N overcount bound (w=8192 -> eps*N ~ N*e/8192)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.sketches import cms_probe_counts
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    # zipf-ish: key j with prob ~ 1/(j+1)
+    ks = np.char.add("k", (rng.zipf(1.3, n) % 500).astype("U8"))
+    t = pa.table({"k": pa.array(ks)})
+    probes = ["k1", "k7", "k99", "k499", "nope"]
+    exact = {p: int((ks == p).sum()) for p in probes}
+
+    out1 = cms_probe_counts(ray.data.from_arrow(t).repartition(3),
+                            "k", probes).set_index("key")["est"]
+    out2 = cms_probe_counts(ray.data.from_arrow(t).repartition(17),
+                            "k", probes).set_index("key")["est"]
+    assert out1.to_dict() == out2.to_dict()
+    bound = int(np.ceil(np.e * n / 8192)) * 2
+    for p in probes:
+        assert exact[p] <= out1[p] <= exact[p] + bound, \
+            (p, exact[p], int(out1[p]))

@@ -1548,6 +1548,23 @@ def _q_hll_distinct_users(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable approximate per-group quantiles
+    (``pipelines/aggregates.approx_group_quantiles``): 2^16-bin
+    quantized histogram sketch, groupby-sum merge, exact rank
+    selection (quantile_disc convention) over the merged counts. One
+    bin width worst-case value error; bit-reproducible in SQL."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import approx_group_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return approx_group_quantiles(ds, "event_type", "value",
+                                  0.0, 100.0).to_pandas() \
+        .sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 _CMS_PROBES = ["agg", "column", "group", "join", "key", "order",
                "scan", "slow", "sort", "the", "window", "zebra",
                "zzz_absent"]
@@ -2448,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event": _q_distinct_users,
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_term_counts": _q_cms_term_counts,
+        "approx_event_quantiles": _q_approx_quantiles,
         "value_histogram": _q_value_histogram,
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
@@ -3046,6 +3064,29 @@ SELECT event_type,
                   END + 0.5) AS BIGINT) AS n_distinct_hll,
        CAST(v_zero AS BIGINT) AS v_zero
 FROM fin ORDER BY event_type
+""",
+        # quantized-histogram quantile sketch replica: identical
+        # clamped floor quantization (step = 100/2^16, exact in
+        # float64), exact cumulative-rank selection (first bin with
+        # cum >= ceil(q*N)), identical mid-bin read-off expression.
+        "approx_event_quantiles": """
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / (100.0 / 65536))
+                             AS BIGINT), 0), 65535) AS bin
+  FROM events),
+c AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+cum AS (SELECT event_type, bin,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cn,
+               SUM(n) OVER (PARTITION BY event_type) AS N
+        FROM c),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)),
+sel AS (SELECT event_type, q, MIN(bin) AS bin
+        FROM cum CROSS JOIN qs
+        WHERE cn >= GREATEST(1.0, CEIL(q * N))
+        GROUP BY 1, 2)
+SELECT event_type, q, 0.0 + (bin + 0.5) * (100.0 / 65536) AS value_q
+FROM sel ORDER BY event_type, q
 """,
         # CMS replica: same FNV hash + fmix64 chain on both the token
         # stream and the probe list, double-hashing cols (a + i*b) mod

@@ -216,3 +216,48 @@ def filter_by_group_quantile(ds, group_col: str, value_col: str,
 
     return ds.map_batches(_Gate, batch_format="pyarrow",
                           concurrency=(1, 4))
+
+
+def approx_group_quantiles(ds, group_col: str, value_col: str,
+                           lo: float, hi: float, bits: int = 16,
+                           qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """-> Dataset(group, q, value_q): MERGEABLE approximate per-group
+    quantiles — the scale path ``group_quantiles``'s docstring defers
+    to. Values are quantized to 2^bits fixed bins over [lo, hi)
+    (outside clamps to the edge bins), so the sketch is an integer
+    histogram: per-batch partials, ``groupby(group, bin).sum`` to
+    merge (associative, exact, layout-invariant), quantile read-off
+    per group over <= 2^bits count rows in ``map_groups``. Worst-case
+    value error is one bin width = (hi-lo)/2^bits; rank selection is
+    EXACT (first bin whose cumulative count reaches ceil(q*N), the
+    ``quantile_disc`` convention), so the result is deterministic and
+    bit-reproducible in the SQL oracle.
+
+    Unlike ``group_quantiles`` no group ever has to fit a worker —
+    a group's sketch is at most 2^bits rows regardless of its data
+    size, and a t-digest-style accuracy/size trade is available by
+    lowering ``bits``."""
+    lo_f, hi_f = float(lo), float(hi)
+    nbins = 1 << bits
+    step = (hi_f - lo_f) / nbins
+    quants = tuple(float(q) for q in qs)
+
+    hist = group_histogram(ds, group_col, value_col, lo_f, hi_f, nbins)
+
+    def readoff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        bins = g["bin"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        total = int(cum[-1])
+        sel = np.empty(len(quants), dtype=np.int64)
+        for qi, q in enumerate(quants):
+            t = max(1.0, np.ceil(q * total))
+            sel[qi] = bins[np.searchsorted(cum, t, side="left")]
+        return pd.DataFrame({
+            group_col: np.repeat(g[group_col].iloc[0], len(quants)),
+            "q": np.asarray(quants, dtype=np.float64),
+            "value_q": lo_f + (sel + 0.5) * step,
+        })
+
+    return hist.groupby(group_col).map_groups(readoff,
+                                              batch_format="pandas")

@@ -293,3 +293,32 @@ def test_cms_overcount_bound_and_layout_invariance(ray_session):
     for p in probes:
         assert exact[p] <= out1[p] <= exact[p] + bound, \
             (p, exact[p], int(out1[p]))
+
+
+def test_approx_group_quantiles_error_bound(ray_session):
+    """Sketch quantiles within one bin width of exact disc quantiles,
+    and layout invariant (histogram merge is exact integer sum)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import approx_group_quantiles
+
+    t = _events(n=8_000)
+    qs = (0.25, 0.5, 0.9)
+    out1 = approx_group_quantiles(
+        ray.data.from_arrow(t).repartition(3), "event_type", "value",
+        0.0, 120.0, bits=14, qs=qs).to_pandas()
+    out2 = approx_group_quantiles(
+        ray.data.from_arrow(t).repartition(11), "event_type", "value",
+        0.0, 120.0, bits=14, qs=qs).to_pandas()
+    k1 = out1.sort_values(["event_type", "q"])["value_q"].tolist()
+    k2 = out2.sort_values(["event_type", "q"])["value_q"].tolist()
+    assert k1 == k2
+    step = 120.0 / (1 << 14)
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        for q in qs:
+            exact = v[max(0, int(np.ceil(q * len(v))) - 1)]  # disc
+            got = out1[(out1["event_type"] == et)
+                       & (out1["q"] == q)]["value_q"].iloc[0]
+            assert abs(got - exact) <= step, (et, q, got, exact)

@@ -1548,6 +1548,21 @@ def _q_hll_distinct_users(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_rescore_topk(sf_dir: str):
+    """Two-pass rescore window (``api.rescore_topk``, Lucene
+    QueryRescorer): top-50 by Term('customer') under WAND, re-ranked
+    by 1.0*primary + 2.0*Term('vector') score (0 where absent), top
+    10. Oracle replicates the window cut (ORDER BY score DESC, doc_id
+    LIMIT 50) and the identical combine expression."""
+    from iresearch_ray.api import documents_searcher, rescore_topk
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return rescore_topk(s, F.Term("customer"), F.Term("vector"),
+                        k=10, window=50, query_weight=1.0,
+                        rescore_weight=2.0, scorer=_bm25_f64())
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable approximate per-group quantiles
     (``pipelines/aggregates.approx_group_quantiles``): 2^16-bin
@@ -2466,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_term_counts": _q_cms_term_counts,
         "approx_event_quantiles": _q_approx_quantiles,
+        "rescore_topk": _q_rescore_topk,
         "value_histogram": _q_value_histogram,
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
@@ -3064,6 +3080,20 @@ SELECT event_type,
                   END + 0.5) AS BIGINT) AS n_distinct_hll,
        CAST(v_zero AS BIGINT) AS v_zero
 FROM fin ORDER BY event_type
+""",
+        # rescore window: primary top-50 cut with the engine's tie
+        # rule (score DESC, doc_id), identical combine expression
+        # qw*s1 + rw*COALESCE(s2, 0), round-half-up after
+        "rescore_topk": _TOK_SQL + """
+, prim AS (
+  SELECT doc_id, score FROM scored WHERE term = 'customer'
+  ORDER BY score DESC, doc_id LIMIT 50),
+sec AS (SELECT doc_id, score FROM scored WHERE term = 'vector')
+SELECT p.doc_id,
+       ROUND(1.0 * p.score + 2.0 * COALESCE(s.score, 0.0), 4) AS score_r
+FROM prim p LEFT JOIN sec s USING (doc_id)
+ORDER BY 1.0 * p.score + 2.0 * COALESCE(s.score, 0.0) DESC, p.doc_id
+LIMIT 10
 """,
         # quantized-histogram quantile sketch replica: identical
         # clamped floor quantization (step = 100/2^16, exact in

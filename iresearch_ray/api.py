@@ -334,3 +334,44 @@ def spell_correct(searcher: IndexSearcher, term: str,
     return (out.sort_values(["doc_freq", "term"],
                             ascending=[False, True], kind="mergesort")
             .head(n).reset_index(drop=True))
+
+
+def rescore_topk(searcher: IndexSearcher, flt, rescore_flt, k: int = 10,
+                 window: int = 50, query_weight: float = 1.0,
+                 rescore_weight: float = 1.0, scorer=None,
+                 round_to: int | None = 4,
+                 id_col: str | None = "doc_id") -> pd.DataFrame:
+    """Two-pass rescoring (the Lucene ``QueryRescorer`` / ES
+    ``rescore`` window, beyond-reference): pass 1 retrieves the top
+    ``window`` docs by the primary filter under full WAND pruning;
+    pass 2 scores ``rescore_flt`` and re-ranks ONLY that window by
+    ``query_weight*primary + rescore_weight*secondary`` (secondary 0
+    where the rescore query misses). This is how engines run expensive
+    queries (phrases, functions) affordably: the expensive scorer
+    touches ``window`` docs, not the corpus.
+
+    The secondary pass here scores its own match set exhaustively and
+    joins on the window (matched-set sized, vectorized); at cluster
+    scale each shard rescores only its window slice and the combined
+    top-k merges associatively like every other scored query."""
+    res = searcher.search(flt, k=window, scorer=scorer, mode="strict")
+    gids = res["doc_id"].to_numpy()
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res2 = searcher.search(rescore_flt, k=n_docs, scorer=scorer,
+                           mode="all")
+    sec = pd.Series(res2["score"].to_numpy().astype(np.float64),
+                    index=res2["doc_id"].to_numpy())
+    s2 = sec.reindex(gids).fillna(0.0).to_numpy()
+    combined = query_weight * res["score"].to_numpy().astype(np.float64) \
+        + rescore_weight * s2
+    if id_col is None:
+        ids = gids.astype("int64")
+    else:
+        ids = searcher.fetch_stored(gids, (id_col,))[id_col] \
+            .to_numpy().astype("int64")
+    order = np.lexsort((ids, -combined))[:k]
+    out = pd.DataFrame({"doc_id": ids[order], "score_r": combined[order]})
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out.reset_index(drop=True)

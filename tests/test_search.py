@@ -776,3 +776,26 @@ def test_span_containing_strict_rank_identity(searcher):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     np.testing.assert_array_equal(a["score"].to_numpy(),
                                   b["score"].to_numpy())
+
+
+def test_rescore_topk_matches_brute_force(searcher):
+    from iresearch_ray.api import rescore_topk
+
+    got = rescore_topk(searcher, F.Term("deploy"), F.Term("ref"),
+                       k=8, window=30, query_weight=1.0,
+                       rescore_weight=2.0, round_to=None, id_col=None)
+
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    prim = searcher.search(F.Term("deploy"), k=30, mode="strict")
+    sec = searcher.search(F.Term("ref"), k=n_docs, mode="all")
+    smap = dict(zip(sec["doc_id"].tolist(), sec["score"].tolist()))
+    comb = [(1.0 * s + 2.0 * smap.get(d, 0.0), d)
+            for d, s in zip(prim["doc_id"].tolist(),
+                            prim["score"].tolist())]
+    comb.sort(key=lambda t: (-t[0], t[1]))
+    assert list(got["doc_id"]) == [d for _, d in comb[:8]]
+    assert np.allclose(got["score_r"].to_numpy(),
+                       [c for c, _ in comb[:8]], rtol=0, atol=0)
+    # a doc absent from the rescore query keeps its primary score;
+    # docs outside the window never enter, however well they rescore
+    assert set(got["doc_id"]) <= set(prim["doc_id"].tolist())

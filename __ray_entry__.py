@@ -649,6 +649,24 @@ def _q_minhash_clusters(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_leakage_splits(sf_dir: str):
+    """Leakage-safe train/val/test assignment
+    (``pipelines/clustering.leakage_safe_splits``): split label hashed
+    from the MinHash near-dup CLUSTER id, so near-duplicates never
+    straddle a split (eval-contamination guard). Oracle = the minhash
+    component closure + the same Knuth hash bucket cut on
+    cluster_id."""
+    import ray.data
+
+    from iresearch_ray.pipelines.clustering import leakage_safe_splits
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pdf = leakage_safe_splits(ds).to_pandas()
+    return pdf[["doc_id", "cluster_id", "split"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash banded near-dup pairs (hamming <= 2) over documents —
     Manku/Charikar band-bucket layout (rows-only: fingerprints depend
@@ -1811,6 +1829,18 @@ def _q_facet_counts(sf_dir: str):
     return facet_frame(s, F.Term("customer"), "lang")
 
 
+def _q_range_facet(sf_dir: str):
+    """Range facet (ES ``range`` aggregation): Term('customer')
+    matches bucketed by stored n_chars into half-open [lo, hi)
+    ranges, zero-count buckets kept (``api.range_facet_frame``)."""
+    from iresearch_ray.api import documents_searcher, range_facet_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return range_facet_frame(s, F.Term("customer"), "n_chars",
+                             (0.0, 150.0, 300.0, 450.0, 600.0))
+
+
 def _q_search_after(sf_dir: str):
     """Deep pagination: page 2 (ranks 51-100) of the BM25 'customer'
     ranking via the search_after cursor — the opaque (score, doc) pair
@@ -2493,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "minhash_dedup_clusters": _q_minhash_clusters,
+        "leakage_safe_splits": _q_leakage_splits,
         "simhash_near_pairs": _q_simhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "lang_id": _q_langid,
@@ -2510,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "line_dedup": _q_line_dedup,
         "facet_counts": _q_facet_counts,
+        "range_facet_counts": _q_range_facet,
         "search_after_page": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
@@ -3967,6 +3999,21 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
         "simhash_fingerprints": _simhash_sql(),
         "minhash_lsh_buckets": _minhash_sql(),
         "minhash_dedup_clusters": _minhash_cluster_sql(),
+        # same component closure, then the assign_splits Knuth-hash
+        # bucket cut applied to cluster_id (0.8/0.1/0.1 boundaries)
+        "leakage_safe_splits": _minhash_cluster_sql().replace(
+            """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM cl ORDER BY doc_id""",
+            """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 10000 < 8000
+            THEN 'train'
+            WHEN ((cluster_id * 2654435761) % 4294967296) % 10000 < 9000
+            THEN 'val' ELSE 'test' END AS split
+FROM cl ORDER BY doc_id"""),
         # reference TFIDF: tf = sqrt(freq), idf = 1 + ln(N/(df+1)),
         # N = docs with >=1 token; ties by term ascending
         "tfidf_keywords": _TOK_SQL + """
@@ -4273,6 +4320,16 @@ ORDER BY t.doc_id
 """,
         # facet counts: docs matching Term('customer') bucketed by the
         # stored lang column (doc-values facets)
+        "range_facet_counts": _TOK_SQL + """
+, m AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'customer'),
+buckets(bucket, lo, hi) AS (VALUES
+  (CAST(0 AS BIGINT), 0.0, 150.0), (1, 150.0, 300.0),
+  (2, 300.0, 450.0), (3, 450.0, 600.0)),
+md AS (SELECT n_chars FROM documents JOIN m USING (doc_id))
+SELECT b.bucket, b.lo, b.hi, CAST(COUNT(d.n_chars) AS BIGINT) AS n_docs
+FROM buckets b LEFT JOIN md d ON d.n_chars >= b.lo AND d.n_chars < b.hi
+GROUP BY 1, 2, 3 ORDER BY bucket
+""",
         "facet_counts": _TOK_SQL + """
 SELECT d.lang, count(*) AS n_docs
 FROM documents d

@@ -375,3 +375,32 @@ def rescore_topk(searcher: IndexSearcher, flt, rescore_flt, k: int = 10,
         p = 10.0 ** round_to
         out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
     return out.reset_index(drop=True)
+
+
+def range_facet_frame(searcher: IndexSearcher, flt, field: str,
+                      edges: tuple[float, ...]) -> pd.DataFrame:
+    """Range facet (the ES ``range`` aggregation next to
+    ``facet_frame``'s terms facet): count of matching docs whose
+    stored numeric ``field`` falls in each half-open [edges[i],
+    edges[i+1]) bucket; values outside every bucket are not counted
+    (ES semantics). -> (bucket, lo, hi, n_docs), buckets that match 0
+    docs included — the fixed output shape makes shard partials merge
+    positionally.
+
+    Scale shape: identical to ``facet_frame`` — match set per segment,
+    one lazy columnstore column read for the matches, one vectorized
+    searchsorted; (bucket, count) partials are edges-sized, so the
+    coordinator merge is O(buckets), never O(matches)."""
+    docs = searcher.match_docs(flt)
+    stored = searcher.fetch_stored(docs, (field,))
+    v = stored[field].to_numpy().astype(np.float64)
+    e = np.asarray(edges, dtype=np.float64)
+    idx = np.searchsorted(e, v, side="right") - 1
+    ok = (idx >= 0) & (idx < len(e) - 1) & (v < e[-1])
+    counts = np.bincount(idx[ok], minlength=len(e) - 1)
+    return pd.DataFrame({
+        "bucket": np.arange(len(e) - 1, dtype=np.int64),
+        "lo": e[:-1],
+        "hi": e[1:],
+        "n_docs": counts.astype(np.int64),
+    })

@@ -152,3 +152,25 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return (labels.union(self_rows)
             .groupby("node").min("label")
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def leakage_safe_splits(ds, text_col: str = "text", id_col: str = "doc_id",
+                        fractions: dict[str, float] | None = None,
+                        salt: int = 0, **minhash_kwargs):
+    """-> Dataset(id, cluster_id, keep, split): train/val/test labels
+    keyed on the near-dup CLUSTER id instead of the doc id, so MinHash
+    near-duplicates can never straddle a split boundary — the standard
+    eval-contamination guard (a test doc whose near-twin sits in train
+    leaks the answer; hashing the component id sends the whole
+    component to one side).
+
+    Composition, not new machinery: ``minhash_dedup`` (LSH star edges
+    + distributed min-label components) produces (id, cluster_id),
+    then ``sampling.assign_splits`` hashes cluster_id — deterministic,
+    zero additional shuffle beyond the dedup itself, identical
+    assignment at any block layout or cluster size."""
+    from .sampling import assign_splits
+
+    clusters = minhash_dedup(ds, text_col=text_col, id_col=id_col,
+                             **minhash_kwargs)
+    return assign_splits(clusters, "cluster_id", fractions, salt=salt)

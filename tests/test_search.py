@@ -799,3 +799,19 @@ def test_rescore_topk_matches_brute_force(searcher):
     # a doc absent from the rescore query keeps its primary score;
     # docs outside the window never enter, however well they rescore
     assert set(got["doc_id"]) <= set(prim["doc_id"].tolist())
+
+
+def test_range_facet_matches_brute_force(searcher):
+    from iresearch_ray.api import range_facet_frame
+
+    edges = (0.0, 5.0, 10.0, 20.0)
+    got = range_facet_frame(searcher, F.Term("deploy"), "turn_idx", edges)
+    docs = searcher.match_docs(F.Term("deploy"))
+    v = searcher.fetch_stored(docs, ("turn_idx",))["turn_idx"] \
+        .to_numpy().astype(float)
+    want = [int(((v >= lo) & (v < hi)).sum())
+            for lo, hi in zip(edges[:-1], edges[1:])]
+    assert got["n_docs"].tolist() == want
+    assert got["bucket"].tolist() == [0, 1, 2]
+    # every bucket row present even when empty
+    assert len(got) == len(edges) - 1

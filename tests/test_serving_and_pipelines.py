@@ -931,3 +931,26 @@ def test_retention_cohorts(ray_session):
     got = {(int(r.cohort_period) - d0, int(r.period_k)): int(r.n_users)
            for r in out.itertuples()}
     assert got == {(0, 0): 3, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_leakage_safe_splits_cluster_coherent(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.clustering import leakage_safe_splits
+    from iresearch_ray.pipelines.sampling import _hash32
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base.replace("today", "tomorrow"),
+             base.replace("quick", "swift"),
+             "completely different words about ray data pipelines and arrow",
+             "unrelated content mentioning neither foxes nor dogs at all ok"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = leakage_safe_splits(ray.data.from_arrow(t), bands=32,
+                              num_hashes=64).to_pandas()
+    # every near-dup (cluster {1,2,3}) gets ONE split — no straddling
+    assert out.groupby("cluster_id")["split"].nunique().max() == 1
+    # and the label is the hash of the CLUSTER id, not the doc id
+    b = _hash32(out["cluster_id"].to_numpy()) % np.uint64(10000)
+    want = np.where(b < 8000, "train", np.where(b < 9000, "val", "test"))
+    assert (out["split"].to_numpy() == want).all()

@@ -1829,6 +1829,18 @@ def _q_facet_counts(sf_dir: str):
     return facet_frame(s, F.Term("customer"), "lang")
 
 
+def _q_explain_scores(sf_dir: str):
+    """Score explanation rows (``api.explain_terms``): per (doc,
+    matching term) BM25 contribution + df for the top-10 docs of
+    Or(customer, vector) — the Lucene explain() breakdown; contrib
+    rows sum to the ranked score."""
+    from iresearch_ray.api import documents_searcher, explain_terms
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return explain_terms(s, ["customer", "vector"], k=10,
+                         scorer=_bm25_f64())
+
+
 def _q_range_facet(sf_dir: str):
     """Range facet (ES ``range`` aggregation): Term('customer')
     matches bucketed by stored n_chars into half-open [lo, hi)
@@ -2542,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "facet_counts": _q_facet_counts,
         "range_facet_counts": _q_range_facet,
+        "explain_scores": _q_explain_scores,
         "search_after_page": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
@@ -4320,6 +4333,17 @@ ORDER BY t.doc_id
 """,
         # facet counts: docs matching Term('customer') bucketed by the
         # stored lang column (doc-values facets)
+        "explain_scores": _TOK_SQL + """
+, comb AS (
+  SELECT doc_id, SUM(score) AS total
+  FROM scored WHERE term IN ('customer', 'vector') GROUP BY doc_id),
+topd AS (SELECT doc_id FROM comb ORDER BY total DESC, doc_id LIMIT 10)
+SELECT s.doc_id, s.term, CAST(d2.dwt AS BIGINT) AS df,
+       ROUND(s.score, 4) AS contrib_r
+FROM scored s JOIN topd USING (doc_id) JOIN df d2 USING (term)
+WHERE s.term IN ('customer', 'vector')
+ORDER BY s.doc_id, s.term
+""",
         "range_facet_counts": _TOK_SQL + """
 , m AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'customer'),
 buckets(bucket, lo, hi) AS (VALUES

@@ -404,3 +404,47 @@ def range_facet_frame(searcher: IndexSearcher, flt, field: str,
         "hi": e[1:],
         "n_docs": counts.astype(np.int64),
     })
+
+
+def explain_terms(searcher: IndexSearcher, terms: list[str], k: int = 10,
+                  scorer=None, round_to: int | None = 4,
+                  id_col: str | None = "doc_id") -> pd.DataFrame:
+    """Score explanation (Lucene ``IndexSearcher.explain`` parity for
+    term disjunctions): for the top-``k`` docs of Or(terms), one row
+    per (doc, matching term) carrying the term's document frequency
+    and its additive score contribution — the breakdown a relevance
+    engineer reads to see WHY a doc ranked.
+
+    -> (doc_id, term, df, contrib_r) sorted by (doc_id, term). The
+    sum of a doc's contrib rows is its ranked score (Sum merge).
+    Costs one exhaustive single-term pass per term over its own match
+    set — explanation is a debugging surface, not a serving path."""
+    from .search import filters as F
+
+    res = searcher.search(F.Or([F.Term(t) for t in terms]), k=k,
+                          scorer=scorer, mode="strict")
+    gids = res["doc_id"].to_numpy()
+    if id_col is None:
+        ids = gids.astype("int64")
+    else:
+        ids = searcher.fetch_stored(gids, (id_col,))[id_col] \
+            .to_numpy().astype("int64")
+    id_of = dict(zip(gids.tolist(), ids.tolist()))
+
+    rows = []
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    for t in sorted(set(terms)):
+        rt = searcher.search(F.Term(t), k=n_docs, scorer=scorer,
+                             mode="all")
+        sec = pd.Series(rt["score"].to_numpy().astype(np.float64),
+                        index=rt["doc_id"].to_numpy())
+        hit = sec.reindex(gids).dropna()
+        df_t = searcher.resolve_term(t, None).docs_with_term
+        for g, sc in hit.items():
+            rows.append((id_of[int(g)], t, int(df_t), float(sc)))
+    out = pd.DataFrame(rows, columns=["doc_id", "term", "df",
+                                      "contrib_r"])
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["contrib_r"] = np.floor(out["contrib_r"] * p + 0.5) / p
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)

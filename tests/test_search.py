@@ -815,3 +815,24 @@ def test_range_facet_matches_brute_force(searcher):
     assert got["bucket"].tolist() == [0, 1, 2]
     # every bucket row present even when empty
     assert len(got) == len(edges) - 1
+
+
+def test_explain_terms_sums_to_ranked_score(searcher):
+    from iresearch_ray.api import explain_terms
+
+    terms = ["deploy", "ref"]
+    got = explain_terms(searcher, terms, k=6, round_to=None, id_col=None)
+    res = searcher.search(F.Or([F.Term(t) for t in terms]), k=6,
+                          mode="strict")
+    want = dict(zip(res["doc_id"].tolist(), res["score"].tolist()))
+    # per-doc contribs sum to the ranked score (Sum merge). The
+    # ranked path accumulates in the disjunction's float32 dense
+    # accumulator while explain sums float64 per-term passes, so
+    # allow float32-relative slack.
+    sums = got.groupby("doc_id")["contrib_r"].sum()
+    for d, s in want.items():
+        assert abs(sums[d] - s) <= 1e-6 * max(1.0, abs(s)), (d, sums[d], s)
+    # df is the corpus-wide docs_with_term
+    for t in terms:
+        df_t = searcher.resolve_term(t, None).docs_with_term
+        assert (got[got["term"] == t]["df"] == df_t).all()

@@ -1841,6 +1841,18 @@ def _q_explain_scores(sf_dir: str):
                          scorer=_bm25_f64())
 
 
+def _q_term_vectors(sf_dir: str):
+    """Per-doc term vectors (``api.term_vectors``): (term, tf,
+    first_pos) rows for the first 20 docs matching Term('vector') —
+    the Lucene getTermVector / ES _termvectors read path (stored-text
+    reanalysis, doc-bounded)."""
+    from iresearch_ray.api import documents_searcher, term_vectors
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return term_vectors(s, F.Term("vector"), max_docs=20)
+
+
 def _q_range_facet(sf_dir: str):
     """Range facet (ES ``range`` aggregation): Term('customer')
     matches bucketed by stored n_chars into half-open [lo, hi)
@@ -2555,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _q_facet_counts,
         "range_facet_counts": _q_range_facet,
         "explain_scores": _q_explain_scores,
+        "term_vectors": _q_term_vectors,
         "search_after_page": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
@@ -4343,6 +4356,15 @@ SELECT s.doc_id, s.term, CAST(d2.dwt AS BIGINT) AS df,
 FROM scored s JOIN topd USING (doc_id) JOIN df d2 USING (term)
 WHERE s.term IN ('customer', 'vector')
 ORDER BY s.doc_id, s.term
+""",
+        "term_vectors": _TOK_SQL + """
+, m AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'vector'
+        ORDER BY doc_id LIMIT 20)
+SELECT t.doc_id, t.term, COUNT(*) AS tf,
+       CAST(MIN(t.pos) AS BIGINT) AS first_pos
+FROM term_pos t JOIN m USING (doc_id)
+GROUP BY t.doc_id, t.term
+ORDER BY t.doc_id, t.term
 """,
         "range_facet_counts": _TOK_SQL + """
 , m AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'customer'),

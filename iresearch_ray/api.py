@@ -406,6 +406,47 @@ def range_facet_frame(searcher: IndexSearcher, flt, field: str,
     })
 
 
+def term_vectors(searcher: IndexSearcher, flt, max_docs: int = 20,
+                 id_col: str | None = "doc_id",
+                 text_col: str = "text") -> pd.DataFrame:
+    """Per-document term vectors (Lucene ``IndexReader.getTermVector``
+    / ES ``_termvectors`` parity): for the first ``max_docs`` matching
+    docs of ``flt`` (stored-id order), one row per distinct term with
+    its in-doc frequency and first position.
+
+    The index is term-major (postings), vectors are doc-major; like
+    Lucene when vectors aren't stored, the doc's stored text is
+    re-analyzed with the index's own analyzer — work is bounded by the
+    requested docs, never a dictionary scan.
+
+    -> (doc_id, term, tf, first_pos) sorted by (doc_id, term)."""
+    import pyarrow as pa
+
+    from iresearch_ray.search.highlight import _searcher_analyzer
+
+    docs = searcher.match_docs(flt)
+    if id_col is None:
+        docs = np.sort(docs)[:max_docs]
+        stored = searcher.fetch_stored(docs, (text_col,))
+        ids = docs.astype("int64")
+    else:
+        stored = searcher.fetch_stored(docs, (id_col, text_col))
+        stored = stored.sort_values(id_col).head(max_docs)
+        ids = stored[id_col].to_numpy().astype("int64")
+    d, terms, pos = _searcher_analyzer(searcher).tokenize(
+        pa.array(stored[text_col].tolist(), type=pa.string()))
+    tv = pd.DataFrame({
+        "doc_id": ids[d],
+        "term": terms.to_pandas(),
+        "pos": pos.astype(np.int64),
+    })
+    out = (tv.groupby(["doc_id", "term"], sort=True)["pos"]
+             .agg(tf="size", first_pos="min").reset_index())
+    out["tf"] = out["tf"].astype("int64")
+    out["first_pos"] = out["first_pos"].astype("int64")
+    return out
+
+
 def explain_terms(searcher: IndexSearcher, terms: list[str], k: int = 10,
                   scorer=None, round_to: int | None = 4,
                   id_col: str | None = "doc_id") -> pd.DataFrame:

@@ -817,6 +817,38 @@ def test_range_facet_matches_brute_force(searcher):
     assert len(got) == len(edges) - 1
 
 
+def test_term_vectors_match_brute_reanalysis(searcher, small_corpus):
+    from iresearch_ray.api import term_vectors
+
+    got = term_vectors(searcher, F.Term("deploy"), max_docs=8,
+                       id_col=None)
+    # brute force: tokenize each doc's raw text one at a time (the
+    # batched term_vectors path must agree doc-by-doc)
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    an = get_analyzer("segmentation", {})
+    texts = small_corpus.column("text").to_pylist()
+
+    def toks_of(txt):
+        _, terms, _ = an.tokenize(pa.array([txt], type=pa.string()))
+        return terms.to_pylist()
+
+    # global doc ids are 1-based (doc 0 reserved), corpus row i -> i+1
+    want_docs = sorted(i + 1 for i, t in enumerate(texts)
+                       if "deploy" in toks_of(t))[:8]
+    assert sorted(got["doc_id"].unique().tolist()) == want_docs
+    for d in want_docs:
+        toks = toks_of(texts[d - 1])
+        sub = got[got["doc_id"] == d]
+        # tf sums to doc length; per-term tf and first position exact
+        assert int(sub["tf"].sum()) == len(toks)
+        for _, r in sub.iterrows():
+            assert r["tf"] == toks.count(r["term"])
+            assert r["first_pos"] == toks.index(r["term"])
+
+
 def test_explain_terms_sums_to_ranked_score(searcher):
     from iresearch_ray.api import explain_terms
 

@@ -1841,6 +1841,40 @@ def _q_explain_scores(sf_dir: str):
                          scorer=_bm25_f64())
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML boilerplate strip (``pipelines/webextract.py``): each doc's
+    text is wrapped in a deterministic page shell (script/style/
+    comment blocks, tags, the six common entities), then the RE2
+    cascade actor pool extracts clean prose — the WET-extraction stage
+    of a web corpus pipeline. The DuckDB oracle replays the identical
+    wrap + regexp_replace/replace chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.webextract import extract_html
+
+    def plant(batch: pa.Table) -> pa.Table:
+        h = pc.binary_join_element_wise(
+            "<html><head><title>", batch.column("source"),
+            "</title><style>p{margin:0}</style>"
+            '<script type="text/javascript">var ok = 1 < 2 && 3 > 1;'
+            "</script></head><body><h1>", batch.column("lang"),
+            "</h1><!-- nav boilerplate --><p>", batch.column("text"),
+            "</p><p>&quot;q&quot; &amp; &lt;esc&gt;&nbsp;&#39;end&#39;"
+            "</p></body></html>",
+            "")
+        return pa.table({"doc_id": batch.column("doc_id"), "html": h})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang", "text"])
+    out = extract_html(ds.map_batches(plant, batch_format="pyarrow"))
+    pdf = out.select_columns(["doc_id", "clean_text", "n_chars_clean"]) \
+             .to_pandas().sort_values("doc_id", kind="mergesort")
+    pdf["n_chars_clean"] = pdf["n_chars_clean"].astype("int64")
+    return pdf.reset_index(drop=True)
+
+
 def _q_term_vectors(sf_dir: str):
     """Per-doc term vectors (``api.term_vectors``): (term, tf,
     first_pos) rows for the first 20 docs matching Term('vector') —
@@ -2568,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_facet_counts": _q_range_facet,
         "explain_scores": _q_explain_scores,
         "term_vectors": _q_term_vectors,
+        "html_extract_text": _q_html_extract,
         "search_after_page": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
@@ -4356,6 +4391,31 @@ SELECT s.doc_id, s.term, CAST(d2.dwt AS BIGINT) AS df,
 FROM scored s JOIN topd USING (doc_id) JOIN df d2 USING (term)
 WHERE s.term IN ('customer', 'vector')
 ORDER BY s.doc_id, s.term
+""",
+        "html_extract_text": r"""
+WITH h0 AS (
+  SELECT doc_id,
+    '<html><head><title>' || source || '</title><style>p{margin:0}</style>'
+    || '<script type="text/javascript">var ok = 1 < 2 && 3 > 1;'
+    || '</script></head><body><h1>' || lang
+    || '</h1><!-- nav boilerplate --><p>' || text
+    || '</p><p>&quot;q&quot; &amp; &lt;esc&gt;&nbsp;&#39;end&#39;'
+    || '</p></body></html>' AS h
+  FROM documents
+), e1 AS (SELECT doc_id,
+    regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM h0
+), e2 AS (SELECT doc_id,
+    regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM e1
+), e3 AS (SELECT doc_id,
+    regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM e2
+), e4 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM e3
+), e5 AS (SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(h,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&amp;', '&') AS h FROM e4
+), e6 AS (SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS h FROM e5)
+SELECT doc_id, h AS clean_text, CAST(length(h) AS BIGINT) AS n_chars_clean
+FROM e6 ORDER BY doc_id
 """,
         "term_vectors": _TOK_SQL + """
 , m AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'vector'

@@ -954,3 +954,37 @@ def test_leakage_safe_splits_cluster_coherent(ray_session):
     b = _hash32(out["cluster_id"].to_numpy()) % np.uint64(10000)
     want = np.where(b < 8000, "train", np.where(b < 9000, "val", "test"))
     assert (out["split"].to_numpy() == want).all()
+
+
+def test_html_extractor_cascade():
+    from iresearch_ray.pipelines.webextract import HtmlExtractor
+
+    t = pa.table({"html": pa.array([
+        '<html><head><SCRIPT>if (1 < 2) { evil(); }</SCRIPT>'
+        '<style>p { color: red }</style></head>'
+        '<body><!-- nav --><p>Hello   <b>world</b></p></body></html>',
+        'a &amp;lt; b &nbsp;&quot;q&quot; &#39;s&#39; &lt;tag&gt;',
+        'plain',
+        None,
+    ])})
+    out = HtmlExtractor()(t)
+    got = out.column("clean_text").to_pylist()
+    assert got[0] == "Hello world"
+    # &amp;lt; single-decodes to &lt; (amp decoded last)
+    assert got[1] == 'a &lt; b "q" \'s\' <tag>'
+    assert got[2] == "plain"
+    assert got[3] is None
+    assert out.column("n_chars_clean").to_pylist() == [11, len(got[1]), 5, None]
+
+
+def test_extract_html_dataset(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.webextract import extract_html
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "html": pa.array(["<p>x</p>", "<div>y</div> z"])})
+    pdf = (extract_html(ray.data.from_arrow(t))
+           .to_pandas().sort_values("doc_id"))
+    assert pdf["clean_text"].tolist() == ["x", "y z"]
+    assert "html" in pdf.columns

@@ -1818,6 +1818,65 @@ def _q_index_writer_delete(sf_dir: str):
     return match_frame(IndexSearcher(idx), F.Term("customer"))
 
 
+def _q_index_writer_replace(sf_dir: str):
+    """The writer UPDATE path (``IndexWriter.replace`` — reference
+    ``index_writer.hpp:346-470`` Replace): every lang='de' doc is
+    deleted and re-ingested as a rewritten doc with the same doc_id and
+    text 'customer rewrite r<doc_id>' (two consistent manifest
+    generations), then ``consolidate`` physically purges the masked
+    originals. Term('customer') afterwards = original non-German
+    customer docs + every replaced doc."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import FORMAT_VERSION
+    from iresearch_ray.index.writer import IndexWriter
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    slug = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{SEG_DOCS}:v{FORMAT_VERSION}:txnrepl"
+        .encode()).hexdigest()[:12]
+    idx = f"/tmp/iresearch_ray_cache/txnrepl-{slug}"
+    marker = os.path.join(idx, "_TXN_APPLIED")
+    if not os.path.exists(marker):
+        if not Manifest.exists(idx):
+            build_index(
+                os.path.join(sf_dir, "documents.parquet"), idx,
+                text_col="text", key_cols=("doc_id",),
+                stored_cols=("doc_id", "lang"), exact_fields=("lang",),
+                segment_docs=SEG_DOCS,
+            )
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang", "text"])
+        de = t.filter(pc.equal(t.column("lang"), "de"))
+        repl = pa.table({
+            "doc_id": de.column("doc_id"),
+            "lang": pa.array(["en"] * de.num_rows),
+            "text": pc.binary_join_element_wise(
+                "customer rewrite r",
+                pc.cast(de.column("doc_id"), pa.string()), ""),
+        })
+        w = IndexWriter(idx)
+        w.replace(F.Term("de", field="lang"), ray.data.from_arrow(repl),
+                  text_col="text", key_cols=("doc_id",),
+                  stored_cols=("doc_id", "lang"), exact_fields=("lang",),
+                  segment_docs=SEG_DOCS)
+        w.consolidate(policy="count", max_segments=4)
+        with open(marker + ".tmp", "w") as f:
+            f.write("applied")
+        os.replace(marker + ".tmp", marker)
+    return match_frame(IndexSearcher(idx), F.Term("customer"))
+
+
 def _q_facet_counts(sf_dir: str):
     """Facet counts over a filter's match set: matching docs for
     Term('customer') bucketed by the stored ``lang`` column (doc-values
@@ -2578,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_revenue_join": _q_orders_revenue,
         "pipeline_delimiter_match": _q_pipeline_delimiter,
         "index_writer_delete": _q_index_writer_delete,
+        "index_writer_replace": _q_index_writer_replace,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_buckets": _q_minhash,
         "minhash_dedup_clusters": _q_minhash_clusters,
@@ -3329,6 +3389,15 @@ SELECT DISTINCT t.doc_id AS doc_id
 FROM term_pos t JOIN documents d ON d.doc_id = t.doc_id
 WHERE t.term = 'customer' AND d.lang <> 'de'
 ORDER BY doc_id
+""",
+        "index_writer_replace": _TOK_SQL + """
+SELECT doc_id FROM (
+  SELECT DISTINCT t.doc_id AS doc_id
+  FROM term_pos t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE t.term = 'customer' AND d.lang <> 'de'
+  UNION
+  SELECT doc_id FROM documents WHERE lang = 'de'
+) ORDER BY doc_id
 """,
         "ngram_similarity_match": _TOK_SQL + """
 , occ AS (

@@ -1900,6 +1900,33 @@ def _q_explain_scores(sf_dir: str):
                          scorer=_bm25_f64())
 
 
+def _q_terms_set(sf_dir: str):
+    """ES ``terms_set`` query (``api.terms_set_match``): docs matching
+    at least M distinct terms of {customer, join, table} where M is the
+    per-doc script (n_chars % 3) + 1 over the stored n_chars column —
+    the dynamic-minimum disjunction."""
+    from iresearch_ray.api import documents_searcher, terms_set_match
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return terms_set_match(s, ["customer", "join", "table"], "n_chars",
+                           min_script=lambda v: v % 3 + 1)
+
+
+def _q_adjacency_matrix(sf_dir: str):
+    """ES ``adjacency_matrix`` aggregation (``api.adjacency_matrix``):
+    doc counts for each named filter and each pairwise intersection
+    (cust=Term('customer'), vec=Term('vector'), de=lang:'de')."""
+    from iresearch_ray.api import adjacency_matrix, documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return adjacency_matrix(s, {
+        "cust": F.Term("customer"),
+        "vec": F.Term("vector"),
+        "de": F.Term("de", field="lang"),
+    })
+
+
 def _q_html_extract(sf_dir: str):
     """HTML boilerplate strip (``pipelines/webextract.py``): each doc's
     text is wrapped in a deterministic page shell (script/style/
@@ -2663,6 +2690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_scores": _q_explain_scores,
         "term_vectors": _q_term_vectors,
         "html_extract_text": _q_html_extract,
+        "terms_set_match": _q_terms_set,
+        "adjacency_matrix_counts": _q_adjacency_matrix,
         "search_after_page": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
@@ -4460,6 +4489,31 @@ SELECT s.doc_id, s.term, CAST(d2.dwt AS BIGINT) AS df,
 FROM scored s JOIN topd USING (doc_id) JOIN df d2 USING (term)
 WHERE s.term IN ('customer', 'vector')
 ORDER BY s.doc_id, s.term
+""",
+        "terms_set_match": _TOK_SQL + """
+, m AS (
+  SELECT doc_id, COUNT(DISTINCT term) AS n_matched
+  FROM term_pos WHERE term IN ('customer', 'join', 'table')
+  GROUP BY doc_id)
+SELECT m.doc_id, CAST(m.n_matched AS BIGINT) AS n_matched,
+       CAST(d.n_chars % 3 + 1 AS BIGINT) AS required
+FROM m JOIN documents d USING (doc_id)
+WHERE m.n_matched >= d.n_chars % 3 + 1
+ORDER BY m.doc_id
+""",
+        "adjacency_matrix_counts": _TOK_SQL + """
+, ca AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'customer'),
+cb AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'vector'),
+cc AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+b(bucket, doc_count) AS (
+  SELECT 'cust', (SELECT COUNT(*) FROM ca) UNION ALL
+  SELECT 'cust&de', (SELECT COUNT(*) FROM ca JOIN cc USING (doc_id)) UNION ALL
+  SELECT 'cust&vec', (SELECT COUNT(*) FROM ca JOIN cb USING (doc_id)) UNION ALL
+  SELECT 'de', (SELECT COUNT(*) FROM cc) UNION ALL
+  SELECT 'de&vec', (SELECT COUNT(*) FROM cc JOIN cb USING (doc_id)) UNION ALL
+  SELECT 'vec', (SELECT COUNT(*) FROM cb))
+SELECT bucket, CAST(doc_count AS BIGINT) AS doc_count FROM b
+WHERE doc_count > 0 ORDER BY bucket
 """,
         "html_extract_text": r"""
 WITH h0 AS (

@@ -406,6 +406,74 @@ def range_facet_frame(searcher: IndexSearcher, flt, field: str,
     })
 
 
+def terms_set_match(searcher: IndexSearcher, terms: list[str],
+                    min_field: str, min_script=None,
+                    id_col: str | None = "doc_id") -> pd.DataFrame:
+    """ES ``terms_set`` query: docs matching at least M distinct terms
+    of ``terms``, where M is read PER DOC from the stored numeric
+    ``min_field`` (``minimum_should_match_field``); ``min_script``
+    optionally transforms the stored value (the
+    ``minimum_should_match_script`` form), e.g. ``lambda v: v % 3 + 1``.
+
+    One unscored match pass per distinct term, a unique-count over the
+    union (each term's doc set is already distinct, so the count IS
+    the number of matched terms), then one columnstore gather of the
+    per-doc threshold — candidate-bounded, no shuffle.
+
+    -> (doc_id, n_matched, required) for kept docs, sorted by doc_id."""
+    from .search import filters as F
+
+    tset = sorted(set(terms))
+    sets = [searcher.match_docs(F.Term(t)) for t in tset]
+    allg = (np.concatenate(sets) if sets
+            else np.empty(0, dtype=np.int64))
+    cols = ["doc_id", "n_matched", "required"]
+    if allg.size == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    uniq, counts = np.unique(allg, return_counts=True)
+    if id_col is None:
+        stored = searcher.fetch_stored(uniq, (min_field,))
+        ids = uniq.astype("int64")
+    else:
+        stored = searcher.fetch_stored(uniq, (id_col, min_field))
+        ids = stored[id_col].to_numpy().astype("int64")
+    req = stored[min_field].to_numpy().astype(np.int64)
+    if min_script is not None:
+        req = np.asarray(min_script(req), dtype=np.int64)
+    keep = counts >= req
+    out = pd.DataFrame({
+        "doc_id": ids[keep],
+        "n_matched": counts.astype(np.int64)[keep],
+        "required": req[keep],
+    })
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def adjacency_matrix(searcher: IndexSearcher,
+                     filters: dict[str, object]) -> pd.DataFrame:
+    """ES ``adjacency_matrix`` aggregation: for named filters, the doc
+    count of each filter and of each pairwise intersection (bucket
+    label ``a&b``, keys in sorted order), zero-count buckets dropped —
+    the co-occurrence matrix powering tag-relationship graphs.
+
+    One unscored match pass per filter, then ``np.intersect1d`` over
+    the k(k+1)/2 pairs of sorted id sets — match-set bounded, no
+    shuffle. -> (bucket, doc_count) sorted by bucket."""
+    keys = sorted(filters)
+    sets = {k: np.unique(searcher.match_docs(filters[k])) for k in keys}
+    rows = []
+    for i, a in enumerate(keys):
+        if sets[a].size:
+            rows.append((a, int(sets[a].size)))
+        for b in keys[i + 1:]:
+            n = np.intersect1d(sets[a], sets[b], assume_unique=True).size
+            if n:
+                rows.append((f"{a}&{b}", int(n)))
+    out = pd.DataFrame(rows, columns=["bucket", "doc_count"])
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def term_vectors(searcher: IndexSearcher, flt, max_docs: int = 20,
                  id_col: str | None = "doc_id",
                  text_col: str = "text") -> pd.DataFrame:

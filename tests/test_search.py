@@ -868,3 +868,57 @@ def test_explain_terms_sums_to_ranked_score(searcher):
     for t in terms:
         df_t = searcher.resolve_term(t, None).docs_with_term
         assert (got[got["term"] == t]["df"] == df_t).all()
+
+
+def _tok_lists(small_corpus):
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    an = get_analyzer("segmentation", {})
+    texts = small_corpus.column("text").to_pylist()
+    d, terms, _ = an.tokenize(pa.array(texts, type=pa.string()))
+    terms = terms.to_pylist()
+    out = [[] for _ in texts]
+    for i, t in zip(d.tolist(), terms):
+        out[i].append(t)
+    return out
+
+
+def test_terms_set_match_brute_force(searcher, small_corpus):
+    from iresearch_ray.api import terms_set_match
+
+    got = terms_set_match(searcher, ["deploy", "ref", "run"], "turn_idx",
+                          min_script=lambda v: v % 2 + 1, id_col=None)
+    toks = _tok_lists(small_corpus)
+    turn = small_corpus.column("turn_idx").to_pylist()
+    want = {}
+    for i, tl in enumerate(toks):
+        n = len({"deploy", "ref", "run"} & set(tl))
+        req = turn[i] % 2 + 1
+        if n >= req:
+            want[i + 1] = (n, req)  # 1-based global doc ids
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_matched"], got["required"]))) == want
+
+
+def test_adjacency_matrix_brute_force(searcher, small_corpus):
+    from iresearch_ray.api import adjacency_matrix
+
+    got = adjacency_matrix(searcher, {
+        "dep": F.Term("deploy"), "ref": F.Term("ref"),
+        "run": F.Term("run")})
+    toks = _tok_lists(small_corpus)
+    sets = {k: {i for i, tl in enumerate(toks) if w in tl}
+            for k, w in (("dep", "deploy"), ("ref", "ref"), ("run", "run"))}
+    want = {}
+    keys = sorted(sets)
+    for i, a in enumerate(keys):
+        if sets[a]:
+            want[a] = len(sets[a])
+        for b in keys[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[f"{a}&{b}"] = n
+    assert dict(zip(got["bucket"], got["doc_count"])) == want
+    assert got["bucket"].tolist() == sorted(want)

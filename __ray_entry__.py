@@ -623,6 +623,65 @@ def _q_events_hourly(sf_dir: str):
     return pdf.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def _q_events_value_corr(sf_dir: str):
+    """ES ``matrix_stats`` correlation cell (``aggregates.group_corr``):
+    per event_type Pearson corr between value (quantized to integer
+    cents) and length(props) — exact int64 moment combiners, only
+    moment rows shuffle, float64 finalize replicated in SQL."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_corr
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value", "props"])
+
+    def prep(batch):
+        import pyarrow as pa
+
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "plen": pc.cast(pc.utf8_length(batch.column("props")),
+                            pa.int64()),
+        })
+
+    out = group_corr(ds.map_batches(prep, batch_format="pyarrow"),
+                     "event_type", "value", "plen")
+    pdf = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+def _q_events_hourly_pipeline(sf_dir: str):
+    """ES pipeline aggregations (moving_avg window 3 + cumulative_sum)
+    over the hourly date-histogram buckets, partitioned by event_type.
+    Pipeline aggs run over the PARENT agg's bounded bucket frame (the
+    ES execution model), so the windowing happens after the
+    distributed groupby on the small result."""
+    hourly = _q_events_hourly(sf_dir)
+
+    def per_type(g):
+        n = g["n"].to_numpy().astype(np.float64)
+        c = np.cumsum(n)
+        # explicit trailing-3 mean: (cumsum diffs)/window-size — no
+        # incremental-subtract fp drift, same arithmetic as SQL AVG
+        # over ROWS 2 PRECEDING
+        w = np.minimum(np.arange(n.size) + 1, 3).astype(np.float64)
+        s = c - np.concatenate(([0.0, 0.0, 0.0], c[:-3]))[: n.size]
+        g = g.copy()
+        g["cum_n"] = np.cumsum(g["n"].to_numpy()).astype("int64")
+        g["ma3_r"] = np.floor((s / w) * 1e4 + 0.5) / 1e4
+        return g
+
+    out = (hourly.sort_values(["event_type", "hour"])
+           .groupby("event_type", group_keys=False)[list(hourly.columns)
+                                                    + []]
+           .apply(per_type))
+    out = out[["event_type", "hour", "n", "cum_n", "ma3_r"]]
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def _q_minhash(sf_dir: str):
     import ray.data
 
@@ -2608,6 +2667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "pack_sequences": _q_pack_sequences,
         "events_hourly": _q_events_hourly,
+        "events_value_corr": _q_events_value_corr,
+        "events_hourly_pipeline": _q_events_hourly_pipeline,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -4149,6 +4210,38 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(a.g || b.g)) >= 0.5
 ORDER BY id_a, id_b
+""",
+        "events_value_corr": """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx,
+         SUM(CAST(length(props) AS BIGINT)) AS sy,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(length(props) AS BIGINT)
+             * CAST(length(props) AS BIGINT)) AS syy,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(length(props) AS BIGINT)) AS sxy
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_r
+FROM m ORDER BY event_type
+""",
+        "events_hourly_pipeline": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+  ROUND(AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY hour
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3_r
+FROM h ORDER BY event_type, hour
 """,
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -261,3 +261,81 @@ def approx_group_quantiles(ds, group_col: str, value_col: str,
 
     return hist.groupby(group_col).map_groups(readoff,
                                               batch_format="pandas")
+
+
+def group_corr(ds, group_col: str, x_col: str, y_col: str,
+               x_scale: float = 100.0, round_to: int | None = 6):
+    """Per-group Pearson correlation of (x, y) — the correlation cell
+    of the ES ``matrix_stats`` aggregation — from EXACT integer
+    moments, so the result is independent of partitioning/batch order.
+
+    ``x`` is quantized to integer units (``round(x * x_scale)``, the
+    cents trick); ``y`` must already be integral. Per batch one pass
+    of weighted ``np.bincount`` emits per-group int64 moments
+    (n, sx, sy, sxx, syy, sxy); ONLY those moment rows ride the
+    groupby-sum shuffle; a final bounded map evaluates
+
+        corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2))
+
+    in float64 from the exact integers — bit-replicable in SQL with
+    the same CAST(... AS DOUBLE) expression. Moment magnitudes bound
+    the exactness: |x_int| <= X needs n * X^2 < 2^63 (and < 2^53 for
+    the float64 finalize); at trillion-row groups switch x_scale down
+    or shard the group.
+
+    -> Dataset(group, n, corr_r). corr_r is NULL(NaN) for degenerate
+    (zero-variance) groups."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.round(batch.column(x_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * x_scale).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        # weighted bincounts accumulate in float64 — exact while the
+        # per-batch partial sums stay under 2^53 (see docstring bound)
+        def wsum(w):
+            return np.bincount(codes, weights=w.astype(np.float64),
+                               minlength=k).astype(np.int64)
+        return pa.table({
+            group_col: enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "sx": pa.array(wsum(x)),
+            "sy": pa.array(wsum(y)),
+            "sxx": pa.array(wsum(x * x)),
+            "syy": pa.array(wsum(y * y)),
+            "sxy": pa.array(wsum(x * y)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(*[Sum(c, alias_name=c)
+                           for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        f = {c: batch.column(c).to_numpy(zero_copy_only=False)
+             .astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = (np.sqrt(f["n"] * f["sxx"] - f["sx"] * f["sx"])
+               * np.sqrt(f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = num / den
+        if round_to is not None:
+            p = 10.0 ** round_to
+            corr = np.floor(corr * p + 0.5) / p
+        return pa.table({
+            group_col: batch.column(group_col),
+            "n": batch.column("n").cast(pa.int64()),
+            "corr_r": pa.array(corr),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

@@ -322,3 +322,38 @@ def test_approx_group_quantiles_error_bound(ray_session):
             got = out1[(out1["event_type"] == et)
                        & (out1["q"] == q)]["value_q"].iloc[0]
             assert abs(got - exact) <= step, (et, q, got, exact)
+
+
+def test_group_corr_exact_and_layout_invariant(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_corr
+
+    t = _events(n=6_000)
+    # y correlated with x per group (plus deterministic noise) so the
+    # corr is non-trivial in every group
+    x = t.column("value").to_numpy()
+    y = (np.round(x * 3).astype(np.int64)
+         + (np.arange(len(x)) % 17)) // 2
+    t = t.append_column("y", pa.array(y.astype(np.int64)))
+
+    out1 = group_corr(ray.data.from_arrow(t).repartition(2),
+                      "event_type", "value", "y",
+                      round_to=None).to_pandas()
+    out2 = group_corr(ray.data.from_arrow(t).repartition(13),
+                      "event_type", "value", "y",
+                      round_to=None).to_pandas()
+    o1 = out1.sort_values("event_type").reset_index(drop=True)
+    o2 = out2.sort_values("event_type").reset_index(drop=True)
+    # bit-identical across block layouts (exact integer moments)
+    assert o1["corr_r"].tolist() == o2["corr_r"].tolist()
+    assert o1["n"].tolist() == o2["n"].tolist()
+
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        xi = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        yi = g["y"].to_numpy().astype(np.int64)
+        want = np.corrcoef(xi.astype(np.float64),
+                           yi.astype(np.float64))[0, 1]
+        got = o1[o1["event_type"] == et]["corr_r"].iloc[0]
+        assert abs(got - want) < 1e-9, (et, got, want)

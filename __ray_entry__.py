@@ -623,6 +623,21 @@ def _q_events_hourly(sf_dir: str):
     return pdf.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def _q_composite_page(sf_dir: str):
+    """ES ``composite`` aggregation page (``aggregates.composite_agg``):
+    (lang, source) doc counts key-ordered, page of 12 buckets strictly
+    after ('de', 'src15') — after-key filtering pushed into the map
+    stage, page cut on the bounded aggregate."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import composite_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    return composite_agg(ds, ["lang", "source"], size=12,
+                         after=("de", "src15"))
+
+
 def _q_events_value_corr(sf_dir: str):
     """ES ``matrix_stats`` correlation cell (``aggregates.group_corr``):
     per event_type Pearson corr between value (quantized to integer
@@ -2668,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "events_hourly": _q_events_hourly,
         "events_value_corr": _q_events_value_corr,
+        "composite_agg_page": _q_composite_page,
         "events_hourly_pipeline": _q_events_hourly_pipeline,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
@@ -4210,6 +4226,14 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / len(list_distinct(a.g || b.g)) >= 0.5
 ORDER BY id_a, id_b
+""",
+        "composite_agg_page": """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE (lang > 'de') OR (lang = 'de' AND source > 'src15')
+GROUP BY lang, source
+ORDER BY lang, source
+LIMIT 12
 """,
         "events_value_corr": """
 WITH m AS (

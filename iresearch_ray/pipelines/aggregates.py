@@ -339,3 +339,46 @@ def group_corr(ds, group_col: str, x_col: str, y_col: str,
         })
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def composite_agg(ds, keys: list[str], size: int,
+                  after: tuple | None = None):
+    """ES ``composite`` aggregation with ``after``-key pagination:
+    doc counts per distinct key tuple, key-ordered, one page of
+    ``size`` buckets starting strictly after ``after``.
+
+    Scale shape: the after-key predicate is applied INSIDE the map
+    stage (vectorized lexicographic compare), so rows already paged
+    past never reach the shuffle; per-batch partial counts combine
+    first (only distinct surviving tuples ride the groupby); the page
+    cut is a distributed ``sort(keys).limit(size)`` over the bounded
+    (key, n) aggregate — the ES collection model (each page is one
+    cheap pass, state lives in the after key, not the engine).
+
+    -> pd.DataFrame(*keys, n) with exactly the page's buckets."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        pdf = batch.select(keys).to_pandas()
+        if after is not None:
+            mask = pd.Series(False, index=pdf.index)
+            eq = pd.Series(True, index=pdf.index)
+            for col, av in zip(keys, after):
+                mask |= eq & (pdf[col] > av)
+                eq &= pdf[col] == av
+            pdf = pdf[mask]
+        vc = pdf.groupby(keys, sort=False).size().reset_index(name="n")
+        vc["n"] = vc["n"].astype("int64")
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(keys).sum("n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        col = "sum(n)" if "sum(n)" in batch.column_names else "n"
+        out = {k: batch.column(k) for k in keys}
+        out["n"] = batch.column(col).cast(pa.int64())
+        return pa.table(out)
+
+    page = (agg.map_batches(rename, batch_format="pyarrow")
+            .sort(keys).limit(size).to_pandas())
+    return page.reset_index(drop=True)

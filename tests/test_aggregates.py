@@ -357,3 +357,31 @@ def test_group_corr_exact_and_layout_invariant(ray_session):
                            yi.astype(np.float64))[0, 1]
         got = o1[o1["event_type"] == et]["corr_r"].iloc[0]
         assert abs(got - want) < 1e-9, (et, got, want)
+
+
+def test_composite_agg_pages_cover_all_buckets(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import composite_agg
+
+    t = _events(n=4_000)
+    ds = ray.data.from_arrow(t).repartition(5)
+    pdf = t.to_pandas()
+    want = (pdf.groupby(["event_type", "user_id"]).size()
+            .reset_index(name="n").sort_values(["event_type", "user_id"])
+            .reset_index(drop=True))
+
+    pages, after = [], None
+    while True:
+        page = composite_agg(ds, ["event_type", "user_id"], size=7,
+                             after=after)
+        if page.empty:
+            break
+        pages.append(page)
+        after = tuple(page.iloc[-1][["event_type", "user_id"]])
+        if len(page) < 7:
+            break
+    got = pd.concat(pages, ignore_index=True)
+    assert got["n"].astype(int).tolist() == want["n"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["user_id"].astype(int).tolist() == want["user_id"].tolist()

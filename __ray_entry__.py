@@ -2483,6 +2483,19 @@ def _q_span_containing(sf_dir: str):
         s, F.SpanContaining("customer", "merge", "vector", window=12))
 
 
+def _q_span_within(sf_dir: str):
+    """SpanWithin (Lucene SpanWithinQuery analogue, dual of
+    SpanContaining): docs where a 'vector' occurrence lies within an
+    ordered customer…merge span of width <= 12 — running-max-close
+    kernel, two searchsorted + one accumulate."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s, F.SpanWithin("customer", "merge", "vector", window=12))
+
+
 def _q_dismax_topk(sf_dir: str):
     """DisjunctionMax with tie_breaker (Lucene DisMaxQuery,
     beyond-reference; the reference stops at Sum/Max mergers,
@@ -2714,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_stream": _q_percolate,
         "span_not_match": _q_span_not,
         "span_containing_match": _q_span_containing,
+        "span_within_match": _q_span_within,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "lmd_topk": _q_lmd_topk,
@@ -3716,6 +3730,17 @@ ORDER BY doc_id
 """,
         # SpanContaining: EXISTS an ordered open..close span of width
         # <= 12 with a little occurrence inside it
+        "span_within_match": _TOK_SQL + """
+SELECT DISTINCT b.doc_id AS doc_id
+FROM term_pos b
+WHERE b.term = 'vector' AND EXISTS (
+  SELECT 1 FROM term_pos a, term_pos c
+  WHERE a.doc_id = b.doc_id AND a.term = 'customer'
+    AND c.doc_id = b.doc_id AND c.term = 'merge'
+    AND c.pos > a.pos AND c.pos <= a.pos + 12
+    AND b.pos >= a.pos AND b.pos <= c.pos)
+ORDER BY doc_id
+""",
         "span_containing_match": _TOK_SQL + """
 SELECT DISTINCT a.doc_id AS doc_id
 FROM term_pos a

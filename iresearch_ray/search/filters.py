@@ -604,6 +604,35 @@ class SpanContaining(Filter):
 
 
 @dataclass
+class SpanWithin(Filter):
+    """Span enclosure (the Lucene SpanWithinQuery analogue,
+    beyond-reference — the dual of :class:`SpanContaining`): the "big"
+    span is an ordered ``(open_term, close_term)`` pair with ``close``
+    after ``open`` by at most ``window`` positions; a doc matches iff
+    some occurrence of ``little`` LIES WITHIN a big span
+    (open_pos <= little_pos <= close_pos). Same doc set as
+    SpanContaining but tf counts the enclosed LITTLE occurrences
+    (Lucene reports the little spans here, the big spans there)."""
+
+    open_term: str
+    close_term: str
+    little: str
+    window: int = 8
+    boost: float = 1.0
+    field: str | None = None
+
+    def prepare(self, searcher, scorer, boost: float = 1.0):
+        states = [searcher.resolve_term(t, self.field)
+                  for t in (self.open_term, self.close_term, self.little)]
+        fs = searcher.field_stats(self.field)
+        idf_sum = sum(_term_weight(scorer, fs, st)
+                      for st in states if st.docs_with_term)
+        ctx = scorer.make_ctx(fs, idf_sum, boost * self.boost)
+        return PreparedSpanWithin(searcher, states, int(self.window),
+                                  ctx, scorer, self.field)
+
+
+@dataclass
 class UnorderedNear(Filter):
     """Unordered window proximity (the Lucene SpanNearQuery
     ``inOrder=false`` analogue; beyond-reference — the reference's
@@ -1575,6 +1604,70 @@ class PreparedSpanContaining(Prepared):
                     a = np.empty(0, np.int64)
                 docs, tfs = np.unique(
                     (a >> np.int64(32)).astype(np.int64),
+                    return_counts=True)
+                hit = self._memo[seg_ord] = (docs, tfs)
+        docs, tfs = hit
+        if docs.size == 0:
+            return _empty(self.dtype)
+        seg = self.searcher.segments[seg_ord]
+        dls = seg.field_norms(self.field)[docs - 1]
+        return docs, self.scorer.score(self.ctx, tfs, dls)
+
+
+class PreparedSpanWithin(Prepared):
+    """Running-max-close formulation over per-term sorted
+    ``(doc<<32)|pos`` keys: every open anchor ``a`` gets its maximal
+    same-doc close ``cv(a)`` (last close <= a + window, strictly after
+    the open; invalid anchors get int64.min). Because doc ids occupy
+    the key's high bits and docs ascend, a plain
+    ``np.maximum.accumulate`` over cv never lets an earlier doc's
+    close reach a later doc's littles (smaller doc => smaller key), so
+    a little ``b`` is enclosed iff the running max at the last open
+    <= b is >= b — one searchsorted for the closes, one accumulate,
+    one searchsorted for the littles; no per-doc loop."""
+
+    _DOCM = ~np.int64((1 << 32) - 1)
+
+    def __init__(self, searcher, states, window, ctx, scorer, field=None):
+        super().__init__(scorer)
+        self.searcher = searcher
+        self.states = states
+        self.window = window
+        self.ctx = ctx
+        self.field = field
+        self._memo: dict = {}
+
+    def cost(self, seg_ord):
+        dfs = [0 if st.rows[seg_ord] < 0 else
+               int(self.searcher.segments[seg_ord].doc_freq[st.rows[seg_ord]])
+               for st in self.states]
+        return min(dfs)
+
+    def execute(self, seg_ord):
+        hit = self._memo.get(seg_ord)
+        if hit is None:
+            rows = [st.rows[seg_ord] for st in self.states]
+            if any(r < 0 for r in rows):
+                hit = self._memo[seg_ord] = (
+                    np.empty(0, np.int64), np.empty(0, np.int64))
+            else:
+                seg = self.searcher.segments[seg_ord]
+                a, c, b = (seg.phrase_keys(int(r), 0) for r in rows)
+                if a.size and c.size and b.size:
+                    ic = np.searchsorted(
+                        c, a + np.int64(self.window), side="right") - 1
+                    cv = c[np.maximum(ic, 0)]
+                    ok = (ic >= 0) & (cv > a) \
+                        & ((cv & self._DOCM) == (a & self._DOCM))
+                    cv_eff = np.where(ok, cv, np.int64(np.iinfo(np.int64).min))
+                    runmax = np.maximum.accumulate(cv_eff)
+                    ia = np.searchsorted(a, b, side="right") - 1
+                    enc = (ia >= 0) & (runmax[np.maximum(ia, 0)] >= b)
+                    b = b[enc]
+                else:
+                    b = np.empty(0, np.int64)
+                docs, tfs = np.unique(
+                    (b >> np.int64(32)).astype(np.int64),
                     return_counts=True)
                 hit = self._memo[seg_ord] = (docs, tfs)
         docs, tfs = hit

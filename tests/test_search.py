@@ -922,3 +922,56 @@ def test_adjacency_matrix_brute_force(searcher, small_corpus):
                 want[f"{a}&{b}"] = n
     assert dict(zip(got["bucket"], got["doc_count"])) == want
     assert got["bucket"].tolist() == sorted(want)
+
+
+def test_span_within_matches_brute_force(searcher, oracle):
+    for op, cl, lit, w in [
+        ("ref", "the", "deploy", 6),
+        ("deploy", "target", "the", 4),
+        ("the", "the", "ref", 8),
+        ("second", "zzz-missing", "the", 5),
+    ]:
+        # same doc set as containment (a little inside some big span)
+        exp = set()
+        for doc0, toks in enumerate(oracle.docs_tokens):
+            hit = False
+            for pa, t in enumerate(toks):
+                if t != op:
+                    continue
+                for pc in range(pa + 1, min(pa + w, len(toks) - 1) + 1):
+                    if toks[pc] == cl and lit in toks[pa:pc + 1]:
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                exp.add(doc0 + 1)
+        got = ids(searcher.match_docs(F.SpanWithin(op, cl, lit, window=w)))
+        assert got == sorted(exp), (op, cl, lit, w)
+
+
+def test_span_within_tf_counts_little_occurrences(searcher, oracle):
+    # tf = number of DISTINCT enclosed little positions per doc
+    op, cl, lit, w = "ref", "the", "deploy", 6
+    res = searcher.search(F.SpanWithin(op, cl, lit, window=w),
+                          k=10**6, mode="all")
+    got_docs = set(res["doc_id"].tolist())
+    for doc0, toks in enumerate(oracle.docs_tokens):
+        n_enc = 0
+        for pb, t in enumerate(toks):
+            if t != lit:
+                continue
+            if any(toks[pa] == op and pa <= pb
+                   and any(toks[pc] == cl
+                           for pc in range(max(pa + 1, pb),
+                                           min(pa + w, len(toks) - 1) + 1))
+                   for pa in range(max(0, pb - w), pb + 1)):
+                n_enc += 1
+        assert ((doc0 + 1) in got_docs) == (n_enc > 0)
+
+
+def test_span_within_strict_rank_identity(searcher):
+    flt = F.SpanWithin("ref", "the", "deploy", window=6)
+    a = searcher.search(flt, k=20, mode="all")
+    b = searcher.search(flt, k=20, mode="strict")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()

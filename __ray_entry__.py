@@ -2097,6 +2097,20 @@ def _q_sort_by_field(sf_dir: str):
     return sort_by_field_topk(s, F.Term("customer"), "n_chars", k=100)
 
 
+def _q_decay_score(sf_dir: str):
+    """Gauss decay function score (ES function_score decay):
+    BM25('customer') * exp(-d^2/(2 sigma^2)) with d = max(0,
+    |n_chars - 1000| - 100), sigma^2 = -500^2/(2 ln 0.5) — recency/
+    distance boosting, exhaustive like field_value_factor, top-100."""
+    from iresearch_ray.api import decay_score_topk, documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return decay_score_topk(s, F.Term("customer"), "n_chars", k=100,
+                            origin=1000.0, scale=500.0, offset=100.0,
+                            decay=0.5, shape="gauss", scorer=_bm25_f64())
+
+
 def _q_function_score(sf_dir: str):
     """Field-value-factor function score (Lucene FunctionScoreQuery):
     BM25('customer') * ln(1 + stored n_chars), exhaustive (an unbounded
@@ -2786,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_page": _q_search_after,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
+        "decay_score_topk": _q_decay_score,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "more_like_this": _q_more_like_this,
         "dsir_topk": _q_dsir_topk,
@@ -4729,6 +4744,20 @@ ORDER BY d.n_chars DESC, d.doc_id LIMIT 100
         # FunctionScore: relevance * ln(1 + n_chars); 1 + n_chars is
         # exact in float64 for integer n_chars so both engines evaluate
         # the identical double before the shared-expression multiply
+        "decay_score_topk": _TOK_SQL + """
+, dd AS (
+  SELECT doc_id,
+         greatest(abs(CAST(n_chars AS DOUBLE) - 1000.0) - 100.0, 0.0) AS d
+  FROM documents)
+SELECT s.doc_id,
+       ROUND(s.score * exp(-(dd.d * dd.d)
+             / (2.0 * (-(500.0 * 500.0) / (2.0 * ln(0.5))))), 4) AS score_r
+FROM scored s JOIN dd USING (doc_id)
+WHERE s.term = 'customer'
+ORDER BY s.score * exp(-(dd.d * dd.d)
+      / (2.0 * (-(500.0 * 500.0) / (2.0 * ln(0.5))))) DESC, s.doc_id
+LIMIT 100
+""",
         "function_score_topk": _TOK_SQL + """
 SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score_r
 FROM scored s JOIN documents d USING (doc_id)

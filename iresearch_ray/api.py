@@ -259,6 +259,56 @@ def function_score_topk(searcher: IndexSearcher, flt, field: str, k: int,
     return out.reset_index(drop=True)
 
 
+def decay_score_topk(searcher: IndexSearcher, flt, field: str, k: int,
+                     origin: float, scale: float, offset: float = 0.0,
+                     decay: float = 0.5, shape: str = "gauss",
+                     scorer=None, round_to: int | None = 4,
+                     id_col: str | None = "doc_id") -> pd.DataFrame:
+    """ES decay function scoring (``function_score`` with
+    gauss/exp/linear decay): final score = relevance * decay(d) where
+    d = max(0, |stored field - origin| - offset), parameterized so the
+    factor equals ``decay`` exactly at distance ``scale``:
+
+      gauss : exp(-d^2 / (2*sigma2)),  sigma2 = -scale^2 / (2 ln decay)
+      exp   : exp(ln(decay)/scale * d)
+      linear: max(0, (s - d)/s),       s = scale / (1 - decay)
+
+    Like field_value_factor this is exhaustive (``mode="all"``) — an
+    unbounded per-doc multiplier breaks the block-max WAND invariant.
+    Every arithmetic step is a plain IEEE double expression, so a SQL
+    replica evaluates bit-identically."""
+    import math
+
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n_docs, scorer=scorer, mode="all")
+    if id_col is None:
+        stored = searcher.fetch_stored(res["doc_id"].to_numpy(), (field,))
+        ids = res["doc_id"].to_numpy().astype("int64")
+    else:
+        stored = searcher.fetch_stored(res["doc_id"].to_numpy(),
+                                       (id_col, field))
+        ids = stored[id_col].to_numpy().astype("int64")
+    v = stored[field].to_numpy().astype(np.float64)
+    d = np.maximum(np.abs(v - float(origin)) - float(offset), 0.0)
+    if shape == "gauss":
+        sigma2 = -(float(scale) * float(scale)) / (2.0 * math.log(decay))
+        factor = np.exp(-(d * d) / (2.0 * sigma2))
+    elif shape == "exp":
+        factor = np.exp(math.log(decay) / float(scale) * d)
+    elif shape == "linear":
+        s = float(scale) / (1.0 - float(decay))
+        factor = np.maximum(0.0, (s - d) / s)
+    else:
+        raise ValueError(f"unknown decay shape: {shape}")
+    combined = res["score"].to_numpy().astype(np.float64) * factor
+    order = np.lexsort((ids, -combined))[:k]
+    out = pd.DataFrame({"doc_id": ids[order], "score_r": combined[order]})
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out.reset_index(drop=True)
+
+
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     """All matching docs as their stored doc_id (unscored set query)."""
     docs = searcher.match_docs(flt)

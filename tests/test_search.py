@@ -975,3 +975,47 @@ def test_span_within_strict_rank_identity(searcher):
     a = searcher.search(flt, k=20, mode="all")
     b = searcher.search(flt, k=20, mode="strict")
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_decay_score_shapes_match_brute_force(searcher):
+    import math
+
+    from iresearch_ray.api import decay_score_topk
+
+    flt = F.Term("deploy")
+    res = searcher.search(flt, k=10**6, mode="all")
+    stored = searcher.fetch_stored(res["doc_id"].to_numpy(), ("turn_idx",))
+    v = stored["turn_idx"].to_numpy().astype(np.float64)
+    base = res["score"].to_numpy().astype(np.float64)
+    origin, scale, offset, dec = 10.0, 8.0, 1.0, 0.5
+    d = np.maximum(np.abs(v - origin) - offset, 0.0)
+    factors = {
+        "gauss": np.exp(-(d * d) / (2.0 * (-(scale * scale)
+                                           / (2.0 * math.log(dec))))),
+        "exp": np.exp(math.log(dec) / scale * d),
+        "linear": np.maximum(0.0, (scale / (1 - dec) - d)
+                             / (scale / (1 - dec))),
+    }
+    ids_all = res["doc_id"].to_numpy().astype("int64")
+    for shape, f in factors.items():
+        got = decay_score_topk(searcher, flt, "turn_idx", k=10,
+                               origin=origin, scale=scale, offset=offset,
+                               decay=dec, shape=shape, round_to=None,
+                               id_col=None)
+        comb = base * f
+        order = np.lexsort((ids_all, -comb))[:10]
+        assert got["doc_id"].tolist() == ids_all[order].tolist(), shape
+        np.testing.assert_allclose(got["score_r"].to_numpy(), comb[order],
+                                   rtol=0, atol=0)
+    # factor equals `decay` exactly at distance == scale (ES contract)
+    for shape in ("gauss", "exp", "linear"):
+        dd = np.array([scale])
+        if shape == "gauss":
+            s2 = -(scale * scale) / (2.0 * math.log(dec))
+            val = float(np.exp(-(dd * dd) / (2.0 * s2))[0])
+        elif shape == "exp":
+            val = float(np.exp(math.log(dec) / scale * dd)[0])
+        else:
+            s = scale / (1 - dec)
+            val = float(((s - dd) / s)[0])
+        assert abs(val - dec) < 1e-12, shape

@@ -337,6 +337,32 @@ def _q_ann(sf_dir: str):
     return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
 
 
+def _q_ann_filtered(sf_dir: str):
+    """Filtered vector search (the ES kNN-query-with-filter form):
+    exact cosine top-10 restricted to vectors with label <= 5 — the
+    metadata predicate is pushed to the parquet READ (row-group
+    pushdown via a pyarrow dataset filter), so pruned rows never enter
+    the scan; pre-filter semantics (exact top-k among survivors, never
+    fewer than k because of filtering-after-ranking)."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iresearch_ray.pipelines.ann import cosine_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = t.column("vec_id").to_numpy() == 7
+    qvec = np.asarray(t.column("embedding").to_pylist(),
+                      dtype=np.float64)[qmask]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pds.field("label") <= 5) & (pds.field("vec_id") != 7))
+    pdf = cosine_topk(ds, qvec, k=10)[["vec_id", "cosine"]]
+    pdf["cosine_r"] = pdf["cosine"].round(5)
+    return pdf[["vec_id", "cosine_r"]].reset_index(drop=True)
+
+
 def _q_ann_pq(sf_dir: str):
     """PQ + ADC + exact refine (``pipelines/ann.train_pq/pq_encode/
     pq_topk`` — Jégou et al. 2011, the FAISS IVF-PQ memory path):
@@ -2697,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "quality_stats": _q_quality,
         "ann_cosine_topk": _q_ann,
+        "ann_filtered_topk": _q_ann_filtered,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivfpq_topk": _q_ann_ivfpq,
         "embedding_knn_graph": _q_knn_graph,
@@ -4054,6 +4081,19 @@ LEFT JOIN (
   SELECT doc_id, sum(len(term)) AS total_chars FROM term_pos GROUP BY doc_id
 ) c ON c.doc_id = l.doc_id
 ORDER BY l.doc_id
+""",
+        "ann_filtered_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5)
+         AS cosine_r
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 7 AND e.label <= 5
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         vec_id
+LIMIT 10
 """,
         "ann_cosine_topk": """
 WITH q AS (

@@ -988,3 +988,26 @@ def test_extract_html_dataset(ray_session):
            .to_pandas().sort_values("doc_id"))
     assert pdf["clean_text"].tolist() == ["x", "y z"]
     assert "html" in pdf.columns
+
+
+def test_write_corpus_resumable(ray_session, tmp_path):
+    import ray.data
+
+    from iresearch_ray.pipelines.sink import write_corpus
+
+    t = pa.table({"doc_id": pa.array(np.arange(20, dtype=np.int64)),
+                  "lang": pa.array(["en", "de"] * 10),
+                  "text": pa.array([f"d{i}" for i in range(20)])})
+    out = str(tmp_path / "corpus")
+    m1 = write_corpus(ray.data.from_arrow(t).repartition(3), out,
+                      partition_cols=["lang"])
+    assert m1 == {"rows": 20, "skipped": False, "partition_cols": ["lang"]}
+    # hive layout: one directory per partition value
+    assert sorted(d for d in __import__("os").listdir(out)
+                  if d.startswith("lang=")) == ["lang=de", "lang=en"]
+    # second run skips (resume) and returns the recorded stats
+    m2 = write_corpus(ray.data.from_arrow(t), out, partition_cols=["lang"])
+    assert m2["skipped"] and m2["rows"] == 20
+    # read back round-trips every row
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 20 and set(back["doc_id"]) == set(range(20))

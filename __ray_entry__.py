@@ -694,6 +694,24 @@ def _q_events_value_corr(sf_dir: str):
     return pdf
 
 
+def _q_percentile_ranks(sf_dir: str):
+    """ES ``percentile_ranks`` aggregation, exact
+    (``aggregates.percentile_ranks``): per event_type the fraction of
+    values <= each probe {10, 50, 100} — per-batch searchsorted count
+    combiners, only (group, probe) count rows shuffle."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import percentile_ranks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = percentile_ranks(ds, "event_type", "value",
+                           [10.0, 50.0, 100.0])
+    pdf = out.to_pandas().sort_values(["event_type", "probe"])
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf.reset_index(drop=True)
+
+
 def _q_events_hourly_pipeline(sf_dir: str):
     """ES pipeline aggregations (moving_avg window 3 + cumulative_sum)
     over the hourly date-histogram buckets, partitioned by event_type.
@@ -1480,6 +1498,19 @@ def _q_top_terms(sf_dir: str):
     pdf["doc_freq"] = pdf["doc_freq"].astype("int64")
     pdf["total_tf"] = pdf["total_tf"].astype("int64")
     return pdf[["term", "doc_freq", "total_tf"]]
+
+
+def _q_fuzzy_phrase(sf_dir: str):
+    """Levenshtein phrase part (``phrase_filter.hpp:135`` fuzzy
+    variadic slot): 'merge' followed by any dictionary term within
+    edit distance 1 of 'custoner' — the fuzzy slot expands via the
+    banded-DP dictionary scan, then the two-phase positional join."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return match_frame(
+        s, F.Phrase(["merge", {"fuzzy": "custoner", "distance": 1}]))
 
 
 def _q_variadic_phrase(sf_dir: str):
@@ -2536,6 +2567,18 @@ def _q_span_within(sf_dir: str):
         s, F.SpanWithin("customer", "merge", "vector", window=12))
 
 
+def _q_collapse_inner(sf_dir: str):
+    """Collapse with inner hits (ES ``collapse.inner_hits``): top-8
+    source groups for Term('customer') ranked by their best doc, each
+    carrying its per-group top-3 docs with hit ranks."""
+    from iresearch_ray.api import collapse_inner_hits, documents_searcher
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return collapse_inner_hits(s, F.Term("customer"), "source", k=8,
+                               inner=3, scorer=_bm25_f64())
+
+
 def _q_dismax_topk(sf_dir: str):
     """DisjunctionMax with tie_breaker (Lucene DisMaxQuery,
     beyond-reference; the reference stops at Sum/Max mergers,
@@ -2701,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm15_topk_term": _q_bm15_term,
         "top_terms": _q_top_terms,
         "variadic_phrase_match": _q_variadic_phrase,
+        "fuzzy_phrase_match": _q_fuzzy_phrase,
         "ngram_similarity_match": _q_ngram_similarity,
         "terms_boosted_topk": _q_terms_boosted,
         "edge_ngram_match": _q_edge_ngram,
@@ -2739,6 +2783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_corr": _q_events_value_corr,
         "composite_agg_page": _q_composite_page,
         "events_hourly_pipeline": _q_events_hourly_pipeline,
+        "percentile_ranks": _q_percentile_ranks,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -2769,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not_match": _q_span_not,
         "span_containing_match": _q_span_containing,
         "span_within_match": _q_span_within,
+        "collapse_inner_hits": _q_collapse_inner,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "lmd_topk": _q_lmd_topk,
@@ -3240,6 +3286,16 @@ SELECT DISTINCT a.doc_id
 FROM term_pos a JOIN term_pos b
   ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'table' AND b.term LIKE 'p%'
+ORDER BY a.doc_id
+""",
+        # levenshtein phrase part: fixed slot 'merge' + fuzzy slot
+        # within distance 1 of 'custoner' expanded over the dictionary
+        "fuzzy_phrase_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id
+FROM term_pos a JOIN term_pos b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'merge' AND b.term IN (
+  SELECT term FROM df WHERE levenshtein(term, 'custoner') <= 1)
 ORDER BY a.doc_id
 """,
         # gap-based sessionization: session breaks where the per-user
@@ -3772,6 +3828,25 @@ ORDER BY doc_id
 """,
         # SpanContaining: EXISTS an ordered open..close span of width
         # <= 12 with a little occurrence inside it
+        "collapse_inner_hits": _TOK_SQL + """
+, sc AS (
+  SELECT s.doc_id, d.source, s.score,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id) AS hit_rank
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'customer'),
+lead AS (SELECT source, doc_id AS lead_doc, score AS lead_score
+         FROM sc WHERE hit_rank = 1),
+lr AS (SELECT source,
+              ROW_NUMBER() OVER (ORDER BY lead_score DESC, lead_doc)
+                AS group_rank
+       FROM lead QUALIFY group_rank <= 8)
+SELECT CAST(lr.group_rank AS BIGINT) AS group_rank, sc.source,
+       CAST(sc.hit_rank AS BIGINT) AS hit_rank, sc.doc_id,
+       ROUND(sc.score, 4) AS score_r
+FROM sc JOIN lr USING (source)
+WHERE sc.hit_rank <= 3
+ORDER BY lr.group_rank, sc.hit_rank
+""",
         "span_within_match": _TOK_SQL + """
 SELECT DISTINCT b.doc_id AS doc_id
 FROM term_pos b
@@ -4335,6 +4410,16 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_r
 FROM m ORDER BY event_type
+""",
+        "percentile_ranks": """
+WITH p AS (SELECT unnest([10.0, 50.0, 100.0]::DOUBLE[]) AS probe),
+m AS (
+  SELECT event_type, probe, COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE value <= probe) AS n_le
+  FROM events CROSS JOIN p GROUP BY event_type, probe)
+SELECT event_type, probe, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rank_r
+FROM m ORDER BY event_type, probe
 """,
         "events_hourly_pipeline": """
 WITH h AS (

@@ -190,6 +190,53 @@ def collapse_topk(searcher: IndexSearcher, flt, group_col: str, k: int,
     return out.reset_index(drop=True)
 
 
+def collapse_inner_hits(searcher: IndexSearcher, flt, group_col: str,
+                        k: int, inner: int = 3, scorer=None,
+                        round_to: int | None = 4,
+                        id_col: str | None = "doc_id") -> pd.DataFrame:
+    """Field collapsing WITH inner hits (the ES ``collapse.inner_hits``
+    form): the top-``k`` groups are ranked by their best doc (same
+    rule as :func:`collapse_topk`), and each group carries its own
+    top-``inner`` docs (score desc, doc asc) with a 1-based
+    ``hit_rank``. The SQL replica is two ROW_NUMBER windows: one to
+    pick the k leading groups, one to cut each group's inner list.
+
+    Output is (k * inner)-bounded; the intermediate is the scored
+    match set. At cluster scale each shard pre-collapses to its local
+    per-group top-``inner`` (a bounded per-group heap) because the
+    merged per-group top-``inner`` only needs per-shard
+    top-``inner`` — same associativity argument as scored top-k."""
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n_docs, scorer=scorer, mode="all")
+    if id_col is None:
+        stored = searcher.fetch_stored(
+            res["doc_id"].to_numpy(), (group_col,))
+        id_vals = res["doc_id"].to_numpy().astype("int64")
+    else:
+        stored = searcher.fetch_stored(
+            res["doc_id"].to_numpy(), (id_col, group_col))
+        id_vals = stored[id_col].astype("int64")
+    df = pd.DataFrame({
+        "doc_id": id_vals,
+        group_col: stored[group_col],
+        "score_r": res["score"].astype(np.float64),
+    })
+    # search() emits score desc, doc asc — group order and inner order
+    # both inherit it
+    lead = df.drop_duplicates(subset=[group_col], keep="first").head(k)
+    lead_rank = {g: r + 1 for r, g in enumerate(lead[group_col])}
+    sub = df[df[group_col].isin(lead_rank)].copy()
+    sub["group_rank"] = sub[group_col].map(lead_rank).astype("int64")
+    sub["hit_rank"] = sub.groupby(group_col).cumcount() + 1
+    sub = sub[sub["hit_rank"] <= inner]
+    if round_to is not None:
+        p = 10.0 ** round_to
+        sub["score_r"] = np.floor(sub["score_r"] * p + 0.5) / p
+    sub = sub.sort_values(["group_rank", "hit_rank"])
+    cols = ["group_rank", group_col, "hit_rank", "doc_id", "score_r"]
+    return sub[cols].reset_index(drop=True)
+
+
 def sort_by_field_topk(searcher: IndexSearcher, flt, field: str, k: int,
                        ascending: bool = False,
                        id_col: str | None = "doc_id") -> pd.DataFrame:

@@ -382,3 +382,73 @@ def composite_agg(ds, keys: list[str], size: int,
     page = (agg.map_batches(rename, batch_format="pyarrow")
             .sort(keys).limit(size).to_pandas())
     return page.reset_index(drop=True)
+
+
+def percentile_ranks(ds, group_col: str, value_col: str,
+                     probes: list[float], round_to: int | None = 6):
+    """ES ``percentile_ranks`` aggregation, EXACT: for each probe value
+    v, the fraction of the group's values <= v (x100 in ES; emitted
+    here as a [0,1] fraction so the SQL replica is one division).
+
+    Unlike the quantile direction (which needs a sketch or a full
+    sort), ranks of GIVEN probe values are just counts: per batch one
+    ``np.searchsorted`` of the sorted batch values per group against
+    the probe vector — (group, probe) int64 count rows are the only
+    thing that shuffles; the finalize divides exact integers.
+
+    -> Dataset(group, probe, n, rank_r)."""
+    pv = np.asarray(sorted(probes), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        k = len(enc.dictionary)
+        order = np.lexsort((v, codes))
+        vs, cs = v[order], codes[order]
+        starts = np.searchsorted(cs, np.arange(k))
+        ends = np.searchsorted(cs, np.arange(k), side="right")
+        rows_g, rows_p, rows_le, rows_n = [], [], [], []
+        for gi in range(k):
+            seg = vs[starts[gi]:ends[gi]]
+            le = np.searchsorted(seg, pv, side="right")
+            rows_g.append(np.full(pv.size, gi))
+            rows_p.append(pv)
+            rows_le.append(le.astype(np.int64))
+            rows_n.append(np.full(pv.size, seg.size, dtype=np.int64))
+        gi = np.concatenate(rows_g)
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(gi)),
+            "probe": pa.array(np.concatenate(rows_p)),
+            "n_le": pa.array(np.concatenate(rows_le)),
+            "n": pa.array(np.concatenate(rows_n)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "probe"])
+              .aggregate(Sum("n_le", alias_name="n_le"),
+                         Sum("n", alias_name="n")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n_le = batch.column("n_le").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rank = n_le / n
+        if round_to is not None:
+            p = 10.0 ** round_to
+            rank = np.floor(rank * p + 0.5) / p
+        return pa.table({
+            group_col: batch.column(group_col),
+            "probe": batch.column("probe"),
+            "n": batch.column("n").cast(pa.int64()),
+            "rank_r": pa.array(rank),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

@@ -385,3 +385,29 @@ def test_composite_agg_pages_cover_all_buckets(ray_session):
     assert got["n"].astype(int).tolist() == want["n"].tolist()
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["user_id"].astype(int).tolist() == want["user_id"].tolist()
+
+
+def test_percentile_ranks_exact_and_layout_invariant(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import percentile_ranks
+
+    t = _events(n=5_000)
+    probes = [10.0, 60.0, 119.0]
+    out1 = percentile_ranks(ray.data.from_arrow(t).repartition(2),
+                            "event_type", "value", probes,
+                            round_to=None).to_pandas()
+    out2 = percentile_ranks(ray.data.from_arrow(t).repartition(9),
+                            "event_type", "value", probes,
+                            round_to=None).to_pandas()
+    o1 = out1.sort_values(["event_type", "probe"]).reset_index(drop=True)
+    o2 = out2.sort_values(["event_type", "probe"]).reset_index(drop=True)
+    assert o1["rank_r"].tolist() == o2["rank_r"].tolist()
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        v = g["value"].to_numpy()
+        for p in probes:
+            want = float((v <= p).sum()) / len(v)
+            got = o1[(o1["event_type"] == et)
+                     & (o1["probe"] == p)]["rank_r"].iloc[0]
+            assert got == want, (et, p)

@@ -1019,3 +1019,29 @@ def test_decay_score_shapes_match_brute_force(searcher):
             s = scale / (1 - dec)
             val = float(((s - dd) / s)[0])
         assert abs(val - dec) < 1e-12, shape
+
+
+def test_collapse_inner_hits_brute_force(searcher):
+    from iresearch_ray.api import collapse_inner_hits
+
+    flt = F.Term("deploy")
+    got = collapse_inner_hits(searcher, flt, "conv_id", k=5, inner=2,
+                              round_to=None, id_col=None)
+    res = searcher.search(flt, k=10**6, mode="all")
+    conv = searcher.fetch_stored(res["doc_id"].to_numpy(), ("conv_id",))
+    import pandas as pd
+    df = pd.DataFrame({"doc_id": res["doc_id"].to_numpy().astype("int64"),
+                       "conv_id": conv["conv_id"],
+                       "score": res["score"].to_numpy().astype(np.float64)})
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    lead = df.drop_duplicates("conv_id").head(5)
+    assert got[got["hit_rank"] == 1]["conv_id"].tolist() \
+        == lead["conv_id"].tolist()
+    for r, (_, row) in enumerate(lead.iterrows(), start=1):
+        g = df[df["conv_id"] == row["conv_id"]].head(2)
+        sub = got[got["group_rank"] == r]
+        assert sub["doc_id"].tolist() == g["doc_id"].tolist()
+        assert sub["hit_rank"].tolist() == list(range(1, len(g) + 1))
+        np.testing.assert_array_equal(sub["score_r"].to_numpy(),
+                                      g["score"].to_numpy())

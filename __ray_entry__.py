@@ -694,6 +694,25 @@ def _q_events_value_corr(sf_dir: str):
     return pdf
 
 
+def _q_extended_stats(sf_dir: str):
+    """ES ``extended_stats`` per event_type
+    (``aggregates.group_extended_stats``): count / min / max / sum (in
+    exact integer cents) + avg and population variance finalized in
+    float64 from the exact moments — Sum/Min/Max combiner merge, only
+    moment rows shuffle."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_extended_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = group_extended_stats(ds, "event_type", "value")
+    pdf = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    for c in ("n", "min_c", "max_c", "sum_c"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf
+
+
 def _q_percentile_ranks(sf_dir: str):
     """ES ``percentile_ranks`` aggregation, exact
     (``aggregates.percentile_ranks``): per event_type the fraction of
@@ -2784,6 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg_page": _q_composite_page,
         "events_hourly_pipeline": _q_events_hourly_pipeline,
         "percentile_ranks": _q_percentile_ranks,
+        "extended_stats": _q_extended_stats,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -4409,6 +4429,24 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_r
+FROM m ORDER BY event_type
+""",
+        "extended_stats": """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_c,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_c,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_c,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sxx
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n, min_c, max_c,
+       CAST(sum_c AS BIGINT) AS sum_c,
+       ROUND(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE) * 0.01, 6) AS avg_r,
+       ROUND((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)))
+             * (0.01 * 0.01), 6) AS var_r
 FROM m ORDER BY event_type
 """,
         "percentile_ranks": """

@@ -452,3 +452,81 @@ def percentile_ranks(ds, group_col: str, value_col: str,
         })
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_extended_stats(ds, group_col: str, value_col: str,
+                         x_scale: float = 100.0,
+                         round_to: int | None = 6):
+    """ES ``extended_stats`` metric aggregation per group: count, min,
+    max, sum, avg, variance (population, the ES default) — from EXACT
+    integer moments via the same cents-quantization as
+    :func:`group_corr`, so the reduce is order-independent and the
+    float finalize is bit-replicable in SQL.
+
+    Per batch: int64 (n, sx, sxx) via weighted bincount plus per-group
+    min/max; the groupby merges with Sum/Min/Max — only G moment rows
+    shuffle. Finalize: avg = sx/n/scale, var = (sxx/n - (sx/n)^2) /
+    scale^2, both plain IEEE expressions."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.round(batch.column(value_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * x_scale).astype(np.int64)
+        k = len(enc.dictionary)
+        n = np.bincount(codes, minlength=k)
+        sx = np.bincount(codes, weights=x.astype(np.float64), minlength=k)
+        sxx = np.bincount(codes, weights=(x * x).astype(np.float64),
+                          minlength=k)
+        mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, codes, x)
+        np.maximum.at(mx, codes, x)
+        return pa.table({
+            group_col: enc.dictionary,
+            "n": pa.array(n.astype(np.int64)),
+            "sx": pa.array(sx.astype(np.int64)),
+            "sxx": pa.array(sxx.astype(np.int64)),
+            "mn": pa.array(mn),
+            "mx": pa.array(mx),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sxx", alias_name="sxx"),
+                         Min("mn", alias_name="mn"),
+                         Max("mx", alias_name="mx")))
+
+    inv = 1.0 / x_scale
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        avg = sx / n * inv
+        var = (sxx / n - (sx / n) * (sx / n)) * (inv * inv)
+        if round_to is not None:
+            p = 10.0 ** round_to
+            avg = np.floor(avg * p + 0.5) / p
+            var = np.floor(var * p + 0.5) / p
+        return pa.table({
+            group_col: batch.column(group_col),
+            "n": batch.column("n").cast(pa.int64()),
+            "min_c": batch.column("mn").cast(pa.int64()),
+            "max_c": batch.column("mx").cast(pa.int64()),
+            "sum_c": batch.column("sx").cast(pa.int64()),
+            "avg_r": pa.array(avg),
+            "var_r": pa.array(var),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

@@ -411,3 +411,29 @@ def test_percentile_ranks_exact_and_layout_invariant(ray_session):
             got = o1[(o1["event_type"] == et)
                      & (o1["probe"] == p)]["rank_r"].iloc[0]
             assert got == want, (et, p)
+
+
+def test_group_extended_stats_exact(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_extended_stats
+
+    t = _events(n=4_000)
+    out1 = group_extended_stats(ray.data.from_arrow(t).repartition(2),
+                                "event_type", "value",
+                                round_to=None).to_pandas()
+    out2 = group_extended_stats(ray.data.from_arrow(t).repartition(7),
+                                "event_type", "value",
+                                round_to=None).to_pandas()
+    o1 = out1.sort_values("event_type").reset_index(drop=True)
+    o2 = out2.sort_values("event_type").reset_index(drop=True)
+    for c in ("n", "min_c", "max_c", "sum_c", "avg_r", "var_r"):
+        assert o1[c].tolist() == o2[c].tolist(), c
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        row = o1[o1["event_type"] == et].iloc[0]
+        assert row["n"] == len(c) and row["min_c"] == c.min() \
+            and row["max_c"] == c.max() and row["sum_c"] == c.sum()
+        assert abs(row["avg_r"] - c.mean() / 100) < 1e-9
+        assert abs(row["var_r"] - c.astype(np.float64).var() / 1e4) < 1e-6

@@ -840,6 +840,19 @@ def _q_langid(sf_dir: str):
     return out.to_pandas()[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_nested_topk(sf_dir: str):
+    """Scored parent/child block join (Lucene ToParentBlockJoinQuery,
+    ScoreMode.Total): source groups ranked by the SUM of their
+    matching children's BM25('customer') scores, top-10 with child
+    counts (``api.nested_topk``)."""
+    from iresearch_ray.api import documents_searcher, nested_topk
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return nested_topk(s, F.Term("customer"), k=10, group_col="source",
+                       score_mode="total", scorer=_bm25_f64())
+
+
 def _q_nested_group_min(sf_dir: str):
     """Nested block-join, Match::Min: every doc whose source group has
     >= 2 docs matching (a AND dup) (ByNestedFilter analogue over the
@@ -2835,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_containing_match": _q_span_containing,
         "span_within_match": _q_span_within,
         "collapse_inner_hits": _q_collapse_inner,
+        "nested_topk_total": _q_nested_topk,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "lmd_topk": _q_lmd_topk,
@@ -3848,6 +3862,15 @@ ORDER BY doc_id
 """,
         # SpanContaining: EXISTS an ordered open..close span of width
         # <= 12 with a little occurrence inside it
+        "nested_topk_total": _TOK_SQL + """
+, g AS (
+  SELECT d.source, COUNT(*) AS n_children, SUM(s.score) AS total
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.term = 'customer' GROUP BY d.source)
+SELECT source, CAST(n_children AS BIGINT) AS n_children,
+       ROUND(total, 4) AS score_r
+FROM g ORDER BY total DESC, source LIMIT 10
+""",
         "collapse_inner_hits": _TOK_SQL + """
 , sc AS (
   SELECT s.doc_id, d.source, s.score,

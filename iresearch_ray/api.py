@@ -237,6 +237,40 @@ def collapse_inner_hits(searcher: IndexSearcher, flt, group_col: str,
     return sub[cols].reset_index(drop=True)
 
 
+def nested_topk(searcher: IndexSearcher, child, k: int,
+                group_col: str = "conv_id", score_mode: str = "total",
+                scorer=None, round_to: int | None = 4) -> pd.DataFrame:
+    """Scored parent/child block join (Lucene ``ToParentBlockJoinQuery``
+    with ``ScoreMode.Total | Max | Avg``; the unscored Match::* side
+    lives in ``searcher.conv_match``): parents (groups of ``group_col``)
+    ranked by the aggregate of their matching children's relevance
+    scores. -> (group, n_children, score_r) top-k, score desc then
+    group asc.
+
+    The child match set is scored exhaustively, then one bounded
+    groupby aggregates per-parent (sum/max/mean are associative, so at
+    cluster scale each shard pre-aggregates its local children and
+    ships G partial rows — the same combiner shape as term_stats)."""
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(child, k=n_docs, scorer=scorer, mode="all")
+    stored = searcher.fetch_stored(res["doc_id"].to_numpy(), (group_col,))
+    df = pd.DataFrame({
+        group_col: stored[group_col],
+        "score": res["score"].to_numpy().astype(np.float64),
+    })
+    agg = {"total": "sum", "max": "max", "avg": "mean"}[score_mode]
+    g = (df.groupby(group_col)["score"].agg(n_children="size", s=agg)
+         .reset_index())
+    g["n_children"] = g["n_children"].astype("int64")
+    order = np.lexsort((g[group_col].to_numpy(),
+                        -g["s"].to_numpy()))[:k]
+    out = g.iloc[order].rename(columns={"s": "score_r"})
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out[[group_col, "n_children", "score_r"]].reset_index(drop=True)
+
+
 def sort_by_field_topk(searcher: IndexSearcher, flt, field: str, k: int,
                        ascending: bool = False,
                        id_col: str | None = "doc_id") -> pd.DataFrame:

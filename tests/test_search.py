@@ -1045,3 +1045,26 @@ def test_collapse_inner_hits_brute_force(searcher):
         assert sub["hit_rank"].tolist() == list(range(1, len(g) + 1))
         np.testing.assert_array_equal(sub["score_r"].to_numpy(),
                                       g["score"].to_numpy())
+
+
+def test_nested_topk_score_modes_brute_force(searcher):
+    from iresearch_ray.api import nested_topk
+
+    flt = F.Term("deploy")
+    res = searcher.search(flt, k=10**6, mode="all")
+    conv = searcher.fetch_stored(res["doc_id"].to_numpy(), ("conv_id",))
+    import pandas as pd
+    df = pd.DataFrame({"conv_id": conv["conv_id"],
+                       "score": res["score"].to_numpy().astype(np.float64)})
+    for mode, agg in (("total", "sum"), ("max", "max"), ("avg", "mean")):
+        got = nested_topk(searcher, flt, k=5, group_col="conv_id",
+                          score_mode=mode, round_to=None)
+        want = df.groupby("conv_id")["score"].agg(n="size", s=agg) \
+                 .reset_index()
+        order = np.lexsort((want["conv_id"].to_numpy(),
+                            -want["s"].to_numpy()))[:5]
+        want = want.iloc[order]
+        assert got["conv_id"].tolist() == want["conv_id"].tolist(), mode
+        assert got["n_children"].tolist() == want["n"].tolist(), mode
+        np.testing.assert_allclose(got["score_r"].to_numpy(),
+                                   want["s"].to_numpy(), rtol=1e-12)

@@ -1545,6 +1545,17 @@ def _q_fuzzy_phrase(sf_dir: str):
         s, F.Phrase(["merge", {"fuzzy": "custoner", "distance": 1}]))
 
 
+def _q_suggest_phrase(sf_dir: str):
+    """Multi-token did-you-mean (``api.suggest_phrase``, the ES phrase
+    suggester shape): 'custoner vextor join zzzzqqqq' corrected
+    per-position to the (distance, -df, term)-minimal dictionary term
+    within edit distance 2; the last token has no candidate."""
+    from iresearch_ray.api import documents_searcher, suggest_phrase
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return suggest_phrase(s, "custoner vextor join zzzzqqqq")
+
+
 def _q_variadic_phrase(sf_dir: str):
     """Variadic phrase (``core/search/phrase_filter.hpp:135`` —
     wildcard/levenshtein phrase parts): 'table' followed by any
@@ -2777,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "variadic_phrase_match": _q_variadic_phrase,
         "fuzzy_phrase_match": _q_fuzzy_phrase,
+        "suggest_phrase": _q_suggest_phrase,
         "ngram_similarity_match": _q_ngram_similarity,
         "terms_boosted_topk": _q_terms_boosted,
         "edge_ngram_match": _q_edge_ngram,
@@ -3321,6 +3333,23 @@ FROM term_pos a JOIN term_pos b
   ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'table' AND b.term LIKE 'p%'
 ORDER BY a.doc_id
+""",
+        "suggest_phrase": _TOK_SQL + """
+, inp(pos, tok) AS (VALUES (0, 'custoner'), (1, 'vextor'),
+                           (2, 'join'), (3, 'zzzzqqqq')),
+cand AS (
+  SELECT i.pos, i.tok, d.term, CAST(d.dwt AS BIGINT) AS df,
+         levenshtein(d.term, i.tok) AS dist
+  FROM inp i JOIN df d ON levenshtein(d.term, i.tok) <= 2),
+best AS (
+  SELECT pos, term AS suggestion, df, CAST(dist AS BIGINT) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY pos
+                            ORDER BY dist, df DESC, term) AS rn
+  FROM cand)
+SELECT CAST(i.pos AS BIGINT) AS pos, i.tok, b.suggestion,
+       COALESCE(b.df, 0) AS df, COALESCE(b.dist, 99) AS dist
+FROM inp i LEFT JOIN best b ON b.pos = i.pos AND b.rn = 1
+ORDER BY i.pos
 """,
         # levenshtein phrase part: fixed slot 'merge' + fuzzy slot
         # within distance 1 of 'custoner' expanded over the dictionary

@@ -467,6 +467,59 @@ def spell_correct(searcher: IndexSearcher, term: str,
             .head(n).reset_index(drop=True))
 
 
+def suggest_phrase(searcher: IndexSearcher, text: str,
+                   max_distance: int = 2,
+                   field: str | None = None) -> pd.DataFrame:
+    """Multi-token did-you-mean (the ES phrase-suggester shape, one
+    best candidate per position): each whitespace/punct-split token is
+    corrected to the dictionary term minimizing
+    (edit distance, -doc_freq, term bytes) within ``max_distance`` —
+    an in-dictionary token is its own distance-0 winner, so the rule
+    needs no exact-match special case. Tokens with no candidate emit a
+    NULL suggestion, df 0, distance 99 (sentinel).
+
+    -> (pos, tok, suggestion, df, dist), one row per input position.
+    Cost: one banded-DP dictionary scan per DISTINCT unknown token —
+    a vocabulary service, independent of corpus row count."""
+    import re
+
+    from iresearch_ray.search.filters import _levenshtein_many
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    best_of: dict[str, tuple] = {}
+    for tok in dict.fromkeys(toks):
+        def pred(terms: np.ndarray, tok=tok):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            lens = pc.utf8_length(pa.array(terms, type=pa.string()))
+            keep = np.abs(lens.to_numpy(zero_copy_only=False)
+                          - len(tok)) <= max_distance
+            cands = terms[keep].tolist()
+            if not cands:
+                return []
+            dist = _levenshtein_many(tok, cands, max_distance)
+            return [t for t, d in zip(cands, dist) if d <= max_distance]
+
+        cands = list(searcher.scan_terms(pred, field))
+        if not cands:
+            best_of[tok] = (None, 0, 99)
+            continue
+        dists = _levenshtein_many(tok, cands, max_distance)
+        ranked = sorted(
+            ((int(d), -int(searcher.resolve_term(t, field).docs_with_term),
+              t) for t, d in zip(cands, dists)))
+        d, negdf, t = ranked[0]
+        best_of[tok] = (t, -negdf, d)
+    rows = [(p, tok) + best_of[tok] for p, tok in enumerate(toks)]
+    out = pd.DataFrame(rows, columns=["pos", "tok", "suggestion",
+                                      "df", "dist"])
+    out["pos"] = out["pos"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out
+
+
 def rescore_topk(searcher: IndexSearcher, flt, rescore_flt, k: int = 10,
                  window: int = 50, query_weight: float = 1.0,
                  rescore_weight: float = 1.0, scorer=None,

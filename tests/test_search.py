@@ -1068,3 +1068,39 @@ def test_nested_topk_score_modes_brute_force(searcher):
         assert got["n_children"].tolist() == want["n"].tolist(), mode
         np.testing.assert_allclose(got["score_r"].to_numpy(),
                                    want["s"].to_numpy(), rtol=1e-12)
+
+
+def test_suggest_phrase_brute_force(searcher, oracle):
+    from iresearch_ray.api import suggest_phrase
+
+    got = suggest_phrase(searcher, "deploi the zz9zz9zz")
+    assert got["pos"].tolist() == [0, 1, 2]
+    assert got["tok"].tolist() == ["deploi", "the", "zz9zz9zz"]
+    # brute force over the oracle vocabulary
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    vocab = {t: len(p) for t, p in oracle.postings.items()}
+    for _, row in got.iterrows():
+        cands = sorted(((lev(row["tok"], t), -df, t)
+                        for t, df in vocab.items()
+                        if abs(len(t) - len(row["tok"])) <= 2
+                        and lev(row["tok"], t) <= 2))
+        if not cands:
+            assert row["suggestion"] is None and row["dist"] == 99
+        else:
+            d, negdf, t = cands[0]
+            assert (row["suggestion"], row["df"], row["dist"]) \
+                == (t, -negdf, d), row["tok"]
+    # in-vocabulary token corrects to itself at distance 0
+    assert got.iloc[1]["suggestion"] == "the" and got.iloc[1]["dist"] == 0

@@ -1545,6 +1545,36 @@ def _q_fuzzy_phrase(sf_dir: str):
         s, F.Phrase(["merge", {"fuzzy": "custoner", "distance": 1}]))
 
 
+def _q_shingle_term(sf_dir: str):
+    """Index-time word shingles (``ShingleAnalyzer``, the Lucene/ES
+    ``shingle`` filter): documents indexed with bigram shingles so the
+    phrase "customer join" is ONE dictionary term 'customer_join' —
+    one posting read instead of a positional join. Match set must
+    equal the adjacency self-join."""
+    import hashlib
+    import os
+
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import FORMAT_VERSION
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    slug = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{SEG_DOCS}:v{FORMAT_VERSION}:shingle2"
+        .encode()).hexdigest()[:12]
+    idx = f"/tmp/iresearch_ray_cache/shingle-{slug}"
+    if not Manifest.exists(idx):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx,
+            text_col="text", key_cols=("doc_id",),
+            stored_cols=("doc_id",), analyzer="shingle",
+            analyzer_options={"n": 2}, segment_docs=SEG_DOCS,
+        )
+    return match_frame(IndexSearcher(idx), F.Term("customer_join"))
+
+
 def _q_suggest_phrase(sf_dir: str):
     """Multi-token did-you-mean (``api.suggest_phrase``, the ES phrase
     suggester shape): 'custoner vextor join zzzzqqqq' corrected
@@ -2789,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variadic_phrase_match": _q_variadic_phrase,
         "fuzzy_phrase_match": _q_fuzzy_phrase,
         "suggest_phrase": _q_suggest_phrase,
+        "shingle_term_match": _q_shingle_term,
         "ngram_similarity_match": _q_ngram_similarity,
         "terms_boosted_topk": _q_terms_boosted,
         "edge_ngram_match": _q_edge_ngram,
@@ -3332,6 +3363,14 @@ SELECT DISTINCT a.doc_id
 FROM term_pos a JOIN term_pos b
   ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'table' AND b.term LIKE 'p%'
+ORDER BY a.doc_id
+""",
+        # index-time bigram shingle == adjacency of the two words
+        "shingle_term_match": _TOK_SQL + """
+SELECT DISTINCT a.doc_id
+FROM term_pos a JOIN term_pos b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'customer' AND b.term = 'join'
 ORDER BY a.doc_id
 """,
         "suggest_phrase": _TOK_SQL + """

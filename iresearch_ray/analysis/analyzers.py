@@ -955,6 +955,61 @@ class CollationAnalyzer(NormalizingAnalyzer):
         return out + "\x01" + case_bits
 
 
+class ShingleAnalyzer(Analyzer):
+    """Word-shingle analyzer (the Lucene/ES ``shingle`` token filter,
+    beyond-reference — the reference's ``ngram`` is char-level,
+    ``core/analysis/ngram_token_stream.cpp``): emits the inner
+    analyzer's unigrams plus every run of ``n`` adjacent words joined
+    with ``sep``, each shingle carried at the position of its FIRST
+    word (the Lucene convention — a shingle and its head unigram share
+    a position, which ``same_position`` queries can exploit).
+
+    Index-time shingles turn hot phrase queries into single-term
+    lookups (one posting read instead of a positional join) at the
+    cost of a larger dictionary — the classic speed/space trade.
+
+    Vectorized: one shifted same-doc/consecutive-position mask over the
+    inner token stream and one ``binary_join_element_wise`` build all
+    shingles; no per-token Python."""
+
+    def __init__(self, inner: Analyzer | None = None, n: int = 2,
+                 sep: str = "_", unigrams: bool = True):
+        if n < 2:
+            raise ValueError("shingle n must be >= 2")
+        self.inner = inner or SegmentationAnalyzer()
+        self.n = int(n)
+        self.sep = sep
+        self.unigrams = bool(unigrams)
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        d, t, p = self.inner.tokenize(texts)
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        L, n = len(d), self.n
+        if L >= n:
+            base = L - (n - 1)
+            ok = np.ones(base, dtype=bool)
+            for j in range(1, n):
+                ok &= (d[j:base + j] == d[:base]) \
+                    & (p[j:base + j] == p[:base] + j)
+            idx = np.flatnonzero(ok)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+        parts = [t.take(pa.array(idx + j)) for j in range(n)]
+        sh = pc.binary_join_element_wise(*parts, self.sep) if idx.size \
+            else pa.array([], type=pa.string())
+        if not self.unigrams:
+            return d[idx], sh, p[idx]
+        d_all = np.concatenate([d, d[idx]])
+        p_all = np.concatenate([p, p[idx]])
+        t_all = pa.concat_arrays([t.cast(pa.string()), sh.cast(pa.string())])
+        # stable doc-major, position-minor order (unigram before its
+        # co-positioned shingle)
+        order = np.lexsort((np.concatenate(
+            [np.zeros(L, np.int8), np.ones(idx.size, np.int8)]),
+            p_all, d_all))
+        return d_all[order], t_all.take(pa.array(order)), p_all[order]
+
+
 _REGISTRY: dict[str, type] = {}
 
 
@@ -975,7 +1030,7 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
     if name == "text" and "locale" in opts:
         # reference JSON uses "locale" ("de_DE.UTF-8", "en", ...)
         opts["language"] = opts.pop("locale")
-    if name == "delimited_payload" and "inner" in opts:
+    if name in ("delimited_payload", "shingle") and "inner" in opts:
         spec = opts["inner"]
         opts["inner"] = get_analyzer(spec["name"], spec.get("options"))
     if name in ("segmentation", "text"):
@@ -1016,6 +1071,7 @@ register_analyzer("ngram", NgramAnalyzer)
 register_analyzer("norm", NormalizingAnalyzer)
 register_analyzer("delimited_payload", DelimitedPayloadAnalyzer)
 register_analyzer("collation", CollationAnalyzer)
+register_analyzer("shingle", ShingleAnalyzer)
 
 
 def make_pipeline(stage_specs: list) -> PipelineAnalyzer:

@@ -352,3 +352,61 @@ def test_pipeline_via_registry():
     ]})
     _, t2, _ = an2.tokenize(pa.array(["a,b"], type=pa.string()))
     assert t2.to_pylist() == ["a", "b"]
+
+
+def test_shingle_analyzer_positions_and_composition():
+    import numpy as np
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    an = get_analyzer("shingle", {"n": 2})
+    d, t, p = an.tokenize(pa.array(["the quick fox", "a b", "x", ""]))
+    rows = list(zip(d.tolist(), t.to_pylist(), p.tolist()))
+    assert rows == [
+        (0, "the", 0), (0, "the_quick", 0), (0, "quick", 1),
+        (0, "quick_fox", 1), (0, "fox", 2),
+        (1, "a", 0), (1, "a_b", 0), (1, "b", 1),
+        (2, "x", 0),
+    ]
+    # no cross-doc shingle ("fox_a" must not exist)
+    assert "fox_a" not in t.to_pylist()
+    # trigram, shingles only
+    an3 = get_analyzer("shingle", {"n": 3, "unigrams": False})
+    d, t, p = an3.tokenize(pa.array(["one two three four"]))
+    assert t.to_pylist() == ["one_two_three", "two_three_four"]
+    assert p.tolist() == [0, 1]
+    # inner-analyzer spec plumbs through the registry
+    an_inner = get_analyzer("shingle", {
+        "n": 2, "sep": " ",
+        "inner": {"name": "segmentation", "options": {}}})
+    _, t2, _ = an_inner.tokenize(pa.array(["Foo Bar"]))
+    assert "foo bar" in t2.to_pylist()
+
+
+def test_shingle_index_term_equals_phrase(small_corpus, tmp_path):
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import write_segment
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    idx = str(tmp_path / "shingle_idx")
+    an = get_analyzer("shingle", {"n": 2})
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an)
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an)
+    Manifest.commit(idx, [m1, m2])
+    s = IndexSearcher(idx)
+    # plain index phrase == shingle index single term
+    idx2 = str(tmp_path / "plain_idx")
+    an2 = get_analyzer("segmentation", {})
+    m1 = write_segment(idx2, small_corpus.slice(0, n // 2), an2)
+    m2 = write_segment(idx2, small_corpus.slice(n // 2), an2)
+    Manifest.commit(idx2, [m1, m2])
+    s2 = IndexSearcher(idx2)
+    got = sorted(s.match_docs(F.Term("deploy_target")).tolist())
+    want = sorted(s2.match_docs(F.Phrase(["deploy", "target"])).tolist())
+    assert got == want and got

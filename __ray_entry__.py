@@ -1114,6 +1114,42 @@ def _q_multimodal_decode(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
+def _q_image_phash_dups(sf_dir: str):
+    """Perceptual image dedup (aHash/dHash over real PPM payloads,
+    ``multimodal.image_near_dups``): 192 synthetic block-pattern images
+    plus 32 planted half-size re-encodes; band-bucket groupby + exact
+    hamming verify. Non-SQL (binary payloads) — planted-recall is
+    pytest-verified."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA, encode_ppm, image_near_dups, resize_nearest)
+
+    rng = np.random.default_rng(11)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+
+    def add(mid, px):
+        rows["media_id"].append(mid)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_ppm(px))
+        rows["width"].append(px.shape[1])
+        rows["height"].append(px.shape[0])
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+
+    bases = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+             for _ in range(192)]
+    for i, b in enumerate(bases):
+        add(i, resize_nearest(b, 48, 32))
+    for i in range(32):
+        add(1000 + i, resize_nearest(bases[i], 24, 16))
+    t = pa.table(rows, schema=MEDIA_SCHEMA)
+    return image_near_dups(ray.data.from_arrow(t), max_hamming=3)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Hyperplane-LSH near-dup pairs at cosine >= 0.8. The synthetic
     embeddings are near-orthogonal (max pairwise cosine ~0.51 at
@@ -2820,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_phrase_match": _q_fuzzy_phrase,
         "suggest_phrase": _q_suggest_phrase,
         "shingle_term_match": _q_shingle_term,
+        "image_phash_dups": _q_image_phash_dups,
         "ngram_similarity_match": _q_ngram_similarity,
         "terms_boosted_topk": _q_terms_boosted,
         "edge_ngram_match": _q_edge_ngram,

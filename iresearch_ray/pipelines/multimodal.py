@@ -422,3 +422,112 @@ def sample_frames(ds, every_ms: int = 1000, concurrency: int = 4,
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+class ImageHasher:
+    """Perceptual image fingerprints over the real PPM path (public
+    aHash/dHash constructions; the image analogue of the SimHash text
+    stage in ``pipelines/dedup.py``): grayscale, nearest-resize to the
+    hash grid, then
+
+    - aHash (8x8): bit = pixel > grid mean — robust to re-encode /
+      uniform brightness noise
+    - dHash (9x8): bit = px[:, j+1] > px[:, j] — robust to global
+      brightness shifts (gradient sign only)
+
+    Emits both as int64 plus the 4x16-bit aHash band keys the near-dup
+    grouping buckets on (pigeonhole: hamming <= 3 collides on >= 1 of
+    4 bands — same Manku construction the text SimHash uses)."""
+
+    def __init__(self, backend: str = "ppm"):
+        if backend != "ppm":
+            raise NotImplementedError(
+                "compressed-image codecs unavailable in this "
+                "environment; backend='ppm' is the real path")
+
+    @staticmethod
+    def _gray(px: np.ndarray) -> np.ndarray:
+        # integer Rec.601 luma (deterministic, no float round ambiguity)
+        p = px.astype(np.int64)
+        return (p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114) // 1000
+
+    @staticmethod
+    def _pack(bits: np.ndarray) -> int:
+        v = 0
+        for b in bits.ravel():
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ahash, dhash = [], []
+        for b in batch.column("payload").to_pylist():
+            g8 = self._gray(resize_nearest(decode_ppm(b), 8, 8))
+            ahash.append(self._pack(g8 > g8.mean()))
+            g9 = self._gray(resize_nearest(decode_ppm(b), 9, 8))
+            dhash.append(self._pack(g9[:, 1:] > g9[:, :-1]))
+        a = np.asarray(ahash, dtype=np.int64)
+        out = {
+            "media_id": batch.column("media_id"),
+            "ahash": pa.array(a),
+            "dhash": pa.array(np.asarray(dhash, dtype=np.int64)),
+        }
+        au = a.astype(np.uint64)
+        for band in range(4):
+            out[f"band{band}"] = pa.array(
+                ((au >> np.uint64(band * 16)) & np.uint64(0xFFFF))
+                .astype(np.int64))
+        return pa.table(out)
+
+
+def image_hashes(ds, concurrency: int = 4, batch_size: int = 64):
+    """Dataset(media) -> Dataset(media_id, ahash, dhash, band0..3)."""
+    return ds.map_batches(
+        ImageHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def image_near_dups(ds, max_hamming: int = 3,
+                    concurrency: int = 4) -> "pd.DataFrame":
+    """Near-duplicate image pairs: band-bucket groupby (only hash rows
+    shuffle, never pixels), exact aHash hamming verify inside each
+    bucket, global pair dedup on the packed pair key. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    import pandas as pd
+
+    # materialize ONCE: the hash table is (id + 6 ints) per image —
+    # tiny next to the pixels — and each band groupby below would
+    # otherwise re-decode every image (lazy re-execution)
+    hashes = image_hashes(ds, concurrency=concurrency).materialize()
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["media_id"].to_numpy()
+        hs = g["ahash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        i, j = np.triu_indices(ids.size, k=1)
+        x = hs[i] ^ hs[j]
+        ham = np.zeros(x.size, dtype=np.int64)  # vectorized popcount
+        for s in range(0, 64, 8):
+            ham += np.unpackbits(
+                ((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.uint8)
+            ).reshape(-1, 8).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        a, b = ids[i][keep], ids[j][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo.astype(np.int64),
+                             "id_b": hi.astype(np.int64),
+                             "hamming": ham[keep]})
+
+    parts = []
+    for band in range(4):
+        p = hashes.groupby(f"band{band}").map_groups(
+            pairs_in_bucket, batch_format="pandas").to_pandas()
+        parts.append(p)
+    allp = pd.concat(parts, ignore_index=True)
+    if allp.empty:
+        return allp
+    return (allp.drop_duplicates(subset=["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -270,3 +270,52 @@ def test_ppmv_frame_sampling_real_path(ray_session):
     a = decode_ppm(bytes(out.payload.iloc[0]))
     b2 = decode_ppm(bytes(out.payload.iloc[1]))
     assert not np.array_equal(a, b2)
+
+
+def test_image_phash_near_dups_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA, ImageHasher, encode_ppm, image_near_dups,
+        resize_nearest)
+
+    rng = np.random.default_rng(5)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+
+    def add(mid, px):
+        rows["media_id"].append(mid)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_ppm(px))
+        rows["width"].append(px.shape[1])
+        rows["height"].append(px.shape[0])
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+
+    # 12 distinct random 8x8 block patterns upscaled to 48x32 (aligned
+    # to the hash grid so the aHash recovers the block pattern), plus
+    # planted near-dups: half-size re-encodes of the first 4
+    bases = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+             for _ in range(12)]
+    for i, b in enumerate(bases):
+        add(i, resize_nearest(b, 48, 32))
+    for i in range(4):
+        add(100 + i, resize_nearest(bases[i], 24, 16))
+    t2 = pa.table(rows, schema=MEDIA_SCHEMA)
+
+    pairs = image_near_dups(ray.data.from_arrow(t2), max_hamming=3)
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    for i in range(4):
+        assert (i, 100 + i) in got, (i, sorted(got))
+    # distinct random patterns must not collide
+    assert not any(a < 100 and b < 100 for a, b in got), sorted(got)
+    # hashes deterministic and band keys consistent with the hash
+    hb = ImageHasher()(t2.select(["media_id", "payload"]))
+    a = hb.column("ahash").to_numpy().astype(np.uint64)
+    for band in range(4):
+        np.testing.assert_array_equal(
+            hb.column(f"band{band}").to_numpy(),
+            ((a >> np.uint64(band * 16)) & np.uint64(0xFFFF))
+            .astype(np.int64))

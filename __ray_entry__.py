@@ -1150,6 +1150,45 @@ def _q_image_phash_dups(sf_dir: str):
     return image_near_dups(ray.data.from_arrow(t), max_hamming=3)
 
 
+def _q_audio_fp_dups(sf_dir: str):
+    """Audio near-dup pairs via gain-invariant energy-contour
+    fingerprints (``multimodal.audio_near_dups``, chromaprint shape
+    without the FFT): 96 synthetic WAV clips + 16 planted half-volume
+    re-encodes. Non-SQL (binary payloads) — planted-recall is
+    pytest-verified."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA, audio_near_dups, encode_wav)
+
+    rng = np.random.default_rng(13)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+
+    def add(mid, samples):
+        rows["media_id"].append(mid)
+        rows["kind"].append("audio")
+        rows["payload"].append(encode_wav(samples, 16000))
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(16000)
+        rows["duration_ms"].append(len(samples) * 1000 // 16000)
+
+    clips = []
+    for i in range(96):
+        amps = rng.integers(500, 16000, size=65)
+        s = (rng.standard_normal((65, 250)) * amps[:, None]) \
+            .astype(np.int16).ravel()
+        clips.append(s)
+        add(i, s)
+    for i in range(16):
+        add(1000 + i, (clips[i] // 2).astype(np.int16))
+    t = pa.table(rows, schema=MEDIA_SCHEMA)
+    return audio_near_dups(ray.data.from_arrow(t), max_hamming=3)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Hyperplane-LSH near-dup pairs at cosine >= 0.8. The synthetic
     embeddings are near-orthogonal (max pairwise cosine ~0.51 at
@@ -2857,6 +2896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_phrase": _q_suggest_phrase,
         "shingle_term_match": _q_shingle_term,
         "image_phash_dups": _q_image_phash_dups,
+        "audio_fp_dups": _q_audio_fp_dups,
         "ngram_similarity_match": _q_ngram_similarity,
         "terms_boosted_topk": _q_terms_boosted,
         "edge_ngram_match": _q_edge_ngram,

@@ -319,3 +319,45 @@ def test_image_phash_near_dups_planted(ray_session):
             hb.column(f"band{band}").to_numpy(),
             ((a >> np.uint64(band * 16)) & np.uint64(0xFFFF))
             .astype(np.int64))
+
+
+def test_audio_fingerprint_near_dups_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA, audio_near_dups, encode_wav)
+
+    rng = np.random.default_rng(9)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+
+    def add(mid, samples):
+        rows["media_id"].append(mid)
+        rows["kind"].append("audio")
+        rows["payload"].append(encode_wav(samples, 16000))
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(16000)
+        rows["duration_ms"].append(len(samples) * 1000 // 16000)
+
+    # 12 distinct energy contours: 65 frames x 250 samples, per-frame
+    # amplitude drawn wide apart so delta signs are robust
+    clips = []
+    for i in range(12):
+        amps = rng.integers(500, 16000, size=65)
+        noise = rng.standard_normal((65, 250))
+        s = (noise * amps[:, None]).astype(np.int16).ravel()
+        clips.append(s)
+        add(i, s)
+    # planted near-dups: half-volume re-encodes (gain-invariant
+    # fingerprint), same contour shape
+    for i in range(4):
+        add(100 + i, (clips[i] // 2).astype(np.int16))
+    t = pa.table(rows, schema=MEDIA_SCHEMA)
+    pairs = audio_near_dups(ray.data.from_arrow(t), max_hamming=3)
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    for i in range(4):
+        assert (i, 100 + i) in got, (i, sorted(got))
+    assert not any(a < 100 and b < 100 for a, b in got), sorted(got)

@@ -898,6 +898,26 @@ def _q_parsed_query(sf_dir: str):
     return match_frame(s, parse_query("+customer -vector +sc*"))
 
 
+def _q_search_request(sf_dir: str):
+    """The one-call search endpoint (``api.search_request``, the ES
+    _search request shape): parsed query '+customer +scan' scored,
+    lang='en' filter context (zero-score), page from=5 size=10 with
+    stored fields — the full request→response path in one query."""
+    from iresearch_ray.api import documents_searcher, search_request
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    resp = search_request(s, {
+        "query": "+customer +scan",
+        "filter": {"lang": "en"},
+        "from": 5, "size": 10,
+        "fields": ["lang", "n_chars"],
+        "facet": "lang",
+    }, scorer=_bm25_f64())
+    hits = resp["hits"].copy()
+    hits["n_chars"] = hits["n_chars"].astype("int64")
+    return hits
+
+
 def _q_nested_group_all(sf_dir: str):
     """Nested block-join, Match::All (``core/search/nested_filter.hpp:
     58-94``): docs whose source group consists ENTIRELY of docs
@@ -2895,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_phrase_match": _q_fuzzy_phrase,
         "suggest_phrase": _q_suggest_phrase,
         "shingle_term_match": _q_shingle_term,
+        "search_request_page": _q_search_request,
         "image_phash_dups": _q_image_phash_dups,
         "audio_fp_dups": _q_audio_fp_dups,
         "ngram_similarity_match": _q_ngram_similarity,
@@ -3441,6 +3462,25 @@ FROM term_pos a JOIN term_pos b
   ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'table' AND b.term LIKE 'p%'
 ORDER BY a.doc_id
+""",
+        # the one-call search endpoint: And(customer, scan) scored,
+        # lang filter-context unscored, page [6..15] with stored fields
+        "search_request_page": _TOK_SQL + """
+, m AS (
+  SELECT s.doc_id, SUM(s.score) AS sc
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.term IN ('customer', 'scan') AND d.lang = 'en'
+  GROUP BY s.doc_id HAVING COUNT(DISTINCT s.term) = 2),
+r AS (
+  SELECT doc_id, sc,
+         ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+  FROM m)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       ROUND(r.sc, 4) AS score_r, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM r JOIN documents d USING (doc_id)
+WHERE r.rank BETWEEN 6 AND 15
+ORDER BY r.rank
 """,
         # index-time bigram shingle == adjacency of the two words
         "shingle_term_match": _TOK_SQL + """

@@ -390,6 +390,63 @@ def decay_score_topk(searcher: IndexSearcher, flt, field: str, k: int,
     return out.reset_index(drop=True)
 
 
+def search_request(searcher: IndexSearcher, req: dict, scorer=None,
+                   round_to: int | None = 4,
+                   id_col: str | None = "doc_id") -> dict:
+    """One-call search endpoint (the ES ``_search`` request shape) —
+    the single entry point a reference user switching to this engine
+    drives everything through:
+
+        {"query":  "<query-string>",        # benchmark-task syntax
+         "filter": {field: value, ...},     # filter context (zero-score
+                                            # ConstantScore gates)
+         "from": M, "size": N,              # paging
+         "fields": ["lang", ...],           # stored fields per hit
+         "facet": "lang"}                   # optional terms facet
+
+    -> {"total": int,
+        "hits": DataFrame(rank, doc_id, score_r, *fields),
+        "facets": DataFrame(field, n_docs) | None}
+
+    Relevance comes from the parsed query only; filters gate the match
+    set without scoring (the ES query-vs-filter context split). Paging
+    retrieves ``from+size`` under WAND and slices — the standard
+    deep-paging cost model (use ``search_after`` for cursors)."""
+    from .search import filters as F
+    from .search.parser import parse_query
+
+    flt = parse_query(req["query"])
+    for f, v in (req.get("filter") or {}).items():
+        flt = F.And([flt, F.ConstantScore(F.Term(v, field=f))])
+    frm, size = int(req.get("from", 0)), int(req.get("size", 10))
+    total = int(searcher.match_docs(flt).size)
+    res = searcher.search(flt, k=frm + size, scorer=scorer,
+                          mode="strict").iloc[frm:frm + size]
+    fields = tuple(req.get("fields") or ())
+    gids = res["doc_id"].to_numpy()
+    if id_col is None:
+        stored = searcher.fetch_stored(gids, fields) if fields else None
+        ids = gids.astype("int64")
+    else:
+        stored = searcher.fetch_stored(gids, (id_col,) + fields)
+        ids = stored[id_col].to_numpy().astype("int64")
+    score = res["score"].to_numpy().astype(np.float64)
+    if round_to is not None:
+        p = 10.0 ** round_to
+        score = np.floor(score * p + 0.5) / p
+    hits = pd.DataFrame({
+        "rank": np.arange(frm + 1, frm + 1 + len(res), dtype=np.int64),
+        "doc_id": ids,
+        "score_r": score,
+    })
+    for f in fields:
+        hits[f] = stored[f].to_numpy()
+    facets = (facet_frame(searcher, flt, req["facet"])
+              if req.get("facet") else None)
+    return {"total": total, "hits": hits.reset_index(drop=True),
+            "facets": facets}
+
+
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     """All matching docs as their stored doc_id (unscored set query)."""
     docs = searcher.match_docs(flt)

@@ -1104,3 +1104,28 @@ def test_suggest_phrase_brute_force(searcher, oracle):
                 == (t, -negdf, d), row["tok"]
     # in-vocabulary token corrects to itself at distance 0
     assert got.iloc[1]["suggestion"] == "the" and got.iloc[1]["dist"] == 0
+
+
+def test_search_request_full_response(searcher):
+    from iresearch_ray.api import search_request
+
+    # (exact-field filter context is oracle-covered on the documents
+    # index — the fixture index has no exact fields, so no "filter")
+    resp = search_request(searcher, {
+        "query": "+deploy +ref",
+        "from": 2, "size": 5,
+        "fields": ["role", "conv_id"],
+        "facet": "role",
+    }, id_col=None)
+    gated = F.And([F.Term("deploy"), F.Term("ref")])
+    want_docs = searcher.match_docs(gated)
+    assert resp["total"] == want_docs.size and resp["total"] > 7
+    hits = resp["hits"]
+    assert hits["rank"].tolist() == list(range(3, 3 + len(hits)))
+    # page slice equals the same window of the full ranking
+    full = searcher.search(gated, k=100, mode="all")
+    assert hits["doc_id"].tolist() == full["doc_id"].iloc[2:7].tolist()
+    # facet rows cover the whole match set (not just the page)
+    assert resp["facets"]["n_docs"].sum() == resp["total"]
+    assert set(resp["facets"]["role"]) <= {"user", "assistant",
+                                           "tool", "system"}

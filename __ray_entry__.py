@@ -713,6 +713,48 @@ def _q_extended_stats(sf_dir: str):
     return pdf
 
 
+def _q_weighted_avg(sf_dir: str):
+    """ES ``weighted_avg`` (``aggregates.group_weighted_avg``): per
+    event_type the props-length-weighted mean value, from exact integer
+    moments (cents x weight), moment-rows-only shuffle."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_weighted_avg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value", "props"])
+
+    def prep(batch):
+        import pyarrow as pa
+
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+            "w": pc.cast(pc.utf8_length(batch.column("props")), pa.int64()),
+        })
+
+    out = group_weighted_avg(ds.map_batches(prep, batch_format="pyarrow"),
+                             "event_type", "value", "w")
+    pdf = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf
+
+
+def _q_top_metrics(sf_dir: str):
+    """ES ``top_metrics`` (``aggregates.group_top_metrics``): per
+    event_type the event_id carried on the row with the largest value
+    (tie: smallest event_id) — per-batch winner rows only, same total
+    order at merge, layout-invariant."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_top_metrics
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value", "event_id"])
+    return group_top_metrics(ds, "event_type", "value", "event_id")
+
+
 def _q_percentile_ranks(sf_dir: str):
     """ES ``percentile_ranks`` aggregation, exact
     (``aggregates.percentile_ranks``): per event_type the fraction of
@@ -2958,6 +3000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_pipeline": _q_events_hourly_pipeline,
         "percentile_ranks": _q_percentile_ranks,
         "extended_stats": _q_extended_stats,
+        "weighted_avg": _q_weighted_avg,
+        "top_metrics": _q_top_metrics,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -4638,6 +4682,29 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_r
 FROM m ORDER BY event_type
+""",
+        "weighted_avg": """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(length(props) AS BIGINT)) AS svw,
+         SUM(CAST(length(props) AS BIGINT)) AS sw
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(svw AS DOUBLE) / CAST(sw AS DOUBLE) * 0.01, 6) AS wavg_r
+FROM m ORDER BY event_type
+""",
+        "top_metrics": """
+SELECT event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS sort_c,
+       event_id AS metric
+FROM (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ROUND(value * 100) DESC, event_id)
+           AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY event_type
 """,
         "extended_stats": """
 WITH m AS (

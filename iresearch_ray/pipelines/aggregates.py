@@ -530,3 +530,103 @@ def group_extended_stats(ds, group_col: str, value_col: str,
         })
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_weighted_avg(ds, group_col: str, value_col: str,
+                       weight_col: str, v_scale: float = 100.0,
+                       round_to: int | None = 6):
+    """ES ``weighted_avg`` aggregation: sum(v*w)/sum(w) per group from
+    exact integer moments (v quantized to ``v_scale`` units, w must be
+    integral) — same combiner/finalize discipline as
+    :func:`group_corr`. -> Dataset(group, n, wavg_r)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.round(batch.column(value_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * v_scale).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            group_col: enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "svw": pa.array(np.bincount(
+                codes, weights=(v * w).astype(np.float64), minlength=k)
+                .astype(np.int64)),
+            "sw": pa.array(np.bincount(
+                codes, weights=w.astype(np.float64), minlength=k)
+                .astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("svw", alias_name="svw"),
+                         Sum("sw", alias_name="sw")))
+    inv = 1.0 / v_scale
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        svw = batch.column("svw").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sw = batch.column("sw").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        wavg = svw / sw * inv
+        if round_to is not None:
+            p = 10.0 ** round_to
+            wavg = np.floor(wavg * p + 0.5) / p
+        return pa.table({
+            group_col: batch.column(group_col),
+            "n": batch.column("n").cast(pa.int64()),
+            "wavg_r": pa.array(wavg),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_top_metrics(ds, group_col: str, sort_col: str, metric_col: str,
+                      s_scale: float = 100.0):
+    """ES ``top_metrics`` aggregation: per group, the value of
+    ``metric_col`` on the row with the LARGEST ``sort_col`` (tie: the
+    smallest metric value — a total order, so the result is
+    layout-invariant). Per batch one lexsort picks each group's local
+    winner; only G winner rows ride the shuffle; the same rule merges
+    partials. -> pd.DataFrame(group, sort_c, metric) sorted by group."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.round(batch.column(sort_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * s_scale).astype(np.int64)
+        m = batch.column(metric_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # winner per group: max s, tie -> min m (lexsort ascending, so
+        # order by (codes, s, -m) and take each group's LAST row)
+        order = np.lexsort((-m, s, codes))
+        cs, ss, ms = codes[order], s[order], m[order]
+        last = np.flatnonzero(np.diff(cs, append=-1) != 0)
+        return pa.table({
+            group_col: enc.dictionary.take(pa.array(cs[last])),
+            "sort_c": pa.array(ss[last]),
+            "metric": pa.array(ms[last]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return parts
+    p = parts.sort_values([group_col, "sort_c", "metric"],
+                          ascending=[True, True, False], kind="mergesort")
+    out = p.groupby(group_col, sort=True).last().reset_index()
+    out["sort_c"] = out["sort_c"].astype("int64")
+    out["metric"] = out["metric"].astype("int64")
+    return out

@@ -437,3 +437,53 @@ def test_group_extended_stats_exact(ray_session):
             and row["max_c"] == c.max() and row["sum_c"] == c.sum()
         assert abs(row["avg_r"] - c.mean() / 100) < 1e-9
         assert abs(row["var_r"] - c.astype(np.float64).var() / 1e4) < 1e-6
+
+
+def test_group_weighted_avg_exact_and_layout_invariant(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_weighted_avg
+
+    t = _events(n=4_000)
+    t = t.append_column(
+        "w", pa.array((np.arange(4_000) % 17 + 1).astype(np.int64)))
+    out1 = group_weighted_avg(ray.data.from_arrow(t).repartition(2),
+                              "event_type", "value", "w",
+                              round_to=None).to_pandas()
+    out2 = group_weighted_avg(ray.data.from_arrow(t).repartition(11),
+                              "event_type", "value", "w",
+                              round_to=None).to_pandas()
+    o1 = out1.sort_values("event_type").reset_index(drop=True)
+    o2 = out2.sort_values("event_type").reset_index(drop=True)
+    assert o1["n"].tolist() == o2["n"].tolist()
+    assert o1["wavg_r"].tolist() == o2["wavg_r"].tolist()
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        w = g["w"].to_numpy()
+        want = float((c * w).sum()) / float(w.sum()) / 100.0
+        row = o1[o1["event_type"] == et].iloc[0]
+        assert row["n"] == len(c)
+        assert abs(row["wavg_r"] - want) < 1e-9, et
+
+
+def test_group_top_metrics_winner_and_layout_invariant(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_top_metrics
+
+    t = _events(n=4_000)
+    out1 = group_top_metrics(ray.data.from_arrow(t).repartition(2),
+                             "event_type", "value", "event_id")
+    out2 = group_top_metrics(ray.data.from_arrow(t).repartition(13),
+                             "event_type", "value", "event_id")
+    assert out1["sort_c"].tolist() == out2["sort_c"].tolist()
+    assert out1["metric"].tolist() == out2["metric"].tolist()
+    pdf = t.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        ids = g["event_id"].to_numpy()
+        best = c.max()
+        want = ids[c == best].min()   # tie: smallest metric wins
+        row = out1[out1["event_type"] == et].iloc[0]
+        assert row["sort_c"] == best and row["metric"] == want, et

@@ -2391,6 +2391,20 @@ def _q_function_score(sf_dir: str):
                                scorer=_bm25_f64())
 
 
+def _q_rank_feature(sf_dir: str):
+    """ES ``rank_feature`` saturation query (``api.rank_feature_topk``):
+    BM25('customer') + 2.5 * n_chars/(n_chars + 1000) — additive
+    bounded feature boost (the bool-should rank_feature shape),
+    top-100."""
+    from iresearch_ray.api import documents_searcher, rank_feature_topk
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return rank_feature_topk(s, F.Term("customer"), "n_chars", k=100,
+                             function="saturation", pivot=1000.0,
+                             boost=2.5, scorer=_bm25_f64())
+
+
 def _q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: BM25 top-50 for 'customer' fused with the
     dense cosine top-50 around the vec_id-7 embedding by Reciprocal
@@ -3093,6 +3107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
         "decay_score_topk": _q_decay_score,
+        "rank_feature_topk": _q_rank_feature,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "more_like_this": _q_more_like_this,
         "dsir_topk": _q_dsir_topk,
@@ -5201,6 +5216,16 @@ SELECT s.doc_id, ROUND(s.score * ln(1 + d.n_chars), 4) AS score_r
 FROM scored s JOIN documents d USING (doc_id)
 WHERE s.term = 'customer'
 ORDER BY s.score * ln(1 + d.n_chars) DESC, s.doc_id LIMIT 100
+""",
+        "rank_feature_topk": _TOK_SQL + """
+SELECT s.doc_id,
+       ROUND(s.score + 2.5 * (CAST(d.n_chars AS DOUBLE)
+             / (CAST(d.n_chars AS DOUBLE) + 1000.0)), 4) AS score_r
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.term = 'customer'
+ORDER BY s.score + 2.5 * (CAST(d.n_chars AS DOUBLE)
+      / (CAST(d.n_chars AS DOUBLE) + 1000.0)) DESC, s.doc_id
+LIMIT 100
 """,
         # RRF fusion of the BM25 top-50 and cosine top-50 rankings
         # (rank ties break by id on both sides; the two per-doc

@@ -390,6 +390,57 @@ def decay_score_topk(searcher: IndexSearcher, flt, field: str, k: int,
     return out.reset_index(drop=True)
 
 
+def rank_feature_topk(searcher: IndexSearcher, flt, field: str, k: int,
+                      function: str = "saturation", pivot: float = 1.0,
+                      boost: float = 1.0, scaling_factor: float = 1.0,
+                      exponent: float = 2.0, scorer=None,
+                      round_to: int | None = 4,
+                      id_col: str | None = "doc_id") -> pd.DataFrame:
+    """ES ``rank_feature`` query (Lucene ``FeatureField`` queries)
+    combined additively with relevance, the usual bool-should shape:
+    final score = relevance + boost * S(stored ``field``) with
+
+      saturation: S(v) = v / (v + pivot)
+      log       : S(v) = ln(scaling_factor + v)
+      sigmoid   : S(v) = v^exp / (v^exp + pivot^exp)
+
+    Unlike the multiplicative function scores, saturation/sigmoid are
+    bounded by 1, so a WAND run could keep impacts by adding
+    ``boost`` to every block max (Lucene's FeatureQuery encodes the
+    feature as an impact for exactly this reason); this implementation
+    stays exhaustive (``mode="all"``) for exact rank parity with the
+    SQL replica — every step is a plain IEEE double expression."""
+    import math
+
+    n_docs = int(sum(s.docs_count for s in searcher.segments))
+    res = searcher.search(flt, k=n_docs, scorer=scorer, mode="all")
+    if id_col is None:
+        stored = searcher.fetch_stored(res["doc_id"].to_numpy(), (field,))
+        ids = res["doc_id"].to_numpy().astype("int64")
+    else:
+        stored = searcher.fetch_stored(res["doc_id"].to_numpy(),
+                                       (id_col, field))
+        ids = stored[id_col].to_numpy().astype("int64")
+    v = stored[field].to_numpy().astype(np.float64)
+    if function == "saturation":
+        s = v / (v + float(pivot))
+    elif function == "log":
+        s = np.log(float(scaling_factor) + v)
+    elif function == "sigmoid":
+        vp = v ** float(exponent)
+        s = vp / (vp + float(pivot) ** float(exponent))
+    else:
+        raise ValueError(f"unknown rank_feature function: {function}")
+    combined = res["score"].to_numpy().astype(np.float64) \
+        + float(boost) * s
+    order = np.lexsort((ids, -combined))[:k]
+    out = pd.DataFrame({"doc_id": ids[order], "score_r": combined[order]})
+    if round_to is not None:
+        p = 10.0 ** round_to
+        out["score_r"] = np.floor(out["score_r"] * p + 0.5) / p
+    return out.reset_index(drop=True)
+
+
 def search_request(searcher: IndexSearcher, req: dict, scorer=None,
                    round_to: int | None = 4,
                    id_col: str | None = "doc_id") -> dict:

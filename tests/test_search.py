@@ -1021,6 +1021,38 @@ def test_decay_score_shapes_match_brute_force(searcher):
         assert abs(val - dec) < 1e-12, shape
 
 
+def test_rank_feature_functions_match_brute_force(searcher):
+    from iresearch_ray.api import rank_feature_topk
+
+    flt = F.Term("deploy")
+    res = searcher.search(flt, k=10**6, mode="all")
+    stored = searcher.fetch_stored(res["doc_id"].to_numpy(), ("turn_idx",))
+    v = stored["turn_idx"].to_numpy().astype(np.float64)
+    base = res["score"].to_numpy().astype(np.float64)
+    ids_all = res["doc_id"].to_numpy().astype("int64")
+    pivot, boost, sf, expo = 8.0, 2.5, 1.5, 2.0
+    feats = {
+        "saturation": v / (v + pivot),
+        "log": np.log(sf + v),
+        "sigmoid": (v ** expo) / (v ** expo + pivot ** expo),
+    }
+    for fn, s in feats.items():
+        got = rank_feature_topk(searcher, flt, "turn_idx", k=10,
+                                function=fn, pivot=pivot, boost=boost,
+                                scaling_factor=sf, exponent=expo,
+                                round_to=None, id_col=None)
+        comb = base + boost * s
+        order = np.lexsort((ids_all, -comb))[:10]
+        assert got["doc_id"].tolist() == ids_all[order].tolist(), fn
+        np.testing.assert_allclose(got["score_r"].to_numpy(), comb[order],
+                                   rtol=0, atol=0)
+    # saturation/sigmoid are bounded by 1: the additive boost never
+    # exceeds `boost` (the WAND-compatibility property the docstring
+    # relies on)
+    assert float(np.max(feats["saturation"])) < 1.0
+    assert float(np.max(feats["sigmoid"])) < 1.0
+
+
 def test_collapse_inner_hits_brute_force(searcher):
     from iresearch_ray.api import collapse_inner_hits
 

@@ -1364,6 +1364,22 @@ def _accentize(batch):
     return batch.set_column(batch.schema.get_field_index("text"), "text", txt)
 
 
+def _q_synonym_match(sf_dir: str):
+    """Index-time synonyms (``SynonymAnalyzer``, the Lucene/ES
+    ``synonym`` filter, single-token rules): the equivalence class
+    {customer, client} expands at indexing, so Term('client') must
+    match exactly the docs whose original text tokenizes to either
+    member."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "syncc", analyzer="synonym",
+        analyzer_options={"synonyms": [["customer", "client"]]},
+    )
+    return match_frame(s, F.Term("client"))
+
+
 def _q_accent_fold(sf_dir: str):
     """Accent folding end-to-end: every 'a' in the corpus becomes 'á'
     before indexing; the ``text`` analyzer's NFKD fold must recover the
@@ -3024,6 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "same_position_match": _q_same_position,
         "column_existence_match": _q_column_existence,
         "accent_fold_match": _q_accent_fold,
+        "synonym_match": _q_synonym_match,
         "collation_order_match": _q_collation_order,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
@@ -4304,6 +4321,12 @@ SELECT doc_id FROM documents WHERE n_chars > 200 ORDER BY doc_id
 """,
         "accent_fold_match": _TOK_SQL + """
 SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table' ORDER BY doc_id
+""",
+        # index-time {customer, client} expansion: Term('client')
+        # matches docs containing either class member
+        "synonym_match": _TOK_SQL + """
+SELECT DISTINCT doc_id FROM term_pos
+WHERE term IN ('customer', 'client') ORDER BY doc_id
 """,
         # sv collation key replicated in SQL: title = nordicized first
         # token (a->å, o->ö); tailoring maps å/ä/ö to U+E001..E003 so

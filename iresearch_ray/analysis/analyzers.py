@@ -1010,6 +1010,86 @@ class ShingleAnalyzer(Analyzer):
         return d_all[order], t_all.take(pa.array(order)), p_all[order]
 
 
+class SynonymAnalyzer(Analyzer):
+    """Synonym token filter (the Lucene/ES ``synonym`` /
+    ``synonym_graph`` filter restricted to single-token rules —
+    beyond-reference; the reference has no synonym stream). Three rule
+    shapes, all reduced to one uniform "token -> output list at the
+    same position" table:
+
+      * equivalence class, ``expand=True`` (ES ``a, b, c``): every
+        member emits ALL members co-positioned — any member's term
+        query then matches any other member, and tf merges the class.
+      * equivalence class, ``expand=False``: every member is REPLACED
+        by the first member (the contraction form — one dictionary
+        term for the whole class).
+      * explicit mapping ``{"lhs": [rhs...]}`` (ES ``lhs => rhs``):
+        lhs is replaced by the rhs tokens.
+
+    Multi-word rules (which need the full Lucene synonym *graph* with
+    position lengths) are out of scope and rejected at construction.
+
+    Vectorized: one ``pc.index_in`` against the rule keys classifies
+    every token; matched tokens gather their output lists with a
+    repeat/offset index — no per-token Python. Co-positioned outputs
+    carry a stable sub-rank so the emitted stream is deterministic."""
+
+    def __init__(self, inner: Analyzer | None = None, synonyms=None,
+                 expand: bool = True):
+        self.inner = inner or SegmentationAnalyzer()
+        table: dict[str, tuple] = {}
+        if isinstance(synonyms, dict):
+            for k, outs in synonyms.items():
+                table[str(k)] = tuple(str(o) for o in outs)
+        else:
+            for cls in (synonyms or []):
+                cls = [str(m) for m in cls]
+                for m in cls:
+                    table[m] = tuple(cls) if expand else (cls[0],)
+        if not table:
+            raise ValueError("synonyms must be a non-empty dict or "
+                             "list of equivalence classes")
+        for k, outs in table.items():
+            for w in (k, *outs):
+                if not w or any(ch.isspace() for ch in w):
+                    raise ValueError(
+                        f"multi-word synonym rule not supported: {w!r}")
+        keys = list(table)
+        self.table = table
+        self._keys = pa.array(keys, type=pa.string())
+        counts = np.array([len(table[k]) for k in keys], dtype=np.int64)
+        self._counts = counts
+        self._offsets = np.concatenate(
+            ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        self._flat = pa.array([o for k in keys for o in table[k]],
+                              type=pa.string())
+
+    def tokenize(self, texts: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        d, t, p = self.inner.tokenize(texts)
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        codes = pc.index_in(t, value_set=self._keys)
+        c = codes.fill_null(-1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rep = np.flatnonzero(c >= 0)
+        if rep.size == 0:
+            return d, t, p
+        keep = np.flatnonzero(c < 0)
+        cnt = self._counts[c[rep]]
+        tot = int(cnt.sum())
+        row0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        j = np.arange(tot, dtype=np.int64) - np.repeat(row0, cnt)
+        t_idx = np.repeat(self._offsets[c[rep]], cnt) + j
+        d_all = np.concatenate([d[keep], np.repeat(d[rep], cnt)])
+        p_all = np.concatenate([p[keep], np.repeat(p[rep], cnt)])
+        t_all = pa.concat_arrays([
+            t.take(pa.array(keep)).cast(pa.string()),
+            self._flat.take(pa.array(t_idx)),
+        ])
+        rank = np.concatenate([np.zeros(keep.size, np.int64), j + 1])
+        order = np.lexsort((rank, p_all, d_all))
+        return d_all[order], t_all.take(pa.array(order)), p_all[order]
+
+
 _REGISTRY: dict[str, type] = {}
 
 
@@ -1030,7 +1110,7 @@ def get_analyzer(name: str, options: dict | None = None) -> Analyzer:
     if name == "text" and "locale" in opts:
         # reference JSON uses "locale" ("de_DE.UTF-8", "en", ...)
         opts["language"] = opts.pop("locale")
-    if name in ("delimited_payload", "shingle") and "inner" in opts:
+    if name in ("delimited_payload", "shingle", "synonym") and "inner" in opts:
         spec = opts["inner"]
         opts["inner"] = get_analyzer(spec["name"], spec.get("options"))
     if name in ("segmentation", "text"):
@@ -1072,6 +1152,7 @@ register_analyzer("norm", NormalizingAnalyzer)
 register_analyzer("delimited_payload", DelimitedPayloadAnalyzer)
 register_analyzer("collation", CollationAnalyzer)
 register_analyzer("shingle", ShingleAnalyzer)
+register_analyzer("synonym", SynonymAnalyzer)
 
 
 def make_pipeline(stage_specs: list) -> PipelineAnalyzer:

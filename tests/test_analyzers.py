@@ -410,3 +410,63 @@ def test_shingle_index_term_equals_phrase(small_corpus, tmp_path):
     got = sorted(s.match_docs(F.Term("deploy_target")).tolist())
     want = sorted(s2.match_docs(F.Phrase(["deploy", "target"])).tolist())
     assert got == want and got
+
+
+def test_synonym_analyzer_rule_shapes():
+    import pyarrow as pa
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    texts = pa.array(["the car drove", "an auto here"])
+    # equivalence class, expand: every member emits the whole class
+    an = get_analyzer("synonym", {"synonyms": [["car", "auto"]]})
+    d, t, p = an.tokenize(texts)
+    rows = list(zip(d.tolist(), t.to_pylist(), p.tolist()))
+    # class members always emit in class-definition order
+    assert rows == [
+        (0, "the", 0), (0, "car", 1), (0, "auto", 1), (0, "drove", 2),
+        (1, "an", 0), (1, "car", 1), (1, "auto", 1), (1, "here", 2),
+    ]
+    # contraction: every member replaced by the first member
+    an2 = get_analyzer("synonym",
+                       {"synonyms": [["car", "auto"]], "expand": False})
+    _, t2, _ = an2.tokenize(texts)
+    assert t2.to_pylist() == ["the", "car", "drove", "an", "car", "here"]
+    # explicit mapping: lhs replaced by rhs
+    an3 = get_analyzer("synonym", {"synonyms": {"drove": ["went"]}})
+    _, t3, _ = an3.tokenize(texts)
+    assert t3.to_pylist() == ["the", "car", "went", "an", "auto", "here"]
+    # multi-word rules are rejected (graph semantics out of scope)
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_analyzer("synonym", {"synonyms": [["a", "b c"]]})
+
+
+def test_synonym_index_matches_class_members(small_corpus, tmp_path):
+    from iresearch_ray.analysis.analyzers import get_analyzer
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import write_segment
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    def build(path, an):
+        n = small_corpus.num_rows
+        m1 = write_segment(path, small_corpus.slice(0, n // 2), an)
+        m2 = write_segment(path, small_corpus.slice(n // 2), an)
+        Manifest.commit(path, [m1, m2])
+        return IndexSearcher(path)
+
+    # 'deployz' never occurs in the corpus: it reaches the index only
+    # through the synonym expansion of 'deploy'
+    syn = build(str(tmp_path / "syn_idx"), get_analyzer(
+        "synonym", {"synonyms": [["deploy", "deployz"]]}))
+    plain = build(str(tmp_path / "plain_idx"),
+                  get_analyzer("segmentation", {}))
+    got = sorted(syn.match_docs(F.Term("deployz")).tolist())
+    want = sorted(plain.match_docs(F.Term("deploy")).tolist())
+    assert got == want and got
+    # co-positioned expansion: a phrase through the synonym slot
+    gotp = sorted(syn.match_docs(F.Phrase(["deployz", "target"])).tolist())
+    wantp = sorted(plain.match_docs(F.Phrase(["deploy", "target"])).tolist())
+    assert gotp == wantp and gotp

@@ -802,6 +802,69 @@ def _q_events_hourly_pipeline(sf_dir: str):
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def _q_events_hourly_derivative(sf_dir: str):
+    """ES ``derivative`` + ``bucket_selector`` pipeline aggs: per
+    event_type the hour-over-hour change of the bucket count, keeping
+    only rising buckets (selector ``deriv > 0``). Like the other
+    pipeline aggs this windows the PARENT aggregation's bounded bucket
+    frame (the ES execution model)."""
+    hourly = _q_events_hourly(sf_dir)
+
+    def per_type(g):
+        n = g["n"].to_numpy().astype(np.int64)
+        g = g.copy()
+        g["deriv"] = n - np.concatenate(([n[0]], n[:-1]))
+        # first bucket has no predecessor: ES derivative skips it, and
+        # the n[0]-n[0]=0 sentinel never passes the > 0 selector
+        g["has_prev"] = np.arange(n.size) > 0
+        return g
+
+    out = (hourly.sort_values(["event_type", "hour"])
+           .groupby("event_type", group_keys=False)[list(hourly.columns)]
+           .apply(per_type))
+    out = out[out["has_prev"] & (out["deriv"] > 0)]
+    out = out[["event_type", "hour", "n", "deriv"]]
+    out["deriv"] = out["deriv"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def _q_rare_terms(sf_dir: str):
+    """ES ``rare_terms`` aggregation, EXACT (``stats.rare_terms``):
+    the long-tail terms with cross-segment df <= total_docs/10 (the
+    closed synthetic vocabulary has no df=1 typo tail, so the cap is
+    scale-relative) — the rarity filter runs after the global
+    (term, df) sum (a term rare in one segment may be frequent
+    overall), the combiner bounds the shuffle."""
+    from iresearch_ray.api import documents_index_dir, documents_searcher
+    from iresearch_ray.index.stats import rare_terms
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    cap = int(sum(seg.docs_count for seg in s.segments)) // 10
+    pdf = rare_terms(documents_index_dir(sf_dir, SEG_DOCS),
+                     max_doc_count=cap).to_pandas()
+    if pdf.empty:
+        import pandas as pd
+
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "doc_freq": pd.Series([], dtype="int64")})
+    pdf["doc_freq"] = pdf["doc_freq"].astype("int64")
+    return pdf.sort_values("term").reset_index(drop=True)
+
+
+def _q_t_test(sf_dir: str):
+    """ES ``t_test`` aggregation (unpaired heteroscedastic = Welch,
+    ``aggregates.group_ttest``): t and Welch-Satterthwaite df between
+    the click and error value distributions, finalized from exact
+    integer moments (2 moment rows on the shuffle)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_ttest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return group_ttest(ds, "event_type", "value", "click", "error")
+
+
 def _q_minhash(sf_dir: str):
     import ray.data
 
@@ -3032,6 +3095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extended_stats": _q_extended_stats,
         "weighted_avg": _q_weighted_avg,
         "top_metrics": _q_top_metrics,
+        "events_hourly_derivative": _q_events_hourly_derivative,
+        "rare_terms": _q_rare_terms,
+        "t_test_value": _q_t_test,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -4787,6 +4853,57 @@ FROM h ORDER BY event_type, hour
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n, ROUND(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_hourly_derivative": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT event_type, hour, n,
+         n - LAG(n) OVER (PARTITION BY event_type ORDER BY hour) AS deriv
+  FROM h)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       CAST(deriv AS BIGINT) AS deriv
+FROM d WHERE deriv > 0 ORDER BY event_type, hour
+""",
+        "rare_terms": _TOK_SQL + """
+SELECT term, CAST(dwt AS BIGINT) AS doc_freq
+FROM df WHERE dwt <= (SELECT count(*) // 10 FROM documents)
+ORDER BY term
+""",
+        # Welch t replica: exact integer moments (cents), then the
+        # identical double expression chain as group_ttest's finalize
+        # (CAST AS DOUBLE before every product, same operation order)
+        "t_test_value": """
+WITH mm AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sxx
+  FROM events WHERE event_type IN ('click', 'error')
+  GROUP BY event_type),
+s AS (
+  SELECT event_type, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 0.01 AS mean,
+         (CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) * 0.01 * 0.01 AS var
+  FROM mm),
+ab AS (
+  SELECT a.n AS na, a.mean AS ma, a.var AS va,
+         b.n AS nb, b.mean AS mb, b.var AS vb,
+         a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE) AS se2
+  FROM (SELECT * FROM s WHERE event_type = 'click') a,
+       (SELECT * FROM s WHERE event_type = 'error') b)
+SELECT 'click' AS group_a, 'error' AS group_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND((ma - mb) / sqrt(se2), 6) AS t_r,
+       ROUND((se2 * se2)
+             / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE))
+                / (CAST(na AS DOUBLE) - 1.0)
+                + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE))
+                  / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df_r
+FROM ab
 """,
         "simhash_fingerprints": _simhash_sql(),
         "minhash_lsh_buckets": _minhash_sql(),

@@ -98,3 +98,28 @@ def top_terms(index_dir: str, n: int = 10):
     pdf = (ds.sort(["doc_freq", "term"], descending=[True, False])
              .limit(n).to_pandas())
     return pdf.reset_index(drop=True)
+
+
+def rare_terms(index_dir: str, max_doc_count: int = 1,
+               field: str | None = None) -> "ray.data.Dataset":
+    """ES ``rare_terms`` aggregation, EXACT: the long-tail terms whose
+    cross-segment document frequency is <= ``max_doc_count``
+    -> Dataset(term, doc_freq).
+
+    The rarity filter must run AFTER the global sum — a term rare in
+    one segment may be frequent overall, so no per-segment prune is
+    sound (ES accepts false positives from a CuckooFilter to avoid
+    exactly this full aggregation; here the ``term_stats_dataset``
+    combiner already caps a term at one row per input batch, so the
+    exact form costs one bounded shuffle of (term, df) rows)."""
+    cap = int(max_doc_count)
+
+    def keep_rare(batch):
+        import pyarrow.compute as _pc
+
+        return batch.filter(
+            _pc.less_equal(batch.column("doc_freq"), cap)
+        ).select(["term", "doc_freq"])
+
+    return term_stats_dataset(index_dir, field=field).map_batches(
+        keep_rare, batch_format="pyarrow")

@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def group_quantiles(ds, group_col: str, value_col: str,
@@ -630,3 +631,87 @@ def group_top_metrics(ds, group_col: str, sort_col: str, metric_col: str,
     out["sort_c"] = out["sort_c"].astype("int64")
     out["metric"] = out["metric"].astype("int64")
     return out
+
+
+def group_ttest(ds, group_col: str, value_col: str, group_a, group_b,
+                v_scale: float = 100.0, round_to: int | None = 6):
+    """ES ``t_test`` aggregation (unpaired heteroscedastic = Welch):
+    t between the value distributions of two groups, from exact
+    integer moments (n, sum, sum-of-squares in ``v_scale`` units) —
+    only 2 moment rows cross the shuffle. Welch:
+
+      t  = (m1 - m2) / sqrt(v1/n1 + v2/n2),   v = sample variance
+      df = (v1/n1 + v2/n2)^2
+           / ((v1/n1)^2/(n1-1) + (v2/n2)^2/(n2-1))
+
+    -> pd.DataFrame(group_a, group_b, n_a, n_b, t_r, df_r); every
+    finalize step is a plain IEEE double expression so a SQL replica
+    evaluates bit-identically."""
+    import pandas as pd
+
+    ga, gb = str(group_a), str(group_b)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        keep = pc.is_in(g, value_set=pa.array([ga, gb]))
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"side": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sx": pa.array([], type=pa.int64()),
+                             "sxx": pa.array([], type=pa.int64())})
+        gg = t.column(group_col)
+        if isinstance(gg, pa.ChunkedArray):
+            gg = gg.combine_chunks()
+        is_a = pc.equal(gg, ga).to_numpy(zero_copy_only=False)
+        codes = np.where(is_a, 0, 1).astype(np.int64)
+        v = np.round(t.column(value_col).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * v_scale).astype(np.int64)
+        return pa.table({
+            "side": pa.array([ga, gb]),
+            "n": pa.array(np.bincount(codes, minlength=2)
+                          .astype(np.int64)),
+            "sx": pa.array(np.bincount(codes, weights=v.astype(np.float64),
+                                       minlength=2).astype(np.int64)),
+            "sxx": pa.array(np.bincount(codes,
+                                        weights=(v * v).astype(np.float64),
+                                        minlength=2).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("side")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("sx", alias_name="sx"),
+                    Sum("sxx", alias_name="sxx"))
+         .to_pandas().set_index("side"))
+    inv = 1.0 / v_scale
+
+    def side(s):
+        n = float(m.loc[s, "n"])
+        sx = float(m.loc[s, "sx"])
+        sxx = float(m.loc[s, "sxx"])
+        mean = sx / n * inv
+        # sample variance from exact moments, in value units
+        var = (sxx - sx * sx / n) / (n - 1.0) * inv * inv
+        return n, mean, var
+
+    na, ma2, va = side(ga)
+    nb, mb2, vb = side(gb)
+    se2 = va / na + vb / nb
+    t_stat = (ma2 - mb2) / np.sqrt(se2)
+    dof = (se2 * se2) / ((va / na) * (va / na) / (na - 1.0)
+                         + (vb / nb) * (vb / nb) / (nb - 1.0))
+    if round_to is not None:
+        p = 10.0 ** round_to
+        t_stat = np.floor(t_stat * p + 0.5) / p
+        dof = np.floor(dof * p + 0.5) / p
+    return pd.DataFrame({
+        "group_a": [ga], "group_b": [gb],
+        "n_a": np.array([na], dtype=np.int64),
+        "n_b": np.array([nb], dtype=np.int64),
+        "t_r": [float(t_stat)], "df_r": [float(dof)],
+    })

@@ -487,3 +487,33 @@ def test_group_top_metrics_winner_and_layout_invariant(ray_session):
         want = ids[c == best].min()   # tie: smallest metric wins
         row = out1[out1["event_type"] == et].iloc[0]
         assert row["sort_c"] == best and row["metric"] == want, et
+
+
+def test_group_ttest_welch_exact_and_layout_invariant(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_ttest
+
+    t = _events(n=4_000)
+    out1 = group_ttest(ray.data.from_arrow(t).repartition(2),
+                       "event_type", "value", "click", "error",
+                       round_to=None)
+    out2 = group_ttest(ray.data.from_arrow(t).repartition(9),
+                       "event_type", "value", "click", "error",
+                       round_to=None)
+    assert out1["t_r"].iloc[0] == out2["t_r"].iloc[0]
+    assert out1["df_r"].iloc[0] == out2["df_r"].iloc[0]
+    # Welch t from the quantized values, independently recomputed
+    pdf = t.to_pandas()
+    a = np.round(pdf[pdf.event_type == "click"]["value"].to_numpy()
+                 * 100) / 100.0
+    b = np.round(pdf[pdf.event_type == "error"]["value"].to_numpy()
+                 * 100) / 100.0
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t_want = (a.mean() - b.mean()) / np.sqrt(se2)
+    df_want = se2 * se2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                           + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert out1["n_a"].iloc[0] == len(a) and out1["n_b"].iloc[0] == len(b)
+    assert abs(out1["t_r"].iloc[0] - t_want) < 1e-9
+    assert abs(out1["df_r"].iloc[0] - df_want) < 1e-6

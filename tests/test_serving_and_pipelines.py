@@ -1011,3 +1011,19 @@ def test_write_corpus_resumable(ray_session, tmp_path):
     # read back round-trips every row
     back = ray.data.read_parquet(out).to_pandas()
     assert len(back) == 20 and set(back["doc_id"]) == set(range(20))
+
+
+def test_rare_terms_filter_after_global_sum(ray_session, small_index):
+    """rare_terms must apply the cap to the CROSS-SEGMENT df sum — a
+    term under the cap per segment but over it overall is not rare."""
+    from iresearch_ray.index.stats import rare_terms, term_stats_dataset
+
+    stats = term_stats_dataset(small_index).to_pandas()
+    cap = int(stats["doc_freq"].median())
+    got = rare_terms(small_index, max_doc_count=cap).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    want = stats[stats["doc_freq"] <= cap][["term", "doc_freq"]] \
+        .sort_values("term").reset_index(drop=True)
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["doc_freq"].tolist() == want["doc_freq"].tolist()
+    assert len(got) and len(got) < len(stats)

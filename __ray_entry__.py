@@ -851,6 +851,22 @@ def _q_rare_terms(sf_dir: str):
     return pdf.sort_values("term").reset_index(drop=True)
 
 
+def _q_string_stats(sf_dir: str):
+    """ES ``string_stats`` aggregation (``aggregates.group_string_stats``):
+    per lang the doc count, min/max/avg text length and the Shannon
+    entropy (base 2) of the byte distribution — alphabet-bounded count
+    rows on the shuffle, byte-ordered sequential entropy finalize so
+    the SQL list_reduce replica is bit-identical."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_string_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    return group_string_stats(ds, "lang", "text") \
+        .sort_values("lang").reset_index(drop=True)
+
+
 def _q_t_test(sf_dir: str):
     """ES ``t_test`` aggregation (unpaired heteroscedastic = Welch,
     ``aggregates.group_ttest``): t and Welch-Satterthwaite df between
@@ -3098,6 +3114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_derivative": _q_events_hourly_derivative,
         "rare_terms": _q_rare_terms,
         "t_test_value": _q_t_test,
+        "string_stats": _q_string_stats,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -4870,6 +4887,35 @@ FROM d WHERE deriv > 0 ORDER BY event_type, hour
 SELECT term, CAST(dwt AS BIGINT) AS doc_freq
 FROM df WHERE dwt <= (SELECT count(*) // 10 FROM documents)
 ORDER BY term
+""",
+        # string_stats: byte==char for the ASCII corpus; entropy via a
+        # byte-ordered left fold (list_reduce) — the identical sequential
+        # double accumulation as the engine's finalize loop
+        "string_stats": """
+WITH counts AS (
+  SELECT lang AS g, substr(text, CAST(i + 1 AS INT), 1) AS c,
+         count(*) AS cnt
+  FROM (SELECT lang, text, unnest(range(length(text))) AS i
+        FROM documents)
+  GROUP BY 1, 2),
+lens AS (
+  SELECT lang AS g, count(*) AS n, min(length(text)) AS min_len,
+         max(length(text)) AS max_len, sum(length(text)) AS sum_len
+  FROM documents GROUP BY 1),
+ent AS (
+  SELECT g,
+         list_reduce(
+           list_prepend(0.0, list(CAST(cnt AS DOUBLE) ORDER BY c)),
+           (acc, x) -> acc + x * log2(x)) AS sclog,
+         CAST(sum(cnt) AS DOUBLE) AS total
+  FROM counts GROUP BY g)
+SELECT l.g AS lang, CAST(l.n AS BIGINT) AS n,
+       CAST(l.min_len AS BIGINT) AS min_len,
+       CAST(l.max_len AS BIGINT) AS max_len,
+       ROUND(CAST(l.sum_len AS DOUBLE) / CAST(l.n AS DOUBLE), 6)
+         AS avg_len_r,
+       ROUND(log2(e.total) - e.sclog / e.total, 6) AS entropy_r
+FROM lens l JOIN ent e USING (g) ORDER BY lang
 """,
         # Welch t replica: exact integer moments (cents), then the
         # identical double expression chain as group_ttest's finalize

@@ -715,3 +715,108 @@ def group_ttest(ds, group_col: str, value_col: str, group_a, group_b,
         "n_b": np.array([nb], dtype=np.int64),
         "t_r": [float(t_stat)], "df_r": [float(dof)],
     })
+
+
+def group_string_stats(ds, group_col: str, text_col: str,
+                       round_to: int | None = 6):
+    """ES ``string_stats`` metric aggregation per group: doc count,
+    min/max/avg string length and the Shannon entropy (base 2) of the
+    byte distribution. ASCII input assumed (bytes == characters, the
+    corpus-wide convention shared with the dedup hash SQL replicas).
+
+    One shuffle of (group, byte) integer count rows (alphabet-bounded:
+    <= 256 rows per group per batch) merged with the length moments via
+    a byte=-1 sentinel row (neutral elements make Min/Max/Sum correct
+    on the other kind's rows). The entropy finalize runs over the
+    merged EXACT integer counts in ascending byte order with a
+    sequential accumulator — the same operation order a SQL
+    ``list_reduce`` over an ordered list evaluates, so the replica is
+    bit-identical before rounding:
+
+      H = log2(N) - (sum_i c_i * log2(c_i)) / N
+    """
+    import math
+
+    NEUTRAL_MIN = np.int64(2 ** 62)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        lens = pc.utf8_length(t).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # byte histogram straight off the utf8 value buffer (zero-copy)
+        off_dt = np.int64 if pa.types.is_large_string(t.type) else np.int32
+        offs = np.frombuffer(t.buffers()[1], dtype=off_dt)[
+            t.offset : t.offset + len(t) + 1].astype(np.int64)
+        buf = t.buffers()[2]
+        data = (np.frombuffer(buf, dtype=np.uint8)
+                if buf is not None else np.empty(0, np.uint8))
+        data = data[offs[0] : offs[-1]]
+        blens = np.diff(offs)
+        gid = np.repeat(codes, blens)
+        joint = gid * 256 + data.astype(np.int64)
+        bc = np.bincount(joint, minlength=k * 256)
+        nz = np.flatnonzero(bc)
+        # per-group length moments
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        sum_l = np.bincount(codes, weights=lens.astype(np.float64),
+                            minlength=k).astype(np.int64)
+        min_l = np.full(k, NEUTRAL_MIN, dtype=np.int64)
+        np.minimum.at(min_l, codes, lens)
+        max_l = np.full(k, -1, dtype=np.int64)
+        np.maximum.at(max_l, codes, lens)
+        dict_np = enc.dictionary
+        char_g = dict_np.take(pa.array(nz // 256))
+        zeros_c = np.zeros(nz.size, np.int64)
+        return pa.table({
+            group_col: pa.concat_arrays(
+                [char_g.cast(pa.string()), dict_np.cast(pa.string())]),
+            "byte": pa.array(np.concatenate(
+                [nz % 256, np.full(k, -1, np.int64)])),
+            "cnt": pa.array(np.concatenate([bc[nz], zeros_c[:0],
+                                            np.zeros(k, np.int64)])),
+            "n": pa.array(np.concatenate([zeros_c, n])),
+            "min_l": pa.array(np.concatenate(
+                [np.full(nz.size, NEUTRAL_MIN, np.int64), min_l])),
+            "max_l": pa.array(np.concatenate(
+                [np.full(nz.size, -1, np.int64), max_l])),
+            "sum_l": pa.array(np.concatenate([zeros_c, sum_l])),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([group_col, "byte"])
+              .aggregate(Sum("cnt", alias_name="cnt"),
+                         Sum("n", alias_name="n"),
+                         Min("min_l", alias_name="min_l"),
+                         Max("max_l", alias_name="max_l"),
+                         Sum("sum_l", alias_name="sum_l"))
+              .to_pandas())
+    rows = []
+    for gval, gdf in merged.groupby(group_col, sort=True):
+        sent = gdf[gdf["byte"] == -1].iloc[0]
+        chars = gdf[gdf["byte"] >= 0].sort_values("byte")
+        c = chars["cnt"].to_numpy().astype(np.float64)
+        total = float(c.sum())
+        acc = 0.0
+        for x in c:                      # sequential, byte-ascending —
+            acc += x * math.log2(x)      # matches the SQL list_reduce
+        ent = math.log2(total) - acc / total if total > 0 else 0.0
+        avg = float(sent["sum_l"]) / float(sent["n"])
+        rows.append((gval, int(sent["n"]), int(sent["min_l"]),
+                     int(sent["max_l"]), avg, ent))
+    out = pd.DataFrame(rows, columns=[group_col, "n", "min_len",
+                                      "max_len", "avg_len_r", "entropy_r"])
+    if round_to is not None:
+        p = 10.0 ** round_to
+        for cname in ("avg_len_r", "entropy_r"):
+            out[cname] = np.floor(out[cname] * p + 0.5) / p
+    return out.reset_index(drop=True)

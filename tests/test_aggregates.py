@@ -517,3 +517,39 @@ def test_group_ttest_welch_exact_and_layout_invariant(ray_session):
     assert out1["n_a"].iloc[0] == len(a) and out1["n_b"].iloc[0] == len(b)
     assert abs(out1["t_r"].iloc[0] - t_want) < 1e-9
     assert abs(out1["df_r"].iloc[0] - df_want) < 1e-6
+
+
+def test_group_string_stats_exact_and_layout_invariant(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_string_stats
+
+    rng = np.random.default_rng(11)
+    letters = np.array(list("abcdefg xyz"))
+    texts = ["".join(rng.choice(letters, rng.integers(3, 40)))
+             for _ in range(600)]
+    groups = np.array(["p", "q", "r"])[rng.integers(0, 3, 600)]
+    t = pa.table({"g": pa.array(groups), "s": pa.array(texts)})
+    out1 = group_string_stats(
+        ray.data.from_arrow(t).repartition(2), "g", "s", round_to=None)
+    out2 = group_string_stats(
+        ray.data.from_arrow(t).repartition(13), "g", "s", round_to=None)
+    assert out1.equals(out2)
+    for gval in ("p", "q", "r"):
+        sub = [s for s, g in zip(texts, groups) if g == gval]
+        c = Counter("".join(sub))
+        n_chars = sum(c.values())
+        acc = 0.0
+        for b in sorted(ord(ch) for ch in c):
+            x = float(c[chr(b)])
+            acc += x * math.log2(x)
+        want_h = math.log2(n_chars) - acc / n_chars
+        row = out1[out1["g"] == gval].iloc[0]
+        assert row["n"] == len(sub)
+        assert row["min_len"] == min(len(s) for s in sub)
+        assert row["max_len"] == max(len(s) for s in sub)
+        assert row["avg_len_r"] == sum(len(s) for s in sub) / len(sub)
+        assert row["entropy_r"] == want_h, gval

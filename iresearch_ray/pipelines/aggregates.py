@@ -622,12 +622,20 @@ def group_top_metrics(ds, group_col: str, sort_col: str, metric_col: str,
             "metric": pa.array(ms[last]),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return parts
-    p = parts.sort_values([group_col, "sort_c", "metric"],
-                          ascending=[True, True, False], kind="mergesort")
-    out = p.groupby(group_col, sort=True).last().reset_index()
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.sort_values(["sort_c", "metric"], ascending=[True, False],
+                          kind="mergesort")
+        return p.tail(1)
+
+    # same total order merges the partials DISTRIBUTED (one winner row
+    # per group per batch reaches the shuffle; the groupby output is G
+    # rows, so the driver only ever holds the final frame)
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return out
+    out = out.sort_values(group_col).reset_index(drop=True)
     out["sort_c"] = out["sort_c"].astype("int64")
     out["metric"] = out["metric"].astype("int64")
     return out

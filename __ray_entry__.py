@@ -1422,6 +1422,21 @@ def _add_opt_tag(batch):
     return batch.append_column("opt_tag", opt)
 
 
+def _q_filters_agg(sf_dir: str):
+    """ES ``filters`` aggregation (``api.filters_agg``): named buckets
+    of matching-doc counts for a term, a prefix and a phrase filter,
+    plus the ``_other_`` bucket (docs matching none)."""
+    from iresearch_ray.api import documents_searcher, filters_agg
+    from iresearch_ray.search import filters as F
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    return filters_agg(s, {
+        "has_customer": F.Term("customer"),
+        "tab_prefix": F.Prefix("tab"),
+        "table_part": F.Phrase(["table", "part"]),
+    })
+
+
 def _q_column_existence(sf_dir: str):
     """``by_column_existence`` over a nullable stored column (opt_tag =
     lang when n_chars > 200 else NULL)."""
@@ -3122,6 +3137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "granular_range_match": _q_granular_range,
         "same_position_match": _q_same_position,
         "column_existence_match": _q_column_existence,
+        "filters_agg": _q_filters_agg,
         "accent_fold_match": _q_accent_fold,
         "synonym_match": _q_synonym_match,
         "collation_order_match": _q_collation_order,
@@ -4057,6 +4073,32 @@ FROM term_pos t1 JOIN term_pos t2
   ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 WHERE t1.term = 'table' AND t2.term = 'part'
 ORDER BY doc_id
+""",
+        "filters_agg": _TOK_SQL + """
+, m_cust AS (SELECT DISTINCT doc_id FROM term_pos
+             WHERE term = 'customer'),
+m_tab AS (SELECT DISTINCT doc_id FROM term_pos
+          WHERE term LIKE 'tab%'),
+m_phr AS (
+  SELECT DISTINCT t1.doc_id AS doc_id
+  FROM term_pos t1 JOIN term_pos t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'table' AND t2.term = 'part'),
+any_m AS (
+  SELECT doc_id FROM m_cust UNION
+  SELECT doc_id FROM m_tab UNION
+  SELECT doc_id FROM m_phr)
+SELECT bucket, doc_count FROM (
+  SELECT 'has_customer' AS bucket,
+         (SELECT count(*) FROM m_cust) AS doc_count
+  UNION ALL
+  SELECT 'tab_prefix', (SELECT count(*) FROM m_tab)
+  UNION ALL
+  SELECT 'table_part', (SELECT count(*) FROM m_phr)
+  UNION ALL
+  SELECT '_other_', (SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM any_m))
+ORDER BY bucket
 """,
         "sloppy_phrase_match": _TOK_SQL + """
 SELECT DISTINCT a.doc_id AS doc_id

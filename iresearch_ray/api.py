@@ -498,6 +498,29 @@ def search_request(searcher: IndexSearcher, req: dict, scorer=None,
             "facets": facets}
 
 
+def filters_agg(searcher: IndexSearcher, filters: dict,
+                other_bucket: bool = True) -> pd.DataFrame:
+    """ES ``filters`` aggregation: one named bucket of matching-doc
+    counts per filter, plus the ``_other_`` bucket (docs matching NONE
+    of them, the ES ``other_bucket`` option). Each filter's match set
+    is produced by the index machinery per segment; only match-set
+    sized doc arrays are touched, and the output is
+    filter-count-bounded. -> pd.DataFrame(bucket, doc_count) sorted by
+    bucket name."""
+    total = int(sum(s.docs_count for s in searcher.segments))
+    rows = []
+    union = np.empty(0, dtype=np.int64)
+    for name, flt in filters.items():
+        docs = np.asarray(searcher.match_docs(flt), dtype=np.int64)
+        rows.append((str(name), int(docs.size)))
+        union = np.union1d(union, docs)
+    if other_bucket:
+        rows.append(("_other_", total - int(union.size)))
+    out = pd.DataFrame(rows, columns=["bucket", "doc_count"])
+    out["doc_count"] = out["doc_count"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def match_frame(searcher: IndexSearcher, flt) -> pd.DataFrame:
     """All matching docs as their stored doc_id (unscored set query)."""
     docs = searcher.match_docs(flt)

@@ -1161,3 +1161,22 @@ def test_search_request_full_response(searcher):
     assert resp["facets"]["n_docs"].sum() == resp["total"]
     assert set(resp["facets"]["role"]) <= {"user", "assistant",
                                            "tool", "system"}
+
+
+def test_filters_agg_counts_and_other_bucket(searcher, small_corpus):
+    from iresearch_ray.api import filters_agg
+
+    got = filters_agg(searcher, {
+        "dep": F.Term("deploy"), "ref": F.Term("ref"),
+    })
+    toks = _tok_lists(small_corpus)
+    dep = {i for i, tl in enumerate(toks) if "deploy" in tl}
+    ref = {i for i, tl in enumerate(toks) if "ref" in tl}
+    by = dict(zip(got["bucket"], got["doc_count"]))
+    assert by["dep"] == len(dep) and by["ref"] == len(ref)
+    assert by["_other_"] == len(toks) - len(dep | ref)
+    assert list(got["bucket"]) == sorted(got["bucket"])
+    # no other bucket when disabled
+    got2 = filters_agg(searcher, {"dep": F.Term("deploy")},
+                       other_bucket=False)
+    assert "_other_" not in set(got2["bucket"])

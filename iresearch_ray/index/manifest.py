@@ -31,6 +31,28 @@ class Manifest:
     def exists(cls, index_dir: str) -> bool:
         return os.path.exists(os.path.join(index_dir, "manifest.json"))
 
+    @classmethod
+    def load_generation(cls, index_dir: str, gen: int) -> "Manifest":
+        """Open a PAST commit point (Lucene ``IndexCommit`` / the ES
+        point-in-time reader): every ``commit`` leaves its
+        ``manifest-N.json`` behind, so any generation whose segments
+        have not been garbage-collected is still readable."""
+        path = os.path.join(index_dir, f"manifest-{gen}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no commit point manifest-{gen}.json in {index_dir}")
+        with open(path) as f:
+            m = cls(index_dir, json.load(f))
+        gone = [s["name"] for s in m.segments
+                if not os.path.isdir(m.segment_dir(s))]
+        if gone:
+            raise FileNotFoundError(
+                f"generation {gen} references garbage-collected "
+                f"segments {gone[:3]}{'...' if len(gone) > 3 else ''} — "
+                "snapshot a generation before cleanup() to keep it "
+                "readable")
+        return m
+
     @property
     def generation(self) -> int:
         return self.data["generation"]
@@ -80,6 +102,46 @@ class Manifest:
             json.dump(data, f, indent=1)
         os.replace(tmp, os.path.join(index_dir, "manifest.json"))
         return cls(index_dir, data)
+
+    def snapshot(self, dest: str) -> "Manifest":
+        """Write a self-contained copy of THIS commit point to ``dest``
+        (Lucene ``SnapshotDeletionPolicy`` + the ES snapshot shape):
+        segment files hardlink when ``dest`` is on the same filesystem
+        (segments are immutable after commit, so sharing bytes is safe)
+        and fall back to copies across filesystems. The snapshot is a
+        normal index — ``IndexSearcher(dest)`` restores it directly."""
+        os.makedirs(dest, exist_ok=True)
+
+        def link_or_copy(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+        for seg in self.segments:
+            sdir = self.segment_dir(seg)
+            ddir = os.path.join(dest, seg["name"])
+            if os.path.isdir(ddir):
+                continue          # idempotent re-run
+            tmp = ddir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            for root, dirs, files in os.walk(sdir):
+                rel = os.path.relpath(root, sdir)
+                for d in dirs:
+                    os.makedirs(os.path.join(tmp, rel, d), exist_ok=True)
+                for fn in files:
+                    link_or_copy(os.path.join(root, fn),
+                                 os.path.join(tmp, rel, fn))
+            os.replace(tmp, ddir)
+        data = dict(self.data, generation=1)
+        with open(os.path.join(dest, "manifest-1.json"), "w") as f:
+            json.dump(data, f, indent=1)
+        tmppath = os.path.join(dest, f"manifest.json.tmp.{os.getpid()}")
+        with open(tmppath, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmppath, os.path.join(dest, "manifest.json"))
+        return Manifest(dest, data)
 
     def cleanup(self) -> list[str]:
         """Remove segment dirs not referenced by the current generation."""

@@ -170,9 +170,13 @@ class TopK:
 class IndexSearcher:
     def __init__(self, index_dir: str, segment_subset: set | None = None,
                  stats_override: dict | None = None,
-                 query_threads: int | None = None):
+                 query_threads: int | None = None,
+                 generation: int | None = None):
         """``segment_subset``: open only these segment names but keep
         GLOBAL doc bases (a shard view of the index).
+        ``generation``: open a PAST commit point (Lucene IndexCommit /
+        ES point-in-time) instead of the latest — readable until its
+        segments are garbage-collected by ``Manifest.cleanup()``.
         ``stats_override``: {"fields": {field: (dwf, ttf)},
         "terms": {(field, term): docs_with_term}} — index-wide collector
         results injected by a sharded/distributed searcher so per-shard
@@ -187,7 +191,8 @@ class IndexSearcher:
         task is one long GIL-releasing decode."""
         self.index_dir = index_dir
         self._segment_subset = segment_subset
-        self.manifest = Manifest.load(index_dir)
+        self.manifest = Manifest.load(index_dir) if generation is None \
+            else Manifest.load_generation(index_dir, generation)
         metas = [
             s for s in self.manifest.segments
             if segment_subset is None or s["name"] in segment_subset

@@ -102,3 +102,47 @@ def test_manifest_cleanup(ray_session, corpus_dir, tmp_path):
     os.makedirs(os.path.join(idx, "seg-deadbeef-1"), exist_ok=True)
     removed = Manifest.load(idx).cleanup()
     assert removed == ["seg-deadbeef-1"]
+
+
+def test_point_in_time_and_snapshot(small_corpus, tmp_path):
+    """A past generation stays readable (Lucene IndexCommit / ES PIT)
+    until GC'd; a snapshot taken first survives the GC and restores as
+    a normal index."""
+    from iresearch_ray.analysis.analyzers import get_analyzer
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import write_segment
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    idx = str(tmp_path / "pit_idx")
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an)
+    Manifest.commit(idx, [m1])                       # generation 1
+    want_g1 = sorted(IndexSearcher(idx).match_docs(
+        F.Term("deploy")).tolist())
+
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an)
+    Manifest.commit(idx, [m2])                       # generation 2 DROPS m1
+    latest = IndexSearcher(idx)
+    assert latest.manifest.generation == 2
+    assert latest.manifest.total_docs == n - n // 2
+
+    # point-in-time read of generation 1 (its segments not yet GC'd)
+    pit = IndexSearcher(idx, generation=1)
+    assert pit.manifest.total_docs == n // 2
+    assert sorted(pit.match_docs(F.Term("deploy")).tolist()) == want_g1
+
+    # snapshot generation 1, then GC the live index
+    snap_dir = str(tmp_path / "pit_snap")
+    Manifest.load_generation(idx, 1).snapshot(snap_dir)
+    removed = Manifest.load(idx).cleanup()
+    assert removed                                   # m1's dir went away
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        IndexSearcher(idx, generation=1)
+    # ...but the snapshot restores the old view byte-for-byte
+    snap = IndexSearcher(snap_dir)
+    assert snap.manifest.generation == 1
+    assert sorted(snap.match_docs(F.Term("deploy")).tolist()) == want_g1

@@ -54,8 +54,12 @@ def test_kill_restart_resumes(tmp_path, ray_session):
     while time.time() < deadline:
         if proc.poll() is not None:
             break  # finished before we could kill — resume is then a no-op
+        # ".tmp." excludes the pre-rename staging dirs: they carry a
+        # _SUCCESS for an instant before the atomic rename, and a kill
+        # in that window would otherwise count a segment as done that
+        # the resume (correctly) re-encodes — failing the reuse assert
         done = [d for d in os.listdir(idx_killed)
-                if d.startswith("seg-") and
+                if d.startswith("seg-") and ".tmp." not in d and
                 os.path.exists(os.path.join(idx_killed, d, "_SUCCESS"))] \
             if os.path.isdir(idx_killed) else []
         if len(done) >= 2:
@@ -158,7 +162,9 @@ def test_kill_restart_resumes(tmp_path, ray_session):
             break
         prev = cur
 
-    pre = {d for d in os.listdir(idx_killed) if d.startswith("seg-")} \
+    pre = {d for d in os.listdir(idx_killed)
+           if d.startswith("seg-") and ".tmp." not in d and
+           os.path.exists(os.path.join(idx_killed, d, "_SUCCESS"))} \
         if os.path.isdir(idx_killed) else set()
 
     # restart (same session is fine — build_index skips finished segments)

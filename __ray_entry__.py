@@ -851,6 +851,32 @@ def _q_rare_terms(sf_dir: str):
     return pdf.sort_values("term").reset_index(drop=True)
 
 
+def _q_auto_date_histogram(sf_dir: str):
+    """ES ``auto_date_histogram`` (``aggregates.auto_date_histogram``):
+    smallest ladder interval whose bucket count fits the target (40),
+    chosen by pure integer epoch arithmetic the SQL replica repeats,
+    then one combined (bucket, count) groupby."""
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import auto_date_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return auto_date_histogram(ds, "ts", target_buckets=40)
+
+
+def _q_index_sorted_topk(sf_dir: str):
+    """Index-sorting early termination (Lucene sorted index +
+    TopFieldCollector, the reference's primary-sort index): global
+    first-100 docs by the primary sort key as a k-way merge of each
+    segment's FIRST 100 docmap rows — O(k x segments) reads, no scan."""
+    from iresearch_ray.api import documents_searcher, index_sorted_topk
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    out = index_sorted_topk(s, k=100, columns=("doc_id",))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _q_string_stats(sf_dir: str):
     """ES ``string_stats`` aggregation (``aggregates.group_string_stats``):
     per lang the doc count, min/max/avg text length and the Shannon
@@ -3130,6 +3156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": _q_rare_terms,
         "t_test_value": _q_t_test,
         "string_stats": _q_string_stats,
+        "auto_date_histogram": _q_auto_date_histogram,
+        "index_sorted_topk": _q_index_sorted_topk,
         "highlight_snippets": _q_highlight,
         "payload_term_scores": _q_payload_scores,
         "ann_partitioned_topk": _q_ann_partitioned,
@@ -4929,6 +4957,30 @@ FROM d WHERE deriv > 0 ORDER BY event_type, hour
 SELECT term, CAST(dwt AS BIGINT) AS doc_freq
 FROM df WHERE dwt <= (SELECT count(*) // 10 FROM documents)
 ORDER BY term
+""",
+        # auto_date_histogram: the same integer ladder choice the
+        # engine makes (smallest interval with floor-span buckets <=
+        # target), then the same epoch-floor bucketing
+        "auto_date_histogram": """
+WITH e AS (SELECT CAST(epoch(ts) AS BIGINT) AS e FROM events),
+mm AS (SELECT min(e) AS mn, max(e) AS mx FROM e),
+iv AS (
+  SELECT COALESCE(
+    (SELECT min(i)
+     FROM (VALUES (1),(5),(10),(30),(60),(300),(600),(1800),(3600),
+                  (10800),(43200),(86400),(604800),(2592000),
+                  (31536000)) AS l(i)
+     WHERE (SELECT mx FROM mm) // i - (SELECT mn FROM mm) // i + 1
+           <= 40),
+    31536000) AS interval)
+SELECT CAST(to_timestamp((e // iv.interval) * iv.interval) AS TIMESTAMP)
+         AS bucket,
+       CAST(iv.interval AS BIGINT) AS interval_s,
+       count(*) AS n
+FROM e, iv GROUP BY 1, 2 ORDER BY 1
+""",
+        "index_sorted_topk": """
+SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100
 """,
         # string_stats: byte==char for the ASCII corpus; entropy via a
         # byte-ordered left fold (list_reduce) — the identical sequential

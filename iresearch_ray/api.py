@@ -498,6 +498,42 @@ def search_request(searcher: IndexSearcher, req: dict, scorer=None,
             "facets": facets}
 
 
+def index_sorted_topk(searcher: IndexSearcher, k: int,
+                      columns: tuple = ("doc_id",)) -> pd.DataFrame:
+    """Early-terminating top-k by the index PRIMARY SORT order (Lucene
+    index sorting + ``TopFieldCollector`` early termination; the
+    reference's primary-sort index, ``core/index/index_writer.hpp``
+    sorted_column): because every segment is stored in key order, the
+    global first-k is a k-way merge of each segment's FIRST k rows —
+    O(k x segments) reads, no per-doc scoring, no full column scan.
+
+    Reads each segment's docmap parquet with ``iter_batches(k)`` so
+    only the first row group(s) leave storage — the whole point of the
+    operator at 10^9-doc segments."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    frames = []
+    for seg in searcher.segments:
+        pf = _pq.ParquetFile(_os.path.join(seg.dir, "docmap.parquet"))
+        got = []
+        need = k
+        for b in pf.iter_batches(batch_size=k, columns=list(columns)):
+            got.append(pa.Table.from_batches([b]))
+            need -= b.num_rows
+            if need <= 0:
+                break
+        if got:
+            frames.append(pa.concat_tables(got).slice(0, k).to_pandas())
+    if not frames:
+        return pd.DataFrame({c: [] for c in columns})
+    out = pd.concat(frames, ignore_index=True)
+    out = out.sort_values(list(columns), kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
 def filters_agg(searcher: IndexSearcher, filters: dict,
                 other_bucket: bool = True) -> pd.DataFrame:
     """ES ``filters`` aggregation: one named bucket of matching-doc

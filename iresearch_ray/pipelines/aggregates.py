@@ -828,3 +828,53 @@ def group_string_stats(ds, group_col: str, text_col: str,
         for cname in ("avg_len_r", "entropy_r"):
             out[cname] = np.floor(out[cname] * p + 0.5) / p
     return out.reset_index(drop=True)
+
+
+# auto_date_histogram interval ladder, in seconds (the ES rounding
+# candidates: 1s/5s/10s/30s, 1m/5m/10m/30m, 1h/3h/12h, 1d/7d/30d/1y)
+AUTO_HISTO_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800,
+                     3600, 10800, 43200, 86400, 604800, 2592000, 31536000)
+
+
+def auto_date_histogram(ds, ts_col: str, target_buckets: int = 50):
+    """ES ``auto_date_histogram``: pick the SMALLEST ladder interval
+    whose bucket count fits ``target_buckets``, then date-histogram on
+    it. Bucket count for interval i is
+    ``floor(max_epoch/i) - floor(min_epoch/i) + 1`` — pure integer
+    arithmetic on epoch seconds, so a SQL replica chooses the identical
+    interval. Two passes: a (min, max) aggregate over the ts column
+    only, then one (bucket, count) groupby with per-batch combining.
+    -> pd.DataFrame(bucket, interval_s, n) sorted by bucket."""
+    from ray.data.aggregate import Max, Min
+
+    def to_epoch(batch: pa.Table) -> pa.Table:
+        e = pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000)
+        return pa.table({"e": e})
+
+    epochs = ds.map_batches(to_epoch, batch_format="pyarrow")
+    mm = epochs.aggregate(Min("e", alias_name="mn"),
+                          Max("e", alias_name="mx"))
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    interval = AUTO_HISTO_LADDER[-1]
+    for i in AUTO_HISTO_LADDER:
+        if mx // i - mn // i + 1 <= target_buckets:
+            interval = i
+            break
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("e").to_numpy(zero_copy_only=False)
+        b = (e // interval) * interval
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket_s": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    out = (epochs.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket_s").sum("n").to_pandas())
+    ncol = "sum(n)" if "sum(n)" in out.columns else "n"
+    out = pd.DataFrame({
+        "bucket": pd.to_datetime(out["bucket_s"].astype("int64"),
+                                 unit="s").astype("datetime64[us]"),
+        "interval_s": np.full(len(out), interval, dtype=np.int64),
+        "n": out[ncol].astype("int64"),
+    })
+    return out.sort_values("bucket").reset_index(drop=True)

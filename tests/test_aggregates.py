@@ -553,3 +553,29 @@ def test_group_string_stats_exact_and_layout_invariant(ray_session):
         assert row["max_len"] == max(len(s) for s in sub)
         assert row["avg_len_r"] == sum(len(s) for s in sub) / len(sub)
         assert row["entropy_r"] == want_h, gval
+
+
+def test_auto_date_histogram_interval_choice(ray_session):
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import (AUTO_HISTO_LADDER,
+                                                    auto_date_histogram)
+
+    t = _events(n=3_000)
+    out1 = auto_date_histogram(ray.data.from_arrow(t).repartition(2),
+                               "ts", target_buckets=40)
+    out2 = auto_date_histogram(ray.data.from_arrow(t).repartition(9),
+                               "ts", target_buckets=40)
+    assert out1.equals(out2)
+    assert int(out1["n"].sum()) == 3_000
+    # the chosen interval is the smallest ladder entry fitting 40
+    e = t.column("ts").cast(pa.int64()).to_numpy() // 1_000_000
+    mn, mx = int(e.min()), int(e.max())
+    want = next(i for i in AUTO_HISTO_LADDER
+                if mx // i - mn // i + 1 <= 40)
+    assert out1["interval_s"].iloc[0] == want
+    assert len(out1) <= 40
+    # a tighter target forces a coarser interval
+    coarse = auto_date_histogram(ray.data.from_arrow(t), "ts",
+                                 target_buckets=3)
+    assert coarse["interval_s"].iloc[0] > want and len(coarse) <= 3

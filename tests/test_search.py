@@ -1180,3 +1180,19 @@ def test_filters_agg_counts_and_other_bucket(searcher, small_corpus):
     got2 = filters_agg(searcher, {"dep": F.Term("deploy")},
                        other_bucket=False)
     assert "_other_" not in set(got2["bucket"])
+
+
+def test_index_sorted_topk_equals_sorted_head(searcher, small_corpus):
+    from iresearch_ray.api import index_sorted_topk
+
+    got = index_sorted_topk(searcher, k=25,
+                            columns=("conv_id", "turn_idx"))
+    pdf = small_corpus.to_pandas()[["conv_id", "turn_idx"]] \
+        .sort_values(["conv_id", "turn_idx"]).head(25)
+    assert got["conv_id"].tolist() == pdf["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == pdf["turn_idx"].tolist()
+    # k larger than the corpus degrades to the full sorted set
+    n = small_corpus.num_rows
+    all_rows = index_sorted_topk(searcher, k=n + 50,
+                                 columns=("conv_id", "turn_idx"))
+    assert len(all_rows) == n

@@ -96,6 +96,27 @@ class SegmentEncoder:
         })
 
 
+def _check_disjoint(metas: list[dict]) -> None:
+    """Fail loud if a fresh build produced key-overlapping segments.
+
+    Doc ids equal the global (conv_id, turn_idx) sort rank only when
+    the key-sorted segments tile the key space; an overlap means the
+    input partitions were not key-range-disjoint (pass ``sort=True``)
+    or batch contiguity was broken. A silently mis-ranked index would
+    corrupt every rank-identity comparison downstream.
+    """
+    ordered = sorted(metas, key=lambda m: tuple(m["first_key"]))
+    for prev, cur in zip(ordered, ordered[1:]):
+        if tuple(cur["first_key"]) <= tuple(prev["last_key"]):
+            raise ValueError(
+                "segments overlap on the sort key: "
+                f"{prev['name']} ends at {tuple(prev['last_key'])} but "
+                f"{cur['name']} starts at {tuple(cur['first_key'])} — "
+                "input partitions are not key-range-disjoint; rebuild "
+                "with sort=True (one explicit range-partitioning sort)"
+            )
+
+
 def build_index(
     source,
     index_dir: str,
@@ -180,12 +201,6 @@ def build_index(
         # (20 actors: ~17s for 8M turns vs ~21s with 28 — beyond ~0.6x
         # the string-heavy encode contends with itself and the reads)
         concurrency = max(1, (cpus * 5) // 8) if cpus >= 16 else max(1, cpus // 2)
-    # spread work across the whole pool: with the default
-    # max_tasks_in_flight(4) + locality preference, early actors hoard
-    # queued batches while late actors never see work
-    ctx = ray.data.DataContext.get_current()
-    ctx.max_tasks_in_flight_per_actor = 1
-    ctx.execution_options.actor_locality_enabled = False
     encoder_kwargs = dict(
         index_dir=index_dir,
         analyzer=analyzer,
@@ -207,6 +222,28 @@ def build_index(
         concurrency=concurrency,
         num_cpus=1,
     )
+    # Execution options must be set on the DATASET's captured context:
+    # ExecutionPlan deep-copies DataContext.get_current() at dataset
+    # creation, so mutating the global context here (the old code) only
+    # affected datasets created LATER in the process — the first build
+    # in a session silently ran with the defaults.
+    dctx = summaries.context
+    # spread work across the whole pool: with the default
+    # max_tasks_in_flight(4) + locality preference, early actors hoard
+    # queued batches while late actors never see work
+    dctx.max_tasks_in_flight_per_actor = 1
+    dctx.execution_options.actor_locality_enabled = False
+    # CORRECTNESS, not a tuning knob: global doc ids are prefix sums
+    # over key-sorted segments, which is the global sort rank ONLY if
+    # every batch is a contiguous run of the globally ordered input.
+    # With preserve_order=False (the default) each operator emits
+    # blocks in task-COMPLETION order, so under load the encoder pool's
+    # bundler can batch non-adjacent row ranges — producing overlapping
+    # segments whose doc ids are not the global rank (observed: a
+    # 256-row segment spanning conv-0..conv-64 while the next began at
+    # conv-11). preserve_order makes every stage release blocks in
+    # input order, so batch boundaries are deterministic and contiguous.
+    dctx.execution_options.preserve_order = True
     base = [dict(s) for s in (base_segments or [])]
 
     def _combined(metas):
@@ -227,6 +264,8 @@ def build_index(
         if commit and commit_every and since_commit >= commit_every:
             Manifest.commit(index_dir, _combined(metas))
             since_commit = 0
+    if base_segments is None:
+        _check_disjoint(metas)
     if not commit:
         # staged build (IndexWriter.Transaction): segments are on disk
         # (resumable via _SUCCESS markers) but NO manifest generation is

@@ -884,29 +884,40 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
     return both.map_batches(verify, batch_format="pyarrow")
 
 
-def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id", concurrency: int = 4):
-    """Near-duplicate pairs by SimHash hamming distance: fingerprints
-    split into 4 x 16-bit bands; any pair within hamming distance <= 3
-    shares at least one EXACT band (pigeonhole), so candidates come
-    from 4 band-bucket groupbys and only candidates get the popcount
-    verify — the classic Manku/Charikar web-dedup layout, no all-pairs.
-    -> Dataset(rep_id, dup_id, hamming)."""
-    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col,
-                               concurrency=concurrency)
+def banded_hamming_pairs(fps, hash_col: str, id_col: str = "doc_id",
+                         max_hamming: int = 3, n_bands: int = 4,
+                         out_a: str = "rep_id", out_b: str = "dup_id"):
+    """Distributed near-duplicate pairs by hamming distance over any
+    64-bit fingerprint column: the Manku/Charikar banded layout shared
+    by the text SimHash, image pHash and audio-fingerprint paths.
+
+    ``fps`` is a Dataset carrying (id_col, hash_col). Fingerprints are
+    exploded to ``n_bands`` (band, band_key) rows — band is a COLUMN,
+    so candidate generation is ONE groupby over (band, band_key), not
+    ``n_bands`` sequential shuffle jobs. By pigeonhole any pair within
+    hamming <= n_bands-1 agrees exactly on >= 1 band, so only bucket
+    cohabitants get the vectorized popcount verify. A pair agreeing on
+    >1 band surfaces in >1 bucket: dedup per block (combiner), then a
+    DISTRIBUTED global dedup via the salted fixed-fan groupby on the
+    packed pair key — the driver never materializes the pair stream.
+    -> Dataset(out_a, out_b, hamming) with out_a < out_b; ids must be
+    non-negative and < 2^31 apart in packing range (int64 pack is
+    a*(2^32)+b)."""
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        h = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        h = t.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
         n = ids.size
-        bands = np.empty((n, 4), dtype=np.int64)
-        for b in range(4):
-            bands[:, b] = ((h >> np.uint64(16 * b)) &
-                           np.uint64(0xFFFF)).astype(np.int64)
+        bands = np.empty((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            bands[:, b] = ((h >> np.uint64(band_bits * b)) &
+                           band_mask).astype(np.int64)
         return pa.table({
-            id_col: pa.array(np.repeat(ids, 4)),
-            "simhash": pa.array(np.repeat(h.view(np.int64), 4)),
-            "band": pa.array(np.tile(np.arange(4), n)),
+            id_col: pa.array(np.repeat(ids, n_bands)),
+            hash_col: pa.array(np.repeat(h.view(np.int64), n_bands)),
+            "band": pa.array(np.tile(np.arange(n_bands), n)),
             "band_key": pa.array(bands.ravel()),
         })
 
@@ -914,7 +925,7 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy().astype(np.int64)
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        hs = g[hash_col].to_numpy().astype(np.int64).view(np.uint64)
         order = np.argsort(ids)
         ids, hs = ids[order], hs[order]
         keep = np.empty(ids.size, dtype=bool)
@@ -922,8 +933,8 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         keep[1:] = ids[1:] != ids[:-1]
         ids, hs = ids[keep], hs[keep]
         if ids.size < 2:
-            return pd.DataFrame({"rep_id": pd.Series([], dtype="int64"),
-                                 "dup_id": pd.Series([], dtype="int64"),
+            return pd.DataFrame({out_a: pd.Series([], dtype="int64"),
+                                 out_b: pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
         ii, jj = np.triu_indices(ids.size, k=1)
         x = hs[ii] ^ hs[jj]
@@ -936,23 +947,20 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
             ham += part.astype(np.int64)
         hit = ham <= max_hamming
         return pd.DataFrame({
-            "rep_id": np.minimum(ids[ii[hit]], ids[jj[hit]]).astype(np.int64),
-            "dup_id": np.maximum(ids[ii[hit]], ids[jj[hit]]).astype(np.int64),
+            out_a: np.minimum(ids[ii[hit]], ids[jj[hit]]).astype(np.int64),
+            out_b: np.maximum(ids[ii[hit]], ids[jj[hit]]).astype(np.int64),
             "hamming": ham[hit],
         })
 
     bucketed = banded.groupby(["band", "band_key"]).map_groups(
         bucket, batch_format="pandas")
 
-    # a pair whose fingerprints agree on >1 band appears in >1 bucket:
-    # dedup per block (combiner), then a DISTRIBUTED global dedup via a
-    # salted fixed-fan groupby on the packed pair key (VERDICT r2 #1:
-    # the driver never materializes the pair stream). A pair's hamming
-    # is a pure function of its two fingerprints, so every duplicate
-    # carries the same value and keeping the first is exact.
+    # a pair's hamming is a pure function of its two fingerprints, so
+    # every duplicate surfaced from a different band carries the same
+    # value and keeping the first occurrence is exact
     def block_dedup(t: pa.Table) -> pa.Table:
-        a = t.column("rep_id").to_numpy(zero_copy_only=False)
-        b = t.column("dup_id").to_numpy(zero_copy_only=False)
+        a = t.column(out_a).to_numpy(zero_copy_only=False)
+        b = t.column(out_b).to_numpy(zero_copy_only=False)
         hm = t.column("hamming").to_numpy(zero_copy_only=False)
         key = a * np.int64(1 << 32) + b
         _, first = np.unique(key, return_index=True)
@@ -966,13 +974,27 @@ def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         hm = t.column("hamming").to_numpy(zero_copy_only=False)
         uniq, first = np.unique(key, return_index=True)
         return pa.table({
-            "rep_id": pa.array(uniq >> np.int64(32)),
-            "dup_id": pa.array(uniq & np.int64((1 << 32) - 1)),
+            out_a: pa.array(uniq >> np.int64(32)),
+            out_b: pa.array(uniq & np.int64((1 << 32) - 1)),
             "hamming": pa.array(hm[first].astype(np.int64)),
         })
 
     return (bucketed.map_batches(block_dedup, batch_format="pyarrow")
             .groupby("salt").map_groups(salt_uniq, batch_format="pyarrow"))
+
+
+def simhash_near_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id", concurrency: int = 4):
+    """Near-duplicate pairs by SimHash hamming distance: fingerprints
+    split into 4 x 16-bit bands; any pair within hamming distance <= 3
+    shares at least one EXACT band (pigeonhole), so candidates come
+    from one (band, band_key) groupby and only candidates get the
+    popcount verify — the classic Manku/Charikar web-dedup layout, no
+    all-pairs. -> Dataset(rep_id, dup_id, hamming)."""
+    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col,
+                               concurrency=concurrency)
+    return banded_hamming_pairs(fps, "simhash", id_col=id_col,
+                                max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------

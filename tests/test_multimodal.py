@@ -305,7 +305,7 @@ def test_image_phash_near_dups_planted(ray_session):
         add(100 + i, resize_nearest(bases[i], 24, 16))
     t2 = pa.table(rows, schema=MEDIA_SCHEMA)
 
-    pairs = image_near_dups(ray.data.from_arrow(t2), max_hamming=3)
+    pairs = image_near_dups(ray.data.from_arrow(t2), max_hamming=3).to_pandas()
     got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
     for i in range(4):
         assert (i, 100 + i) in got, (i, sorted(got))
@@ -356,7 +356,7 @@ def test_audio_fingerprint_near_dups_planted(ray_session):
     for i in range(4):
         add(100 + i, (clips[i] // 2).astype(np.int16))
     t = pa.table(rows, schema=MEDIA_SCHEMA)
-    pairs = audio_near_dups(ray.data.from_arrow(t), max_hamming=3)
+    pairs = audio_near_dups(ray.data.from_arrow(t), max_hamming=3).to_pandas()
     got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
     for i in range(4):
         assert (i, 100 + i) in got, (i, sorted(got))

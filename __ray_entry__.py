@@ -1189,7 +1189,11 @@ def _q_payload_scores(sf_dir: str):
 
 def _q_ann_partitioned(sf_dir: str):
     """Write-time LSH-partitioned ANN: build once per sf under /tmp,
-    query with partition-pruned reads (approximate -> rows-only)."""
+    query through the partitioned layout at ``hamming_radius=bits``
+    (every bucket probed, the way ``ann_ivfpq_topk`` probes all lists)
+    so the result EQUALS exact brute force and shares the plain
+    cosine-top-k SQL oracle (VERDICT r3 #8); production pruning runs
+    the same code at radius << bits, reading only nearby partitions."""
     import hashlib
     import os
 
@@ -1208,9 +1212,12 @@ def _q_ann_partitioned(sf_dir: str):
                         columns=["vec_id", "embedding"])
     import numpy as np
 
-    q = np.asarray(emb.column("embedding")[0].as_py(), dtype=np.float64)[None, :]
-    out = ann_index_topk(idx, q, k=10, hamming_radius=2)
-    out["cosine_r"] = np.floor(out["cosine"] * 1e5 + 0.5) / 1e5
+    qmask = emb.column("vec_id").to_numpy() == 7
+    q = np.asarray(emb.column("embedding").to_pylist(),
+                   dtype=np.float64)[qmask]
+    out = ann_index_topk(idx, q, k=11, hamming_radius=8)
+    out = out[out["vec_id"] != 7].head(10)[["vec_id", "cosine"]]
+    out["cosine_r"] = out["cosine"].round(5)
     return out[["vec_id", "cosine_r"]].reset_index(drop=True)
 
 
@@ -2251,6 +2258,51 @@ def _q_pipeline_delimiter(sf_dir: str):
     return match_frame(s, F.Term("SRC3"))
 
 
+def _add_tags_multi(batch):
+    import pyarrow.compute as pc
+
+    a = pc.binary_join_element_wise(
+        batch.column("lang"), batch.column("source"), "::")
+    tags = pc.binary_join_element_wise(a, batch.column("lang"), ";")
+    return batch.append_column("tags", tags)
+
+
+def _q_multi_delimiter(sf_dir: str):
+    """``multi_delimiter`` analyzer in the indexing path (reference
+    ``multi_delimited_token_stream.cpp``: N delimiters, each possibly
+    multi-character, no quote handling): a synthesized
+    ``lang::source;lang`` column splits on '::' and ';' into
+    [lang, source, lang] — Term('src3') matches exactly the docs whose
+    source (or lang) is src3 (VERDICT r3 #6)."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "multidelim", transform=_add_tags_multi,
+        columns=("doc_id", "lang", "source"),
+        text_col="tags", analyzer="multi_delimiter",
+        analyzer_options={"delimiters": ["::", ";"]},
+    )
+    return match_frame(s, F.Term("src3"))
+
+
+def _q_ngram_match(sf_dir: str):
+    """Plain ``ngram`` analyzer in the indexing path (reference
+    ``ngram_token_stream.hpp:40-64``, char [2,3]-grams, lowercased):
+    the source column indexed as n-grams; And(Term('sr'), Term('c18'))
+    matches exactly the docs whose source contains both grams — the
+    SQL side is two LIKE containment predicates (VERDICT r3 #6)."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "ngramsrc", columns=("doc_id", "source"),
+        text_col="source", analyzer="ngram",
+        analyzer_options={"min_gram": 2, "max_gram": 3},
+    )
+    return match_frame(s, F.And([F.Term("sr"), F.Term("c18")]))
+
+
 def _q_index_writer_delete(sf_dir: str):
     """The writer/transaction path under the driver gate: build, then a
     two-phase ``Transaction`` removes every lang='de' doc (one atomic
@@ -3218,6 +3270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_gate": _q_quantile_gate,
         "orders_revenue_join": _q_orders_revenue,
         "pipeline_delimiter_match": _q_pipeline_delimiter,
+        "multi_delimiter_match": _q_multi_delimiter,
+        "ngram_match": _q_ngram_match,
         "index_writer_delete": _q_index_writer_delete,
         "index_writer_replace": _q_index_writer_replace,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -4024,6 +4078,16 @@ SELECT doc_id FROM documents
 WHERE upper(lang) = 'SRC3' OR upper(source) = 'SRC3'
 ORDER BY doc_id
 """,
+        "multi_delimiter_match": """
+SELECT doc_id FROM documents
+WHERE source = 'src3' OR lang = 'src3'
+ORDER BY doc_id
+""",
+        "ngram_match": """
+SELECT doc_id FROM documents
+WHERE lower(source) LIKE '%sr%' AND lower(source) LIKE '%c18%'
+ORDER BY doc_id
+""",
         "index_writer_delete": _TOK_SQL + """
 SELECT DISTINCT t.doc_id AS doc_id
 FROM term_pos t JOIN documents d ON d.doc_id = t.doc_id
@@ -4634,6 +4698,21 @@ ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
 LIMIT 10
 """,
         "ann_cosine_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 5)
+         AS cosine_r
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 7
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         vec_id
+LIMIT 10
+""",
+        # partitioned LSH probed at radius=bits reads every bucket ->
+        # exact brute force -> same oracle (VERDICT r3 #8)
+        "ann_partitioned_topk": """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
 )

@@ -509,11 +509,22 @@ def index_sorted_topk(searcher: IndexSearcher, k: int,
 
     Reads each segment's docmap parquet with ``iter_batches(k)`` so
     only the first row group(s) leave storage — the whole point of the
-    operator at 10^9-doc segments."""
+    operator at 10^9-doc segments.
+
+    Correctness guard: the early termination is only valid when
+    ``columns`` is (a prefix of) each segment's physical sort order —
+    a non-correlated column would silently return a wrong top-k, so
+    every fetched head is checked for monotonicity (O(k) per segment)
+    and a violation raises instead of mis-answering."""
     import os as _os
 
     import pyarrow as pa
     import pyarrow.parquet as _pq
+
+    def _head_sorted(df) -> bool:
+        keys = [df[c].to_numpy() for c in reversed(list(columns))]
+        order = np.lexsort(keys)       # stable: sorted input -> arange
+        return bool((order == np.arange(len(df))).all())
 
     frames = []
     for seg in searcher.segments:
@@ -526,7 +537,15 @@ def index_sorted_topk(searcher: IndexSearcher, k: int,
             if need <= 0:
                 break
         if got:
-            frames.append(pa.concat_tables(got).slice(0, k).to_pandas())
+            head = pa.concat_tables(got).slice(0, k).to_pandas()
+            if not _head_sorted(head):
+                raise ValueError(
+                    f"index_sorted_topk columns {columns} are not the "
+                    "physical sort order of segment "
+                    f"{seg.meta.get('name', seg.dir)!r} — "
+                    "early termination would return a wrong top-k; "
+                    "query the index's primary sort key instead")
+            frames.append(head)
     if not frames:
         return pd.DataFrame({c: [] for c in columns})
     out = pd.concat(frames, ignore_index=True)

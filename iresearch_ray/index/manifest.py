@@ -122,7 +122,18 @@ class Manifest:
             sdir = self.segment_dir(seg)
             ddir = os.path.join(dest, seg["name"])
             if os.path.isdir(ddir):
-                continue          # idempotent re-run
+                # idempotent re-run — but ONLY when the existing dir
+                # passes integrity (same file set as the source, which
+                # itself carries _SUCCESS); a partial/foreign dir left
+                # by an earlier snapshot is re-staged, never silently
+                # kept (a name match alone would yield a corrupt
+                # "self-contained" snapshot)
+                def _fileset(root: str) -> set:
+                    return {os.path.relpath(os.path.join(r, f), root)
+                            for r, _, fs in os.walk(root) for f in fs}
+                if _fileset(ddir) == _fileset(sdir):
+                    continue
+                shutil.rmtree(ddir)
             tmp = ddir + ".tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp)

@@ -33,6 +33,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+
+def _int_group_sum(codes: np.ndarray, w: np.ndarray, k: int) -> np.ndarray:
+    """Exact per-group int64 sums via ``np.add.at`` — unlike weighted
+    ``np.bincount`` (float64 accumulator), exactness does NOT degrade
+    once a per-batch partial sum exceeds 2^53 (the t_test sxx term —
+    cents squared times count — gets there first at scale)."""
+    out = np.zeros(k, dtype=np.int64)
+    np.add.at(out, codes, w.astype(np.int64))
+    return out
+
 def group_quantiles(ds, group_col: str, value_col: str,
                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
     """-> Dataset(group, q, value): exact per-group quantiles with
@@ -298,11 +308,8 @@ def group_corr(ds, group_col: str, x_col: str, y_col: str,
         y = batch.column(y_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         k = len(enc.dictionary)
-        # weighted bincounts accumulate in float64 — exact while the
-        # per-batch partial sums stay under 2^53 (see docstring bound)
         def wsum(w):
-            return np.bincount(codes, weights=w.astype(np.float64),
-                               minlength=k).astype(np.int64)
+            return _int_group_sum(codes, w, k)
         return pa.table({
             group_col: enc.dictionary,
             "n": pa.array(np.bincount(codes, minlength=k)
@@ -479,9 +486,8 @@ def group_extended_stats(ds, group_col: str, value_col: str,
                      .astype(np.float64) * x_scale).astype(np.int64)
         k = len(enc.dictionary)
         n = np.bincount(codes, minlength=k)
-        sx = np.bincount(codes, weights=x.astype(np.float64), minlength=k)
-        sxx = np.bincount(codes, weights=(x * x).astype(np.float64),
-                          minlength=k)
+        sx = _int_group_sum(codes, x, k)
+        sxx = _int_group_sum(codes, x * x, k)
         mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
         mx = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
         np.minimum.at(mn, codes, x)
@@ -556,12 +562,8 @@ def group_weighted_avg(ds, group_col: str, value_col: str,
             group_col: enc.dictionary,
             "n": pa.array(np.bincount(codes, minlength=k)
                           .astype(np.int64)),
-            "svw": pa.array(np.bincount(
-                codes, weights=(v * w).astype(np.float64), minlength=k)
-                .astype(np.int64)),
-            "sw": pa.array(np.bincount(
-                codes, weights=w.astype(np.float64), minlength=k)
-                .astype(np.int64)),
+            "svw": pa.array(_int_group_sum(codes, v * w, k)),
+            "sw": pa.array(_int_group_sum(codes, w, k)),
         })
 
     from ray.data.aggregate import Sum
@@ -598,10 +600,21 @@ def group_top_metrics(ds, group_col: str, sort_col: str, metric_col: str,
     smallest metric value — a total order, so the result is
     layout-invariant). Per batch one lexsort picks each group's local
     winner; only G winner rows ride the shuffle; the same rule merges
-    partials. -> pd.DataFrame(group, sort_c, metric) sorted by group."""
+    partials. -> pd.DataFrame(group, sort_c, metric) sorted by group.
+
+    ``metric_col`` must be integer-typed: the winner row's metric and
+    the deterministic tie-break both ride exact int64 (a float metric
+    would be silently truncated — rejected instead; pre-scale floats
+    to integer units the way ``sort_col`` uses ``s_scale``)."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        if pa.types.is_floating(batch.schema.field(metric_col).type):
+            raise TypeError(
+                f"top_metrics metric column {metric_col!r} is "
+                "float-typed; it would be truncated by the exact int64 "
+                "winner/tie-break path — scale it to integer units "
+                "first (cents, micros), as sort_col does via s_scale")
         g = batch.column(group_col)
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
@@ -681,11 +694,8 @@ def group_ttest(ds, group_col: str, value_col: str, group_a, group_b,
             "side": pa.array([ga, gb]),
             "n": pa.array(np.bincount(codes, minlength=2)
                           .astype(np.int64)),
-            "sx": pa.array(np.bincount(codes, weights=v.astype(np.float64),
-                                       minlength=2).astype(np.int64)),
-            "sxx": pa.array(np.bincount(codes,
-                                        weights=(v * v).astype(np.float64),
-                                        minlength=2).astype(np.int64)),
+            "sx": pa.array(_int_group_sum(codes, v, 2)),
+            "sxx": pa.array(_int_group_sum(codes, v * v, 2)),
         })
 
     from ray.data.aggregate import Sum
@@ -774,8 +784,7 @@ def group_string_stats(ds, group_col: str, text_col: str,
         nz = np.flatnonzero(bc)
         # per-group length moments
         n = np.bincount(codes, minlength=k).astype(np.int64)
-        sum_l = np.bincount(codes, weights=lens.astype(np.float64),
-                            minlength=k).astype(np.int64)
+        sum_l = _int_group_sum(codes, lens, k)
         min_l = np.full(k, NEUTRAL_MIN, dtype=np.int64)
         np.minimum.at(min_l, codes, lens)
         max_l = np.full(k, -1, dtype=np.int64)
@@ -848,7 +857,14 @@ def auto_date_histogram(ds, ts_col: str, target_buckets: int = 50):
     from ray.data.aggregate import Max, Min
 
     def to_epoch(batch: pa.Table) -> pa.Table:
-        e = pc.divide(pc.cast(batch.column(ts_col), pa.int64()), 1_000_000)
+        # normalize to timestamp[us] before the integer epoch math: a
+        # ns/ms/s-unit column would otherwise bucket on the wrong scale
+        # and pick a wrong ladder interval
+        col = batch.column(ts_col)
+        t = col.type
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            col = pc.cast(col, pa.timestamp("us", tz=t.tz))
+        e = pc.divide(pc.cast(col, pa.int64()), 1_000_000)
         return pa.table({"e": e})
 
     epochs = ds.map_batches(to_epoch, batch_format="pyarrow")

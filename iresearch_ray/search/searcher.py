@@ -366,6 +366,9 @@ class IndexSearcher:
         (sequential path only; thread-pool runs share the in-process
         TopK already)."""
         scorer = self._scorer(scorer)
+        # per-query observability: segments skipped whole by the WAND
+        # threshold (evidences cross-shard exchange pruning in tests)
+        self.last_segments_skipped = 0
         prepared = flt.prepare(self, scorer)
         col = TopK(k, dtype=scorer.dtype,
                    initial_threshold=-np.inf if initial_threshold is None
@@ -418,6 +421,7 @@ class IndexSearcher:
             # cached merge it would skip.)
             if not is_tdis and np.isfinite(thr) \
                     and prepared.max_score(i) < thr:
+                self.last_segments_skipped += 1  # int += under GIL
                 return
             if isinstance(prepared, PreparedTerm):
                 self._wand_term(prepared, i, base, col)

@@ -36,7 +36,8 @@ class _ShardWorker:
     """One shard = a contiguous run of segments (contiguity keeps the
     first_key ordering, but any partition works)."""
 
-    def __init__(self, index_dir: str, seg_names: list[str]):
+    def __init__(self, index_dir: str, seg_names: list[str],
+                 generation: int | None = None):
         import pyarrow as pa
 
         pa.set_cpu_count(1)
@@ -44,7 +45,8 @@ class _ShardWorker:
 
         self.index_dir = index_dir
         self.seg_names = set(seg_names)
-        self.searcher = IndexSearcher(index_dir, segment_subset=self.seg_names)
+        self.searcher = IndexSearcher(index_dir, segment_subset=self.seg_names,
+                                      generation=generation)
 
     def collect(self, flt, scorer_name: str) -> dict:
         """Phase 1: local collector run -> per-term dfs + field stats +
@@ -69,7 +71,8 @@ class _ShardWorker:
 
     def search(self, flt, k: int, scorer_name: str, mode: str,
                overrides: dict, initial_threshold: float | None = None,
-               board=None, epoch: int = 0) -> tuple[np.ndarray, np.ndarray]:
+               board=None, epoch: int = 0,
+               hook_every_s: float = 0.025) -> tuple:
         """Phase 2: score with global stats -> local top-k arrays.
         Reuses the long-lived searcher (warm dictionary/postings caches);
         only the stats override + per-query caches reset.
@@ -106,9 +109,10 @@ class _ShardWorker:
                 return ext
         res = s.search(flt, k=k, scorer=get_scorer(scorer_name), mode=mode,
                        initial_threshold=initial_threshold,
-                       threshold_hook=hook)
+                       threshold_hook=hook, hook_every_s=hook_every_s)
         s._stats_override = {}
-        return res["doc_id"].to_numpy(), res["score"].to_numpy()
+        return (res["doc_id"].to_numpy(), res["score"].to_numpy(),
+                int(getattr(s, "last_segments_skipped", 0)))
 
     def fetch(self, docs: np.ndarray, columns: tuple) -> pd.DataFrame:
         return self.searcher.fetch_stored(np.asarray(docs), columns)
@@ -146,16 +150,21 @@ class ShardedSearcher:
     decoded postings amortize across queries)."""
 
     def __init__(self, index_dir: str, n_shards: int = 4,
-                 scorer: str = "bm25"):
+                 scorer: str = "bm25", generation: int | None = None):
+        """``generation``: serve a PAST commit point (the PIT reader,
+        distributed) — e.g. the pre-consolidation layout while a
+        consolidated generation exists."""
         self._index_dir = index_dir
-        man = Manifest.load(index_dir)
+        man = Manifest.load(index_dir) if generation is None \
+            else Manifest.load_generation(index_dir, generation)
         names = [s["name"] for s in man.segments]
         n_shards = max(1, min(n_shards, len(names) or 1))
         groups = [list(g) for g in np.array_split(np.asarray(names, dtype=object),
                                                   n_shards)]
         Actor = ray.remote(_ShardWorker)
         self.actors = [
-            Actor.options(num_cpus=1).remote(index_dir, [str(x) for x in g])
+            Actor.options(num_cpus=1).remote(index_dir, [str(x) for x in g],
+                                             generation)
             for g in groups if len(g)
         ]
         self.scorer = scorer
@@ -167,7 +176,8 @@ class ShardedSearcher:
 
     def search(self, flt, k: int = 10, mode: str = "strict",
                columns: tuple | None = None,
-               threshold_exchange: bool = False) -> pd.DataFrame:
+               threshold_exchange="auto",
+               hook_every_s: float = 0.025) -> pd.DataFrame:
         # phase 1: distributed collect + associative merge
         parts = ray.get([a.collect.remote(flt, self.scorer) for a in self.actors])
         terms: dict = {}
@@ -213,7 +223,8 @@ class ShardedSearcher:
             self._epoch += 1
             outs = ray.get([
                 a.search.remote(flt, k, self.scorer, mode, overrides,
-                                None, self._board, self._epoch)
+                                None, self._board, self._epoch,
+                                hook_every_s)
                 for a in self.actors
             ])
         else:
@@ -221,8 +232,11 @@ class ShardedSearcher:
                 a.search.remote(flt, k, self.scorer, mode, overrides)
                 for a in self.actors
             ])
-        docs = np.concatenate([d for d, _ in outs]) if outs else np.empty(0, np.int64)
-        scores = np.concatenate([s for _, s in outs]) if outs else np.empty(0)
+        # fleet-wide WAND observability: segments skipped whole this
+        # query (tests assert the exchange prunes on skewed corpora)
+        self.last_segments_skipped = sum(o[2] for o in outs)
+        docs = np.concatenate([o[0] for o in outs]) if outs else np.empty(0, np.int64)
+        scores = np.concatenate([o[1] for o in outs]) if outs else np.empty(0)
         order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
         docs, scores = docs[order], scores[order]
         out = pd.DataFrame({"doc_id": docs, "score": scores})

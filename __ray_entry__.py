@@ -1555,6 +1555,46 @@ def _q_collation_order(sf_dir: str):
     return match_frame(s, F.Range(lo="z", hi=None, include_lo=False))
 
 
+def _czechize(batch):
+    """One-token 'title' per doc: first word lowercased, prefixed by
+    doc_id % 3 -> 'ch' / 'h' / nothing — a deterministic corpus where
+    the Czech ch contraction separates from plain h-words."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    w = pc.utf8_lower(pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(batch.column("text")),
+        r"^(\S+)[\S\s]*$", r"\1"))
+    mod = batch.column("doc_id").to_numpy(zero_copy_only=False) % 3
+    pre = pa.array(np.where(mod == 0, "ch",
+                            np.where(mod == 1, "h", "")).astype(object),
+                   type=pa.string())
+    title = pc.binary_join_element_wise(pre, w, "")
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", title)
+
+
+def _q_collation_contraction(sf_dir: str):
+    """Czech collation CONTRACTION end-to-end (the ICU rule class the
+    r3 verdict listed missing): titles are indexed as cs collation
+    keys where the 'ch' digraph is ONE letter between h and i, so
+    Range(lo='h', hi='i') matches exactly the h-initial AND ch-initial
+    titles. Without the contraction 'ch...' would sort inside c (< h)
+    and fall outside the range. SQL replica: the same ch -> h+PUA
+    substitution on an ASCII-only corpus."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search import filters as F
+
+    s = _derived_docs_searcher(
+        sf_dir, "cscollation", transform=_czechize,
+        analyzer="collation",
+        analyzer_options={"locale": "cs_CZ"},
+    )
+    return match_frame(s, F.Range(lo="h", hi="i", include_lo=True,
+                                  include_hi=False))
+
+
 def _q_bpe_token_stats(sf_dir: str):
     """Whitespace + BPE-ish pre-tokenizer piece counts per doc (token
     budgeting for training-data pipelines)."""
@@ -3221,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accent_fold_match": _q_accent_fold,
         "synonym_match": _q_synonym_match,
         "collation_order_match": _q_collation_order,
+        "collation_contraction_match": _q_collation_contraction,
         "nested_group_min": _q_nested_group_min,
         "nested_group_none": _q_nested_group_none,
         "nested_group_all": _q_nested_group_all,
@@ -4565,6 +4606,20 @@ SELECT doc_id FROM (
              'å', chr(57345)), 'ö', chr(57347)) AS ckey
   FROM documents)
 WHERE ckey > 'z' ORDER BY doc_id
+""",
+        "collation_contraction_match": """
+-- Replicates the cs 'ch' contraction (ch -> h || chr(57344), applied
+-- everywhere like the engine's longest-first substitution); corpus is
+-- ASCII-only by construction so no other cs tailoring rule can fire.
+SELECT doc_id FROM (
+  SELECT doc_id,
+         replace(
+           concat(CASE WHEN doc_id % 3 = 0 THEN 'ch'
+                       WHEN doc_id % 3 = 1 THEN 'h' ELSE '' END,
+                  lower(split_part(trim(text), ' ', 1))),
+           'ch', 'h' || chr(57344)) AS ckey
+  FROM documents)
+WHERE ckey >= 'h' AND ckey < 'i' ORDER BY doc_id
 """,
         "lang_field_stats": """
 SELECT lang AS term, count(*) AS doc_freq

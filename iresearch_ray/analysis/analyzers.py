@@ -850,6 +850,18 @@ _COLLATION_TAILORING: dict[str, dict[str, str]] = {
            "ö": "o", "ş": "s", "ü": "u"},
     "cs": {"č": "c", "ch": "h", "ř": "r",
            "š": "s", "ž": "z"},
+    # Slovak shares the h < ch < i contraction; ä/ô are independent
+    # letters after a/o
+    "sk": {"č": "c", "ch": "h", "š": "s",
+           "ž": "z", "ä": "a", "ô": "o"},
+    # Croatian/Serbian-Latin digraph letters: č < ć after c, dž after
+    # d/đ, lj after l, nj after n (each one letter in the alphabet)
+    "hr": {"č": "c", "ć": "c", "đ": "d",
+           "dž": "d", "lj": "l", "nj": "n",
+           "š": "s", "ž": "z"},
+    # Spanish TRADITIONAL collation (ICU es@collation=traditional,
+    # pre-1994 RAE): ch and ll are independent letters after c and l
+    "es_trad": {"ch": "c", "ll": "l", "ñ": "n"},
     "pl": {"ą": "a", "ć": "c", "ę": "e",
            "ł": "l", "ń": "n", "ó": "o",
            "ś": "s", "ź": "z", "ż": "z"},
@@ -897,7 +909,13 @@ class CollationAnalyzer(NormalizingAnalyzer):
         # NFC first so canonically-equivalent decomposed input (NFD
         # 'a'+U+030A for å) hits the tailoring patterns below identically
         # to the precomposed form
-        key = self.locale.lower().replace("-", "_").split("_")[0]
+        loc_l = self.locale.lower()
+        key = loc_l.replace("-", "_").split("_")[0].split("@")[0] \
+            .split(".")[0]
+        # ICU variant syntax: es@collation=traditional selects the
+        # pre-1994 RAE alphabet (ch/ll as independent letters)
+        if key == "es" and "traditional" in loc_l:
+            key = "es_trad"
         if key == "tr":
             # Turkish case pairs: I/ı and İ/i (ICU tr tailoring); the
             # generic casefold would send uppercase I to dotted i.

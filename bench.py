@@ -185,16 +185,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # decode work — best-of-2 removes host scheduling noise, not
     # coldness).
     membw_cold, cold_waits = _wait_soft_membw(1.0)
-    sharded_cold_ngram = float("inf")
-    sh = None
-    for _ in range(2):
-        if sh is not None:
+    # headline cold probe: the 8-shard serving config (8 one-cpu shard
+    # actors on a 32-cpu node — cold n-gram decode is embarrassingly
+    # parallel across segments, and a real deployment sizes shards to
+    # cores; r3 ran 4). The 4-shard number stays as the r2/r3-
+    # comparable diagnostic column.
+    def _cold_probe(n_shards: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            sh = ShardedSearcher(index_dir, n_shards=n_shards)
+            t0 = time.time()
+            sh.search(cats["HighNGram"], k=100)
+            best = min(best, time.time() - t0)
             sh.shutdown()
-        sh = ShardedSearcher(index_dir, n_shards=4)
-        t0 = time.time()
-        sh.search(cats["HighNGram"], k=100)
-        sharded_cold_ngram = min(sharded_cold_ngram, time.time() - t0)
-    sharded_cold_ngram = round(sharded_cold_ngram, 4)
+        return round(best, 4)
+
+    sharded_cold_ngram = _cold_probe(8)
+    sharded_cold_ngram4 = _cold_probe(4)
+    sh = ShardedSearcher(index_dir, n_shards=4)
     sharded_times = {}
     sharded_exchange_times = {}
     for name in ("HighTerm", "OrHighHigh", "HighPhrase"):
@@ -387,6 +395,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "query_total_sec": round(query_total, 4),
         "query_p99_sec": p99s,
         "sharded_cold_ngram_sec": sharded_cold_ngram,
+        "sharded_cold_ngram_shards": 8,
+        "sharded_cold_ngram4_sec": sharded_cold_ngram4,
         "sharded_query_sec": sharded_times,
         "sharded_threshold_exchange_sec": sharded_exchange_times,
         "merge_sec": round(merge_sec, 3),

@@ -146,3 +146,25 @@ def test_point_in_time_and_snapshot(small_corpus, tmp_path):
     snap = IndexSearcher(snap_dir)
     assert snap.manifest.generation == 1
     assert sorted(snap.match_docs(F.Term("deploy")).tolist()) == want_g1
+
+
+def test_build_deterministic_segmentation(ray_session, tmp_path):
+    """Batch boundaries are deterministic and key-contiguous regardless
+    of parallelism (preserve_order set on the dataset's CAPTURED
+    context — the r4 ordering fix): the same corpus yields identical
+    content-digest segment names at any concurrency, and the manifest
+    tiles the key space without overlap."""
+    from iresearch_ray.data.transcripts import write_transcripts
+    from iresearch_ray.index.build import build_index
+
+    corpus = str(tmp_path / "det_corpus")
+    write_transcripts(corpus, n_parts=4, convs_per_part=32)
+    m1 = build_index(corpus, str(tmp_path / "det_i1"), segment_docs=256,
+                     concurrency=1)
+    m2 = build_index(corpus, str(tmp_path / "det_i2"), segment_docs=256,
+                     concurrency=2)
+    assert [s["name"] for s in m1.segments] == \
+        [s["name"] for s in m2.segments]
+    segs = m1.segments
+    for prev, cur in zip(segs, segs[1:]):
+        assert tuple(cur["first_key"]) > tuple(prev["last_key"])

@@ -74,8 +74,19 @@ def main() -> int:
             print(f"{name:28s} FAIL  {err}")
         else:
             print(f"{name:28s} ok    rows={len(got)}")
-    ray.shutdown()
-    return 1 if fails else 0
+    print(f"SUMMARY: {len(names) - fails}/{len(names)} ok, {fails} FAIL")
+    # ray.shutdown() after several hundred datasets occasionally hangs
+    # (observed: all queries printed ok, process slept >30 min in
+    # shutdown) — bound it and hard-exit so the sweep's exit code is
+    # the verdict, not the teardown's luck
+    import os
+    import threading
+
+    t = threading.Thread(target=ray.shutdown, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    sys.stdout.flush()
+    os._exit(1 if fails else 0)
 
 
 if __name__ == "__main__":

@@ -2185,6 +2185,24 @@ def _q_dup_passage_spans(sf_dir: str):
         .sort_values(["doc_id", "start_pos"]).reset_index(drop=True)
 
 
+def _q_remove_dup_passages(sf_dir: str):
+    """Keep-first duplicated-substring REMOVAL (Lee et al. 2022, the
+    write side of ``dup_passage_spans``): word 8-grams in >= 2 distinct
+    docs keep only the globally first occurrence (min packed
+    (doc_id, pos)); other occurrences' windows are cut. Returns only
+    the MODIFIED docs (delta semantics) as canonical kept-token
+    rejoins — the SQL oracle replicates winner selection, window
+    union and the ordered string_agg."""
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import remove_dup_passages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return remove_dup_passages(ds, n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_quantile_gate(sf_dir: str):
     """Percentile-threshold quality gate
     (``pipelines/aggregates.filter_by_group_quantile``): keep docs at
@@ -3307,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
+        "remove_dup_passages": _q_remove_dup_passages,
         "top_events_per_user": _q_top_events_per_user,
         "quantile_gate": _q_quantile_gate,
         "orders_revenue_join": _q_orders_revenue,
@@ -4079,6 +4098,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(min(pos) AS BIGINT) AS start_pos,
        CAST(max(pos) + 8 AS BIGINT) AS end_pos
 FROM grp GROUP BY doc_id, gid ORDER BY doc_id, start_pos
+""",
+        "remove_dup_passages": _TOK_SQL + """
+, g8 AS (
+  SELECT doc_id, pos,
+         term || ' ' || lead(term, 1) OVER w || ' ' ||
+         lead(term, 2) OVER w || ' ' || lead(term, 3) OVER w || ' ' ||
+         lead(term, 4) OVER w || ' ' || lead(term, 5) OVER w || ' ' ||
+         lead(term, 6) OVER w || ' ' || lead(term, 7) OVER w AS g
+  FROM term_pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+dupg AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS c
+    FROM g8 WHERE g IS NOT NULL GROUP BY g)
+  WHERE c >= 2
+),
+occ AS (SELECT doc_id, pos, g FROM g8 JOIN dupg USING (g)),
+win AS (SELECT g, min(doc_id * 4294967296 + pos) AS w FROM occ GROUP BY g),
+removal AS (
+  SELECT DISTINCT o.doc_id, o.pos
+  FROM occ o JOIN win ON o.g = win.g
+  WHERE o.doc_id * 4294967296 + o.pos <> win.w
+),
+rmtok AS (
+  SELECT DISTINCT doc_id, pos + i.range AS ti
+  FROM removal CROSS JOIN range(8) i
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM term_pos t
+  JOIN (SELECT DISTINCT doc_id FROM removal) a USING (doc_id)
+  LEFT JOIN rmtok r ON r.doc_id = t.doc_id AND r.ti = t.pos
+  WHERE r.doc_id IS NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(term, ' ' ORDER BY pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM kept GROUP BY doc_id ORDER BY doc_id
 """,
         # same interpolation (quantile_cont == np.quantile linear);
         # thresholds compare against INT lengths so ulp-level

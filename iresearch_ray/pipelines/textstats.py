@@ -559,6 +559,151 @@ def dup_passage_spans(ds, n: int = 8, text_col: str = "text",
         merge_spans, batch_format="pandas")
 
 
+def remove_dup_passages(ds, n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", num_partitions: int = 8):
+    """Duplicated-passage REMOVAL with keep-first semantics — the
+    write side of Lee et al. 2022 (arXiv:2107.06499) exact substring
+    dedup, completing :func:`dup_passage_spans`: every word n-gram
+    occurring in >= 2 DISTINCT docs keeps only its globally first
+    occurrence (minimal packed ``doc_id * 2^32 + pos``); every other
+    occurrence's token window ``[pos, pos+n)`` is cut from its doc.
+
+    -> Dataset(doc_id, clean_text, n_tokens): ONLY the modified docs,
+    ``clean_text`` = ' '.join of the KEPT lowercase tokens in order,
+    ``n_tokens`` their count. Fully-removed docs are dropped (their
+    every passage survives verbatim in the kept occurrences). The
+    untouched majority of the corpus never leaves its blocks — at
+    100 TB the caller unions this delta with an id anti-join instead
+    of rewriting every row.
+
+    Scale shape: the (doc, pos, gram) stream and gram df table reuse
+    the :func:`dup_passage_spans` shapes (per-batch combiners,
+    vocab-sized df table, gram-keyed hash joins — never broadcast);
+    the winner table adds ONE groupby(gram).min over dup occurrences
+    only; affected docs join their merged spans as a single JSON row
+    each, and the rebuild is one vectorized pass (tokens filtered by
+    mask, per-doc rejoin via ``pc.binary_join`` on a list array).
+    """
+    import json
+
+    from iresearch_ray.pipelines.dedup import (_PAD_LEFT_BASE,
+                                               _PAD_RIGHT_BASE, _pad_side)
+
+    pos_ds = ds.map_batches(
+        lambda b: word_ngram_positions(b, n, text_col, id_col),
+        batch_format="pyarrow").materialize()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return b.select([id_col, "gram"]).group_by(
+            [id_col, "gram"]).aggregate([])
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        col = "count()" if "count()" in b.column_names else None
+        if col is None:
+            return pa.table({"__dgram": pa.array([], type=pa.string())})
+        keep = pc.greater_equal(b.column(col), 2)
+        return pa.table({"__dgram": b.column("gram").filter(keep)
+                        .cast(pa.string())})
+
+    dup_grams = pos_ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("gram").count() \
+        .map_batches(dup_only, batch_format="pyarrow")
+
+    occ = _pad_side(pos_ds, {"gram": _PAD_LEFT_BASE}, num_partitions) \
+        .join(_pad_side(dup_grams, {"__dgram": _PAD_RIGHT_BASE},
+                        num_partitions,
+                        schema=pa.schema([("__dgram", pa.string())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("gram",), right_on=("__dgram",))
+
+    def add_packed(b: pa.Table) -> pa.Table:
+        d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "pos": b.column("pos"),
+            "gram": b.column("gram").cast(pa.string()),
+            "packed": pa.array((d << np.int64(32)) + p),
+        })
+
+    occ_p = occ.map_batches(add_packed, batch_format="pyarrow") \
+        .materialize()
+
+    def win_rename(b: pa.Table) -> pa.Table:
+        col = "min(packed)" if "min(packed)" in b.column_names else "packed"
+        return pa.table({"__wgram": b.column("gram").cast(pa.string()),
+                         "wpacked": b.column(col).cast(pa.int64())})
+
+    winners = occ_p.groupby("gram").min("packed") \
+        .map_batches(win_rename, batch_format="pyarrow")
+
+    loser = _pad_side(occ_p, {"gram": _PAD_LEFT_BASE}, num_partitions) \
+        .join(_pad_side(winners, {"__wgram": _PAD_RIGHT_BASE},
+                        num_partitions,
+                        schema=pa.schema([("__wgram", pa.string()),
+                                          ("wpacked", pa.int64())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("gram",), right_on=("__wgram",))
+
+    def non_winner(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("packed"), b.column("wpacked"))
+        return pa.table({
+            id_col: b.column(id_col).filter(keep).cast(pa.int64()),
+            "pos": b.column("pos").filter(keep).cast(pa.int64()),
+        })
+
+    removal = loser.map_batches(non_winner, batch_format="pyarrow")
+
+    def spans_row(g: "pd.DataFrame") -> "pd.DataFrame":
+        p = np.unique(g["pos"].to_numpy(dtype=np.int64))
+        brk = np.empty(p.size, dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(p) > n
+        starts = np.flatnonzero(brk)
+        ends = p[np.append(starts[1:], p.size) - 1] + n
+        spans = [[int(p[a]), int(e)] for a, e in zip(starts, ends)]
+        return pd.DataFrame({
+            "__sdoc": [int(g[id_col].iloc[0])],
+            "spans_json": [json.dumps(spans)],
+        })
+
+    span_rows = removal.groupby(id_col).map_groups(
+        spans_row, batch_format="pandas")
+
+    affected = _pad_side(ds, {id_col: _PAD_LEFT_BASE}, num_partitions) \
+        .join(_pad_side(span_rows, {"__sdoc": _PAD_RIGHT_BASE},
+                        num_partitions,
+                        schema=pa.schema([("__sdoc", pa.int64()),
+                                          ("spans_json", pa.string())])),
+              join_type="inner", num_partitions=num_partitions,
+              on=(id_col,), right_on=("__sdoc",))
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        nb = b.num_rows
+        flat, doc_idx = _flat_tokens(b, text_col)
+        counts = np.bincount(doc_idx, minlength=nb)
+        doc_start = np.concatenate(([0], np.cumsum(counts)))
+        rm = np.zeros(len(flat), dtype=bool)
+        for i, sj in enumerate(b.column("spans_json").to_pylist()):
+            for s, e in json.loads(sj):
+                a = doc_start[i] + s
+                z = min(doc_start[i] + e, doc_start[i + 1])
+                rm[a:z] = True
+        keep = ~rm
+        kept = flat.filter(pa.array(keep))
+        kept_counts = np.bincount(doc_idx[keep], minlength=nb)
+        offs = np.concatenate(([0], np.cumsum(kept_counts)))
+        la = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), kept)
+        out = pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            "clean_text": pc.binary_join(la, " "),
+            "n_tokens": pa.array(kept_counts.astype(np.int64)),
+        })
+        return out.filter(pc.greater(out.column("n_tokens"), 0))
+
+    return affected.map_batches(rebuild, batch_format="pyarrow")
+
+
 def pmi_collocations(ds, text_col: str = "text", min_count: int = 5,
                      k: int = 100, num_partitions: int = 8):
     """Top-k word-bigram collocations by pointwise mutual information —

@@ -1027,3 +1027,39 @@ def test_rare_terms_filter_after_global_sum(ray_session, small_index):
     assert got["term"].tolist() == want["term"].tolist()
     assert got["doc_freq"].tolist() == want["doc_freq"].tolist()
     assert len(got) and len(got) < len(stats)
+
+
+def test_remove_dup_passages_keep_first(ray_session):
+    """Lee et al. 2022 keep-first substring removal: a passage shared
+    by two docs survives only at its globally first occurrence; the
+    later doc loses exactly the duplicated window; untouched docs are
+    not rewritten (delta semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import remove_dup_passages
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [
+            "intro words here " + passage + " trailing tail",
+            passage + " unique suffix for doc two",
+            "totally unrelated document content without repeats at all",
+        ],
+    })
+    out = remove_dup_passages(ray.data.from_arrow(t), n=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # only doc 2 is modified (doc 1 holds the winning first occurrence)
+    assert out["doc_id"].tolist() == [2]
+    assert out["clean_text"].iloc[0] == "unique suffix for doc two"
+    assert int(out["n_tokens"].iloc[0]) == 5
+
+    # fully-duplicated doc is dropped from the delta
+    t2 = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": [passage, passage],
+    })
+    out2 = remove_dup_passages(ray.data.from_arrow(t2), n=8).to_pandas()
+    assert out2.empty

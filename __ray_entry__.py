@@ -2203,6 +2203,21 @@ def _q_remove_dup_passages(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_query_string(sf_dir: str):
+    """Lucene/ES ``query_string`` syntax end-to-end
+    (``search/querystring.parse_query_string`` -> Filter AST):
+    ``customer AND (vector OR "hash join") -table`` over the documents
+    index — conjunction, field-default group, exact phrase, and the
+    classic-parser '-' occurrence flag, all through one parsed
+    filter."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search.querystring import parse_query_string
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    flt = parse_query_string('customer AND (vector OR "hash join") -table')
+    return match_frame(s, flt)
+
+
 def _q_quantile_gate(sf_dir: str):
     """Percentile-threshold quality gate
     (``pipelines/aggregates.filter_by_group_quantile``): keep docs at
@@ -3326,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_context_windows": _q_context_windows,
         "dup_passage_spans": _q_dup_passage_spans,
         "remove_dup_passages": _q_remove_dup_passages,
+        "query_string_match": _q_query_string,
         "top_events_per_user": _q_top_events_per_user,
         "quantile_gate": _q_quantile_gate,
         "orders_revenue_join": _q_orders_revenue,
@@ -4176,6 +4192,21 @@ GROUP BY 1 ORDER BY 1
 SELECT doc_id FROM documents
 WHERE upper(lang) = 'SRC3' OR upper(source) = 'SRC3'
 ORDER BY doc_id
+""",
+        "query_string_match": _TOK_SQL + """
+, m1 AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'customer'),
+m2 AS (
+  SELECT DISTINCT doc_id FROM term_pos WHERE term = 'vector'
+  UNION
+  SELECT DISTINCT t1.doc_id AS doc_id FROM term_pos t1
+  JOIN term_pos t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = 'hash' AND t2.term = 'join'
+),
+m3 AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table')
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT doc_id FROM m1 INTERSECT SELECT doc_id FROM m2
+  EXCEPT SELECT doc_id FROM m3
+) ORDER BY doc_id
 """,
         "multi_delimiter_match": """
 SELECT doc_id FROM documents

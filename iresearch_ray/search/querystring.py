@@ -1,0 +1,241 @@
+"""Lucene/Elasticsearch ``query_string`` syntax -> Filter AST.
+
+Beyond-reference user surface (the reference library exposes a
+programmatic filter DSL only; its host products layer a textual query
+language on top — this is the Lucene classic-parser subset every ES
+user types into ``query_string``):
+
+    hello world                  -> default-operator combine of terms
+    +must -not AND OR NOT && ||  -> boolean structure
+    "exact phrase"               -> Phrase
+    "sloppy phrase"~2            -> SloppyPhrase(slop=2)
+    fuzzy~  fuzzy~1              -> Fuzzy (default distance 2)
+    pre*  w?ld*                  -> Prefix / Wildcard
+    field:term  field:(a OR b)   -> field-scoped filters
+    [aaa TO bbb]  {aaa TO bbb}   -> Range (inclusive / exclusive ends)
+    term^2 "p q"^3 (a b)^0.5     -> boost
+
+Simplifications (documented, deterministic):
+- ``+x`` is treated as ``AND x`` and ``-x`` / ``NOT x`` as
+  ``AND NOT x`` within the current group (the classic-parser
+  occurrence flags collapse onto the boolean structure instead of the
+  ES bool-query must/should split).
+- Operator precedence is conventional — NOT binds tightest, then AND,
+  then OR — not the Lucene parser's position-dependent quirks.
+- Terms are normalized with ``normalize`` (default: lowercase), the
+  caller's stand-in for the field analyzer; phrases split on
+  whitespace and normalize per word.
+"""
+
+from __future__ import annotations
+
+import re
+
+from iresearch_ray.search import filters as F
+
+_TOKEN = re.compile(
+    r"""
+    \s+
+  | (?P<quote>"(?P<qbody>[^"]*)"(?:~(?P<qslop>\d+))?)
+  | (?P<range>[\[{](?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)[\]}])
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<field>[A-Za-z_][\w.]*):
+  | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+  | (?P<term>[^\s()^]+)
+    """,
+    re.VERBOSE,
+)
+
+
+class QueryStringError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if m is None:
+            raise QueryStringError(f"cannot tokenize at: {s[pos:pos+20]!r}")
+        pos = m.end()
+        if m.group("quote"):
+            slop = m.group("qslop")
+            out.append(("phrase", (m.group("qbody"),
+                                   int(slop) if slop else None)))
+        elif m.group("range"):
+            raw = m.group("range")
+            out.append(("range", (m.group("rlo"), m.group("rhi"),
+                                  raw[0] == "[", raw[-1] == "]")))
+        elif m.group("lparen"):
+            out.append(("(", None))
+        elif m.group("rparen"):
+            out.append((")", None))
+        elif m.group("and"):
+            out.append(("AND", None))
+        elif m.group("or"):
+            out.append(("OR", None))
+        elif m.group("not"):
+            out.append(("NOT", None))
+        elif m.group("plus"):
+            out.append(("+", None))
+        elif m.group("minus"):
+            out.append(("-", None))
+        elif m.group("field"):
+            out.append(("field", m.group("field")))
+        elif m.group("boost"):
+            out.append(("^", float(m.group("bval"))))
+        elif m.group("term"):
+            out.append(("term", m.group("term")))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, default_field, default_operator, normalize):
+        self.toks = tokens
+        self.i = 0
+        self.default_field = default_field
+        self.default_op = default_operator.upper()
+        if self.default_op not in ("AND", "OR"):
+            raise QueryStringError("default_operator must be 'and' or 'or'")
+        self.norm = normalize
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # precedence: OR < AND < unary NOT/+/-
+    def parse_or(self, field):
+        items = [self.parse_and(field)]
+        while True:
+            kind, _ = self.peek()
+            if kind == "OR":
+                self.take()
+                items.append(self.parse_and(field))
+            elif (self.default_op == "OR"
+                  and kind in ("term", "phrase", "range", "(", "field",
+                               "NOT")):
+                # implicit adjacency at the default operator (+x / -x
+                # never reach here: parse_and consumes them as
+                # AND / AND NOT continuations)
+                items.append(self.parse_and(field))
+            else:
+                break
+        if len(items) == 1:
+            return items[0]
+        return F.Or(items)
+
+    def parse_and(self, field):
+        items = [self.parse_unary(field)]
+        while True:
+            kind, _ = self.peek()
+            if kind == "AND":
+                self.take()
+                items.append(self.parse_unary(field))
+            elif kind in ("+", "-"):
+                # +x -> AND x ; -x -> AND NOT x (classic-parser
+                # occurrence flags, collapsed)
+                items.append(self.parse_unary(field))
+            elif (self.default_op == "AND"
+                  and kind in ("term", "phrase", "range", "(", "field",
+                               "NOT")):
+                items.append(self.parse_unary(field))
+            else:
+                break
+        if len(items) == 1 and not isinstance(items[0], F.Not):
+            return items[0]
+        return F.And(items)
+
+    def parse_unary(self, field):
+        kind, val = self.peek()
+        if kind == "+":
+            self.take()
+            return self.parse_unary(field)
+        if kind in ("-", "NOT"):
+            self.take()
+            return F.Not(self.parse_unary(field))
+        return self.parse_primary_scoped(field)
+
+    def _apply_boost(self, flt):
+        kind, val = self.peek()
+        if kind == "^":
+            self.take()
+            flt.boost = float(val)
+        return flt
+
+    def parse_primary_scoped(self, field):
+        kind, val = self.take()
+        if kind == "(":
+            inner = self.parse_or(field)
+            if self.take()[0] != ")":
+                raise QueryStringError("unbalanced parenthesis")
+            return self._apply_boost(inner)
+        if kind == "field":
+            nkind, _ = self.peek()
+            if nkind == "(":
+                self.take()
+                inner = self.parse_or(val)
+                if self.take()[0] != ")":
+                    raise QueryStringError("unbalanced parenthesis")
+                return self._apply_boost(inner)
+            return self.parse_primary_scoped(val)
+        if kind == "phrase":
+            body, slop = val
+            words = [self.norm(w) for w in body.split() if w]
+            if not words:
+                raise QueryStringError("empty phrase")
+            if len(words) == 1 and slop in (None, 0):
+                flt = F.Term(words[0], field=field)
+            elif slop:
+                flt = F.SloppyPhrase(words, slop=slop, field=field)
+            else:
+                flt = F.Phrase(words, field=field)
+            return self._apply_boost(flt)
+        if kind == "range":
+            lo, hi, inc_lo, inc_hi = val
+            flt = F.Range(lo=None if lo == "*" else self.norm(lo),
+                          hi=None if hi == "*" else self.norm(hi),
+                          include_lo=inc_lo, include_hi=inc_hi,
+                          field=field)
+            return self._apply_boost(flt)
+        if kind == "term":
+            return self._apply_boost(self._term_filter(val, field))
+        raise QueryStringError(f"unexpected token {kind!r}")
+
+    def _term_filter(self, raw: str, field):
+        m = re.fullmatch(r"(?P<body>.+?)~(?P<d>\d*)", raw)
+        if m:
+            d = m.group("d")
+            return F.Fuzzy(self.norm(m.group("body")),
+                           max_distance=int(d) if d else 2, field=field)
+        body = self.norm(raw)
+        if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+            return F.Prefix(body[:-1], field=field)
+        if "*" in body or "?" in body:
+            return F.Wildcard(body, field=field)  # accepts */? natively
+        return F.Term(body, field=field)
+
+
+def parse_query_string(s: str, default_field: str | None = None,
+                       default_operator: str = "or",
+                       normalize=str.lower) -> F.Filter:
+    """Parse a Lucene/ES ``query_string`` expression into a Filter."""
+    toks = _lex(s)
+    if not toks:
+        raise QueryStringError("empty query string")
+    p = _Parser(toks, default_field, default_operator, normalize)
+    out = p.parse_or(default_field)
+    if p.i != len(toks):
+        raise QueryStringError(
+            f"trailing tokens from {p.toks[p.i]!r}")
+    return out

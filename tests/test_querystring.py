@@ -1,0 +1,68 @@
+"""Lucene/ES query_string parser -> Filter AST: structure + end-to-end
+rank identity with hand-built filters."""
+
+import numpy as np
+
+from iresearch_ray.search import filters as F
+from iresearch_ray.search.querystring import (QueryStringError,
+                                              parse_query_string)
+
+
+def test_structures():
+    q = parse_query_string("hello world")
+    assert isinstance(q, F.Or) and len(q.filters) == 2
+    q = parse_query_string("hello world", default_operator="and")
+    assert isinstance(q, F.And) and len(q.filters) == 2
+    q = parse_query_string('"deploy target"')
+    assert isinstance(q, F.Phrase) and q.terms == ["deploy", "target"]
+    q = parse_query_string('"deploy target"~2')
+    assert isinstance(q, F.SloppyPhrase) and q.slop == 2
+    q = parse_query_string("dep*")
+    assert isinstance(q, F.Prefix)
+    q = parse_query_string("d?ploy")
+    assert isinstance(q, F.Wildcard)
+    q = parse_query_string("deploy~1")
+    assert isinstance(q, F.Fuzzy) and q.max_distance == 1
+    q = parse_query_string("lang:de")
+    assert isinstance(q, F.Term) and q.field == "lang" and q.term == "de"
+    q = parse_query_string("lang:(de OR fr)")
+    assert isinstance(q, F.Or) and all(c.field == "lang" for c in q.filters)
+    q = parse_query_string("[aaa TO bbb}")
+    assert isinstance(q, F.Range) and q.include_lo and not q.include_hi
+    q = parse_query_string("foo +bar -baz")
+    assert isinstance(q, F.And)
+    kinds = [type(c).__name__ for c in q.filters]
+    assert kinds == ["Term", "Term", "Not"]
+    q = parse_query_string("a AND (b OR c)^2")
+    assert q.filters[1].boost == 2.0
+    q = parse_query_string("Deploy", normalize=str.lower)
+    assert q.term == "deploy"
+
+
+def test_errors():
+    import pytest
+
+    with pytest.raises(QueryStringError):
+        parse_query_string("")
+    with pytest.raises(QueryStringError):
+        parse_query_string("(a OR b")
+    with pytest.raises(QueryStringError):
+        parse_query_string("a )")
+
+
+def test_end_to_end_rank_identity(searcher):
+    pairs = [
+        ("deploy AND target", F.And([F.Term("deploy"), F.Term("target")])),
+        ('"deploy target"', F.Phrase(["deploy", "target"])),
+        ("ref OR deploy OR ok",
+         F.Or([F.Term("ref"), F.Term("deploy"), F.Term("ok")])),
+        ("the -ref", F.And([F.Term("the"), F.Not(F.Term("ref"))])),
+        ("sec*", F.Prefix("sec")),
+        ("deploy~1", F.Fuzzy("deploy", 1)),
+    ]
+    for qs, flt in pairs:
+        a = searcher.search(parse_query_string(qs), k=25, mode="strict")
+        b = searcher.search(flt, k=25, mode="strict")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), qs
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   b["score"].to_numpy(), rtol=1e-6)

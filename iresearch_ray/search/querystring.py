@@ -209,6 +209,19 @@ class _Parser:
                           field=field)
             return self._apply_boost(flt)
         if kind == "term":
+            if field == "_exists_":
+                # ES _exists_:field -> docs carrying the field at all
+                return self._apply_boost(F.ColumnExistence(val))
+            m = re.fullmatch(r"(?P<op>>=|<=|>|<)(?P<v>.+)", val)
+            if m and field is not None:
+                # ES query_string range shorthand: field:>=v etc.
+                op, v = m.group("op"), self.norm(m.group("v"))
+                flt = F.Range(
+                    lo=v if op in (">", ">=") else None,
+                    hi=v if op in ("<", "<=") else None,
+                    include_lo=op == ">=", include_hi=op == "<=",
+                    field=field)
+                return self._apply_boost(flt)
             return self._apply_boost(self._term_filter(val, field))
         raise QueryStringError(f"unexpected token {kind!r}")
 

@@ -37,6 +37,13 @@ def test_structures():
     assert q.filters[1].boost == 2.0
     q = parse_query_string("Deploy", normalize=str.lower)
     assert q.term == "deploy"
+    q = parse_query_string("_exists_:lang")
+    assert isinstance(q, F.ColumnExistence) and q.column == "lang"
+    q = parse_query_string("n:>=100")
+    assert isinstance(q, F.Range) and q.lo == "100" and q.include_lo \
+        and q.hi is None and q.field == "n"
+    q = parse_query_string("n:<300")
+    assert isinstance(q, F.Range) and q.hi == "300" and not q.include_hi
 
 
 def test_errors():

@@ -175,6 +175,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # actors (two-phase global-stats protocol)
     from iresearch_ray.search.sharded import ShardedSearcher
 
+    # RAY_GRAFT_SERVING=0 (scaling legs): skip the serving-side probes
+    # — the scaling efficiency criterion compares BUILD throughput,
+    # and the cold/sharded/merge probes at 4 cpus multiply leg
+    # wall-clock several-fold without informing it
+    serving = os.environ.get("RAY_GRAFT_SERVING", "1") == "1"
+
     # COLD distributed n-gram: first query on freshly opened shard
     # actors — the scale path for the expensive cold categories (each
     # shard decodes 1/N of the segments in parallel; see BASELINE.md
@@ -184,7 +190,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # the index lives on tmpfs, so a second cold pool repeats the same
     # decode work — best-of-2 removes host scheduling noise, not
     # coldness).
-    membw_cold, cold_waits = _wait_soft_membw(1.0)
+    membw_cold, cold_waits = _wait_soft_membw(1.0) if serving else (0.0, 0)
     # headline cold probe: the 8-shard serving config (8 one-cpu shard
     # actors on a 32-cpu node — cold n-gram decode is embarrassingly
     # parallel across segments, and a real deployment sizes shards to
@@ -200,12 +206,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             sh.shutdown()
         return round(best, 4)
 
-    sharded_cold_ngram = _cold_probe(8)
-    sharded_cold_ngram4 = _cold_probe(4)
-    sh = ShardedSearcher(index_dir, n_shards=4)
+    sharded_cold_ngram = _cold_probe(8) if serving else 0.0
+    sharded_cold_ngram4 = _cold_probe(4) if serving else 0.0
+    sh = ShardedSearcher(index_dir, n_shards=4) if serving else None
     sharded_times = {}
     sharded_exchange_times = {}
-    for name in ("HighTerm", "OrHighHigh", "HighPhrase"):
+    for name in ("HighTerm", "OrHighHigh", "HighPhrase") if serving else ():
         sh.search(cats[name], k=100)  # warm
         # best-of-3 per mode: single samples on this VM carry ±3x
         # scheduling noise, which previously dominated the plain-vs-
@@ -223,7 +229,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             te = min(te, time.time() - t0)
         sharded_times[name] = round(tp, 4)
         sharded_exchange_times[name] = round(te, 4)
-    sh.shutdown()
+    if sh is not None:
+        sh.shutdown()
 
     # merge-throughput probe (the VERDICT r1 merge criterion): tier-merge
     # a ~3M-doc subset of the freshly built segments with the same task
@@ -246,7 +253,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # wave faults fresh worker heaps (the host's degraded first-touch
     # path); the repeat measures the steady-state rate a long-running
     # consolidation service sustains
-    merge_repeats = int(os.environ.get("RAY_GRAFT_MERGE_REPEATS", "2"))
+    merge_repeats = int(os.environ.get("RAY_GRAFT_MERGE_REPEATS", "2")) \
+        if serving else 0
     merge_sec = float("inf")
     merged_docs = 0
     for _ in range(merge_repeats if groups else 0):
@@ -415,7 +423,7 @@ def run_subprocess(ncpu: int) -> dict:
     # consolidation probes have their own metrics and would only add
     # leg wall-clock
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_CURATE="0",
-               RAY_GRAFT_CONSOLIDATE="0",
+               RAY_GRAFT_CONSOLIDATE="0", RAY_GRAFT_SERVING="0",
                RAY_GRAFT_BUILD_REPEATS=os.environ.get("RAY_GRAFT_BUILD_REPEATS", "3"))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],

@@ -579,3 +579,46 @@ def test_auto_date_histogram_interval_choice(ray_session):
     coarse = auto_date_histogram(ray.data.from_arrow(t), "ts",
                                  target_buckets=3)
     assert coarse["interval_s"].iloc[0] > want and len(coarse) <= 3
+
+
+def test_group_top_metrics_rejects_float_metric(ray_session):
+    """ADVICE r3: a float metric would be silently truncated by the
+    exact int64 winner/tie-break path — it must be rejected loudly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import group_top_metrics
+
+    t = pa.table({"g": ["a", "a"], "s": [1.0, 2.0], "m": [1.5, 2.5]})
+    with pytest.raises(Exception) as ei:
+        group_top_metrics(ray.data.from_arrow(t), "g", "s", "m")
+    assert "float" in str(ei.value)
+
+
+def test_auto_date_histogram_any_timestamp_unit(ray_session):
+    """ADVICE r3: ns/ms/s timestamp columns must bucket identically to
+    the us column (unit normalized before the integer epoch math)."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.aggregates import auto_date_histogram
+
+    import pyarrow.compute as pc
+
+    t = _events(n=1_000)
+    # truncate to whole seconds so every unit cast is lossless
+    e = t.column("ts").cast(pa.int64())
+    ts_us = pc.multiply(pc.divide(e, 1_000_000), 1_000_000) \
+        .cast(pa.timestamp("us"))
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    base = auto_date_histogram(ray.data.from_arrow(t), "ts",
+                               target_buckets=30)
+    for unit in ("ns", "ms", "s"):
+        t2 = t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            t.column("ts").cast(pa.timestamp(unit)))
+        out = auto_date_histogram(ray.data.from_arrow(t2), "ts",
+                                  target_buckets=30)
+        assert out["interval_s"].tolist() == base["interval_s"].tolist(), unit
+        assert out["n"].tolist() == base["n"].tolist(), unit

@@ -168,3 +168,37 @@ def test_build_deterministic_segmentation(ray_session, tmp_path):
     segs = m1.segments
     for prev, cur in zip(segs, segs[1:]):
         assert tuple(cur["first_key"]) > tuple(prev["last_key"])
+
+
+def test_snapshot_restages_partial_dest(small_corpus, tmp_path):
+    """ADVICE r3: a partial/foreign dest segment dir with a matching
+    name must be re-staged from the source, not silently kept."""
+    import os
+    import shutil
+
+    from iresearch_ray.analysis.analyzers import get_analyzer
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import write_segment
+    from iresearch_ray.search import filters as F
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    idx = str(tmp_path / "snapre_idx")
+    an = get_analyzer("segmentation", {})
+    m1 = write_segment(idx, small_corpus, an)
+    man = Manifest.commit(idx, [m1])
+    want = sorted(IndexSearcher(idx).match_docs(F.Term("deploy")).tolist())
+
+    # fake an interrupted earlier snapshot: same segment name, but the
+    # dir holds only one file of the set
+    dest = str(tmp_path / "snapre_dest")
+    partial = os.path.join(dest, m1["name"])
+    os.makedirs(partial)
+    shutil.copy2(os.path.join(idx, m1["name"], "meta.json"),
+                 os.path.join(partial, "meta.json"))
+
+    man.snapshot(dest)
+    restored = IndexSearcher(dest)
+    assert sorted(restored.match_docs(F.Term("deploy")).tolist()) == want
+    # the partial dir was replaced by the full file set
+    src_files = set(os.listdir(os.path.join(idx, m1["name"])))
+    assert set(os.listdir(partial)) == src_files

@@ -1196,3 +1196,15 @@ def test_index_sorted_topk_equals_sorted_head(searcher, small_corpus):
     all_rows = index_sorted_topk(searcher, k=n + 50,
                                  columns=("conv_id", "turn_idx"))
     assert len(all_rows) == n
+
+
+def test_index_sorted_topk_rejects_unsorted_column(searcher):
+    """ADVICE r3: early termination is only valid on the physical sort
+    order — a non-correlated column must raise, not mis-answer."""
+    import pytest
+
+    from iresearch_ray.api import index_sorted_topk
+
+    # 'role' cycles within each segment head -> not monotonic
+    with pytest.raises(ValueError, match="sort order"):
+        index_sorted_topk(searcher, k=20, columns=("role",))

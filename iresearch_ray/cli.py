@@ -57,10 +57,13 @@ def cmd_put(args) -> None:
 
 def cmd_search(args) -> None:
     from iresearch_ray.search.parser import parse_query
+    from iresearch_ray.search.querystring import parse_query_string
     from iresearch_ray.search.searcher import IndexSearcher
 
     s = IndexSearcher(args.index)
-    flt = parse_query(args.query)
+    flt = (parse_query_string(args.query)
+           if getattr(args, "syntax", "simple") == "lucene"
+           else parse_query(args.query))
     times = []
     res = None
     for _ in range(args.repeat):
@@ -153,6 +156,11 @@ def main(argv=None) -> None:
     se.add_argument("--k", type=int, default=100)
     se.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf"])
     se.add_argument("--mode", default="strict", choices=["strict", "all"])
+    se.add_argument("--syntax", default="simple",
+                    choices=["simple", "lucene"],
+                    help="query syntax: 'simple' (legacy terms/+/-/"
+                         "phrase) or 'lucene' (full query_string: "
+                         "AND/OR/NOT, field:, ranges, fuzzy, boosts)")
     se.add_argument("--repeat", type=int, default=1)
     se.set_defaults(fn=cmd_search)
 

@@ -617,7 +617,9 @@ def _q_knn_graph(sf_dir: str):
     ids = t.column("vec_id").to_numpy()
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    pdf = knn_graph(ds, corpus, ids, k=3)
+    pdf = knn_graph(ds, corpus, ids, k=3).to_pandas() \
+        .sort_values(["vec_id", "nbr_rank"], kind="mergesort") \
+        .reset_index(drop=True)
     pdf["cos_r"] = pdf["cosine"].round(5)
     return pdf[["vec_id", "nbr_rank", "nbr_id", "cos_r"]]
 
@@ -1288,18 +1290,14 @@ def _q_multimodal_decode(sf_dir: str):
         .sort_values("media_id").reset_index(drop=True)
 
 
-def _q_image_phash_dups(sf_dir: str):
-    """Perceptual image dedup (aHash/dHash over real PPM payloads,
-    ``multimodal.image_near_dups``): 192 synthetic block-pattern images
-    plus 32 planted half-size re-encodes; band-bucket groupby + exact
-    hamming verify. Non-SQL (binary payloads) — planted-recall is
-    pytest-verified."""
+def _phash_media_table():
+    """Deterministic image-media fixture: 192 synthetic block-pattern
+    images plus 32 planted half-size re-encodes (seed 11)."""
     import numpy as np
     import pyarrow as pa
-    import ray.data
 
     from iresearch_ray.pipelines.multimodal import (
-        MEDIA_SCHEMA, encode_ppm, image_near_dups, resize_nearest)
+        MEDIA_SCHEMA, encode_ppm, resize_nearest)
 
     rng = np.random.default_rng(11)
     rows = {k: [] for k in ("media_id", "kind", "payload", "width",
@@ -1320,22 +1318,16 @@ def _q_image_phash_dups(sf_dir: str):
         add(i, resize_nearest(b, 48, 32))
     for i in range(32):
         add(1000 + i, resize_nearest(bases[i], 24, 16))
-    t = pa.table(rows, schema=MEDIA_SCHEMA)
-    return image_near_dups(ray.data.from_arrow(t), max_hamming=3)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
-def _q_audio_fp_dups(sf_dir: str):
-    """Audio near-dup pairs via gain-invariant energy-contour
-    fingerprints (``multimodal.audio_near_dups``, chromaprint shape
-    without the FFT): 96 synthetic WAV clips + 16 planted half-volume
-    re-encodes. Non-SQL (binary payloads) — planted-recall is
-    pytest-verified."""
+def _afp_media_table():
+    """Deterministic audio-media fixture: 96 synthetic WAV clips plus
+    16 planted half-volume re-encodes (seed 13)."""
     import numpy as np
     import pyarrow as pa
-    import ray.data
 
-    from iresearch_ray.pipelines.multimodal import (
-        MEDIA_SCHEMA, audio_near_dups, encode_wav)
+    from iresearch_ray.pipelines.multimodal import MEDIA_SCHEMA, encode_wav
 
     rng = np.random.default_rng(13)
     rows = {k: [] for k in ("media_id", "kind", "payload", "width",
@@ -1359,8 +1351,98 @@ def _q_audio_fp_dups(sf_dir: str):
         add(i, s)
     for i in range(16):
         add(1000 + i, (clips[i] // 2).astype(np.int16))
-    t = pa.table(rows, schema=MEDIA_SCHEMA)
-    return audio_near_dups(ray.data.from_arrow(t), max_hamming=3)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _media_fp_fixture() -> str:
+    """Persist the deterministic media FINGERPRINTS (aHash ints, audio
+    energy-contour ints) as a parquet file DuckDB can read, so the
+    banded-hamming PAIR SET gets an exact independent SQL oracle
+    (bit_count over xor — VERDICT r4 #5). The hashing step itself stays
+    engine-side (binary payloads are the honestly-non-SQL part); what
+    the oracle independently checks is the distributed banded-LSH
+    candidate generation + verify + global pair dedup. Pure numpy — no
+    Ray session needed, so ``oracle_sql()`` can ensure the file exists
+    regardless of driver ordering."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from iresearch_ray.pipelines.multimodal import (AudioFingerprinter,
+                                                    ImageHasher)
+
+    path = "/tmp/iresearch_ray_cache/media_fps-v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img = ImageHasher()(_phash_media_table())
+    aud = AudioFingerprinter()(_afp_media_table())
+    t = pa.table({
+        "kind": pa.array(["image"] * img.num_rows + ["audio"] * aud.num_rows),
+        "media_id": pa.concat_arrays([
+            img.column("media_id").combine_chunks().cast(pa.int64()),
+            aud.column("media_id").combine_chunks().cast(pa.int64())]),
+        "fp": pa.concat_arrays([
+            img.column("ahash").combine_chunks(),
+            aud.column("afp").combine_chunks()]),
+    })
+    tmp = f"{path}.tmp.{os.getpid()}"
+    _pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _media_pairs_sql(kind: str) -> str:
+    """Exact hamming<=3 pair set over the persisted fingerprints —
+    O(n^2) bit_count join, independent of the engine's banded path."""
+    path = _media_fp_fixture()
+    return f"""
+WITH f AS (
+  SELECT media_id,
+         CAST(CASE WHEN fp < 0
+              THEN CAST(fp AS HUGEINT) + 18446744073709551616::HUGEINT
+              ELSE CAST(fp AS HUGEINT) END AS UBIGINT) AS u
+  FROM read_parquet('{path}') WHERE kind = '{kind}'
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+FROM f a JOIN f b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.u, b.u)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def _q_image_phash_dups(sf_dir: str):
+    """Perceptual image dedup (aHash/dHash over real PPM payloads,
+    ``multimodal.image_near_dups``): the deterministic 224-image
+    fixture through the banded-hamming groupby + exact popcount
+    verify; oracled by the O(n^2) bit_count join over the persisted
+    fingerprint parquet (``_media_pairs_sql``)."""
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import image_near_dups
+
+    _media_fp_fixture()  # ensure the oracle's input exists either order
+    out = image_near_dups(ray.data.from_arrow(_phash_media_table()),
+                          max_hamming=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_audio_fp_dups(sf_dir: str):
+    """Audio near-dup pairs via gain-invariant energy-contour
+    fingerprints (``multimodal.audio_near_dups``, chromaprint shape
+    without the FFT): the deterministic 112-clip fixture through the
+    shared banded-hamming path; oracled by the O(n^2) bit_count join
+    over the persisted fingerprint parquet."""
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import audio_near_dups
+
+    _media_fp_fixture()
+    out = audio_near_dups(ray.data.from_arrow(_afp_media_table()),
+                          max_hamming=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -2218,6 +2300,38 @@ def _q_query_string(sf_dir: str):
     return match_frame(s, flt)
 
 
+def _q_query_string_stemmed(sf_dir: str):
+    """``query_string`` over a STEMMED text-analyzed field (VERDICT r4
+    #4): the parser resolves the index's registered analyzer from the
+    searcher (``querystring.field_analyzers_from_searcher``, reference
+    ``utils/index-search.cpp:680-683``), so the query-side inflections
+    'queries' / 'tables' / 'merging' / 'valued' Porter2-stem onto the
+    indexed stems — with a lowercase stand-in every one of them would
+    silently match nothing."""
+    from iresearch_ray.api import match_frame
+    from iresearch_ray.search.querystring import parse_query_string
+
+    s = _derived_docs_searcher(
+        sf_dir, "stemmed", analyzer="text",
+        analyzer_options={"stemming": True, "stopwords": []},
+    )
+    flt = parse_query_string("queries AND (tables OR merging) -valued",
+                             searcher=s)
+    return match_frame(s, flt)
+
+
+def _q_query_string_regexp(sf_dir: str):
+    """``query_string`` ``/regexp/`` clause (VERDICT r4 #4) routed onto
+    the anchored ``Regexp`` dictionary filter: docs with a term fully
+    matching ``cust[a-z]*r`` that also contain 'row'."""
+    from iresearch_ray.api import documents_searcher, match_frame
+    from iresearch_ray.search.querystring import parse_query_string
+
+    s = documents_searcher(sf_dir, SEG_DOCS)
+    flt = parse_query_string("/cust[a-z]*r/ AND row")
+    return match_frame(s, flt)
+
+
 def _q_quantile_gate(sf_dir: str):
     """Percentile-threshold quality gate
     (``pipelines/aggregates.filter_by_group_quantile``): keep docs at
@@ -2727,7 +2841,8 @@ def _q_semdedup(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return semdedup(ds, k=8, iters=1, tau=0.4)
+    return semdedup(ds, k=8, iters=1, tau=0.4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_dsir_topk(sf_dir: str):
@@ -3342,6 +3457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passage_spans": _q_dup_passage_spans,
         "remove_dup_passages": _q_remove_dup_passages,
         "query_string_match": _q_query_string,
+        "query_string_stemmed": _q_query_string_stemmed,
+        "query_string_regexp": _q_query_string_regexp,
         "top_events_per_user": _q_top_events_per_user,
         "quantile_gate": _q_quantile_gate,
         "orders_revenue_join": _q_orders_revenue,
@@ -4206,6 +4323,30 @@ m3 AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'table')
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
   SELECT doc_id FROM m1 INTERSECT SELECT doc_id FROM m2
   EXCEPT SELECT doc_id FROM m3
+) ORDER BY doc_id
+""",
+        # Porter2 replica: the corpus vocabulary is CLOSED (31 template
+        # tokens); the engine stems both sides, so query 'queries' /
+        # 'tables' / 'merging' / 'valued' hit exactly the docs whose raw
+        # tokens are 'query' / 'table' / 'merge' / 'value' — the only
+        # corpus tokens sharing those Porter2 stems. Exact for this
+        # fixture; an open vocabulary would need a SQL stemmer.
+        "query_string_stemmed": _TOK_SQL + """
+, m1 AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'query'),
+m2 AS (SELECT DISTINCT doc_id FROM term_pos
+       WHERE term IN ('table', 'merge')),
+m3 AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'value')
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT doc_id FROM m1 INTERSECT SELECT doc_id FROM m2
+  EXCEPT SELECT doc_id FROM m3
+) ORDER BY doc_id
+""",
+        "query_string_regexp": _TOK_SQL + """
+, m1 AS (SELECT DISTINCT doc_id FROM term_pos
+         WHERE regexp_full_match(term, 'cust[a-z]*r')),
+m2 AS (SELECT DISTINCT doc_id FROM term_pos WHERE term = 'row')
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT doc_id FROM m1 INTERSECT SELECT doc_id FROM m2
 ) ORDER BY doc_id
 """,
         "multi_delimiter_match": """
@@ -5306,6 +5447,11 @@ FROM rk WHERE r <= 3
 ORDER BY doc_id, r
 """,
         "simhash_near_pairs": _simhash_pairs_sql(),
+        # exact banded-hamming pair sets over the persisted media
+        # fingerprints (VERDICT r4 #5): the engine's distributed
+        # banded-LSH path vs an O(n^2) bit_count join in DuckDB
+        "image_phash_dups": _media_pairs_sql("image"),
+        "audio_fp_dups": _media_pairs_sql("audio"),
         "winnow_fingerprints": _winnow_sql(),
         # Gopher-style repetition: bigrams via lead() over the same
         # tokenizer; dup = 1 - distinct/total, top = max count/total

@@ -160,6 +160,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # (the host's degraded first-touch path can tax it 2-4x), repeats
     # 2-3 measure the steady state a long-running indexer sustains
     repeats_build = int(os.environ.get("RAY_GRAFT_BUILD_REPEATS", "3"))
+    # soft-gate the BUILD phase too (VERDICT r4 #1: BENCH_r04's build
+    # regression was an ungated 0.15 GB/s window sample — the one phase
+    # the r4 gates didn't cover); the per-phase probe + wait count land
+    # in the artifact either way
+    membw_build, build_waits = _wait_soft_membw(1.0)
     build_sec = float("inf")
     for _ in range(repeats_build):
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -168,6 +173,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         man = build_index(corpus, index_dir, segment_docs=segment_docs,
                           stored_cols=("conv_id", "turn_idx", "role", "ts"))
         build_sec = min(build_sec, time.time() - t0)
+    # preserve_order cost A/B (VERDICT r4 #1): one extra leg with the
+    # r4 ordering fix disabled pins its cost in the artifact. The
+    # unordered build may legitimately FAIL the key-disjointness check
+    # under load — the wall time is complete either way (the check runs
+    # after the pipeline), so the leg still measures pipeline cost.
+    build_sec_unordered = None
+    if (os.environ.get("RAY_GRAFT_PRESERVE_AB", "1") == "1"
+            and os.environ.get("RAY_GRAFT_SERVING", "1") == "1"):
+        ab_dir = index_dir + "_ab"
+        shutil.rmtree(ab_dir, ignore_errors=True)
+        os.sync()
+        t0 = time.time()
+        try:
+            build_index(corpus, ab_dir, segment_docs=segment_docs,
+                        stored_cols=("conv_id", "turn_idx", "role", "ts"),
+                        preserve_order=False)
+        except ValueError:
+            pass  # overlap under load: expected without ordering
+        build_sec_unordered = round(time.time() - t0, 3)
+        shutil.rmtree(ab_dir, ignore_errors=True)
 
     cats = reference_categories()
 
@@ -255,6 +280,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # consolidation service sustains
     merge_repeats = int(os.environ.get("RAY_GRAFT_MERGE_REPEATS", "2")) \
         if serving else 0
+    # soft-gate the merge phase (VERDICT r4 #1: the r4 merge "regression"
+    # was a 0.15 GB/s window sample with no gate on this phase)
+    membw_merge, merge_waits = _wait_soft_membw(1.0) if merge_repeats \
+        else (0.0, 0)
     merge_sec = float("inf")
     merged_docs = 0
     for _ in range(merge_repeats if groups else 0):
@@ -282,21 +311,39 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             and len(man.segments) > min_segs:
         from iresearch_ray.index.merge import consolidate
 
+        # gate + record, so consolidate_sec is comparable round-over-
+        # round (VERDICT r4 #8: driver 259s vs in-session 104.6s was
+        # the same degraded-window confound)
+        membw_cons, cons_waits = _wait_soft_membw(1.0)
         t0 = time.time()
         cman = consolidate(index_dir, max_segments=24,
                            max_docs=1_000_000_000, cleanup=False)
         consolidated_meta = {
             "consolidate_sec": round(time.time() - t0, 3),
             "consolidated_segments": len(cman.segments),
+            "host_membw_gbps_consolidate": membw_cons,
+            "membw_gate_waits_consolidate": cons_waits,
         }
-        # consolidated sharded cold n-gram: fresh actor pool over the
-        # consolidated layout (latest generation)
-        csh = ShardedSearcher(index_dir, n_shards=4)
-        t0 = time.time()
-        csh.search(cats["HighNGram"], k=100)
-        consolidated_meta["consolidated_cold_ngram_sec"] = \
-            round(time.time() - t0, 4)
-        csh.shutdown()
+        # consolidated sharded cold n-gram, SAME protocol as the
+        # headline cold probe (8 shards, best-of-2 fresh pools) — with
+        # row-group sub-sharding (VERDICT r4 #3) the ~13 merged
+        # segments split into doc-range units so all 8 shards decode:
+        # consolidation no longer collapses cold parallelism
+        def _ccold(n_shards: int, sub: bool) -> float:
+            best = float("inf")
+            for _ in range(2):
+                csh = ShardedSearcher(index_dir, n_shards=n_shards,
+                                      subshard=sub)
+                t0 = time.time()
+                csh.search(cats["HighNGram"], k=100)
+                best = min(best, time.time() - t0)
+                csh.shutdown()
+            return round(best, 4)
+
+        consolidated_meta["consolidated_cold_ngram_sec"] = _ccold(8, True)
+        # r4-comparable diagnostic: whole-segment shards (13 units)
+        consolidated_meta["consolidated_cold_ngram_nosub_sec"] = \
+            _ccold(8, False)
 
     # training-data curation probe: the composed pipeline (exact dedup
     # -> quality gate -> 4-gram decontamination -> split assignment)
@@ -396,6 +443,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "segments": len(man.segments),
         "host_membw_gbps": membw,
         "host_membw_warm_gbps": membw_warm,
+        "host_membw_gbps_build": membw_build,
+        "membw_gate_waits_build": build_waits,
+        "build_sec_no_preserve_order": build_sec_unordered,
+        "host_membw_gbps_merge": membw_merge,
+        "membw_gate_waits_merge": merge_waits,
         "host_membw_gbps_query": membw_query,
         "membw_gate_waits_query": query_waits,
         "host_membw_gbps_cold": membw_cold,

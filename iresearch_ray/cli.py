@@ -61,7 +61,9 @@ def cmd_search(args) -> None:
     from iresearch_ray.search.searcher import IndexSearcher
 
     s = IndexSearcher(args.index)
-    flt = (parse_query_string(args.query)
+    # lucene syntax resolves each field's registered analyzer from the
+    # open index (reference utils/index-search.cpp:680-683)
+    flt = (parse_query_string(args.query, searcher=s)
            if getattr(args, "syntax", "simple") == "lucene"
            else parse_query(args.query))
     times = []

@@ -137,6 +137,7 @@ def build_index(
     base_segments: list | None = None,
     commit_every: int | None = None,
     commit: bool = True,
+    preserve_order: bool = True,
 ) -> "Manifest | list[dict]":
     """Build a committed index under ``index_dir``.
 
@@ -243,7 +244,9 @@ def build_index(
     # 256-row segment spanning conv-0..conv-64 while the next began at
     # conv-11). preserve_order makes every stage release blocks in
     # input order, so batch boundaries are deterministic and contiguous.
-    dctx.execution_options.preserve_order = True
+    # (``preserve_order=False`` exists ONLY for the benchmark's cost
+    # A/B — an unordered build fails the disjointness check under load)
+    dctx.execution_options.preserve_order = bool(preserve_order)
     base = [dict(s) for s in (base_segments or [])]
 
     def _combined(metas):

@@ -128,8 +128,12 @@ class Manifest:
                 # by an earlier snapshot is re-staged, never silently
                 # kept (a name match alone would yield a corrupt
                 # "self-contained" snapshot)
+                # compare (relpath, size) — size is nearly free and
+                # catches truncated/stale same-named files in a foreign
+                # dest dir that a name-only check would keep
                 def _fileset(root: str) -> set:
-                    return {os.path.relpath(os.path.join(r, f), root)
+                    return {(os.path.relpath(p := os.path.join(r, f), root),
+                             os.path.getsize(p))
                             for r, _, fs in os.walk(root) for f in fs}
                 if _fileset(ddir) == _fileset(sdir):
                     continue

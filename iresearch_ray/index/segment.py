@@ -873,6 +873,28 @@ class SegmentReader:
         # decoded OFFS/PAY occurrence streams (highlight hits the same
         # few query terms repeatedly)
         self._occ_cache: dict[tuple[str, int], tuple] = {}
+        # sub-segment serving view (VERDICT r4 #3): when set to a local
+        # doc row range, postings/phrase_keys return only in-range docs
+        # and the POSITION streams decode only the overlapping blocks
+        self.serve_range: tuple[int, int] | None = None
+        self._plr_cache: dict[tuple[int, bool], "PostingList"] = {}
+
+    def set_serve_range(self, lo: int, hi: int) -> None:
+        """Restrict this reader to local docs ``lo < doc <= hi`` (0-based
+        half-open row range [lo, hi)) — the row-group sub-shard view a
+        distributed serving layer uses to keep cold decode parallelism
+        over big consolidated segments (the reference's merge policy
+        trades against the same effect, ``core/utils/index_utils.hpp:
+        71-84``). Scoring semantics are unchanged (BM25 depends on
+        per-doc tf/norms + index-wide stats, which the sharded
+        coordinator overrides globally); OFFS/PAY/bulk consumers guard
+        against range views (they align to whole-segment streams)."""
+        lo, hi = int(lo), int(hi)
+        if not (0 <= lo < hi <= self.docs_count):
+            raise ValueError(f"bad serve range [{lo}, {hi}) for "
+                             f"{self.docs_count}-doc segment")
+        self.serve_range = (lo, hi)
+        self._plr_cache.clear()
 
     # --- stats -----------------------------------------------------------
     @property
@@ -955,7 +977,14 @@ class SegmentReader:
 
     def filter_live(self, docs: np.ndarray, scores: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray]:
-        """Drop deleted docs from a (docs, scores) result pair."""
+        """Drop deleted docs — and, on a ``serve_range`` view, docs
+        outside the range (the single choke point every execute path
+        funnels through, so All/columnstore/numeric/WAND-cursor paths
+        that decode whole-segment doc sets stay correct)."""
+        if self.serve_range is not None and docs.size:
+            lo, hi = self.serve_range
+            keep = (docs > lo) & (docs <= hi)
+            docs, scores = docs[keep], scores[keep]
         mask = self.deleted_mask
         if mask is None or docs.size == 0:
             return docs, scores
@@ -1121,8 +1150,16 @@ class SegmentReader:
         return self._postings
 
     def postings(self, idx: int, positions: bool = False):
-        """Fully decode term ``idx`` -> PostingList (exhaustive path).
-        Decoded lists are cached (bounded FIFO)."""
+        """Decode term ``idx`` -> PostingList (cached, bounded FIFO).
+        Under a ``serve_range`` the list is restricted to in-range docs
+        and only the overlapping POSITION blocks are decoded (the
+        base doc/freq streams decode fully — they are the cheap part
+        and their full form is shared via the normal cache)."""
+        if self.serve_range is not None:
+            return self._postings_range(idx, positions)
+        return self._postings_full_pl(idx, positions)
+
+    def _postings_full_pl(self, idx: int, positions: bool = False):
         key = (idx, positions)
         hit = self._pl_cache.get(key)
         if hit is None and positions is False:
@@ -1134,6 +1171,57 @@ class SegmentReader:
             self._pl_cache.pop(next(iter(self._pl_cache)))
         self._pl_cache[key] = pl
         return pl
+
+    def _postings_range(self, idx: int, positions: bool):
+        key = (idx, positions)
+        hit = self._plr_cache.get(key)
+        if hit is None and positions is False:
+            hit = self._plr_cache.get((idx, True))
+        if hit is not None:
+            return hit
+        lo, hi = self.serve_range
+        full = self._postings_full_pl(idx, False)  # docs/tfs only (cheap)
+        i0 = int(np.searchsorted(full.docs, lo, side="right"))
+        i1 = int(np.searchsorted(full.docs, hi, side="right"))
+        docs, tfs = full.docs[i0:i1], full.tfs[i0:i1]
+        pos = None
+        if positions:
+            occ0 = int(full.tfs[:i0].sum())
+            occ1 = occ0 + int(tfs.sum())
+            fp = self._pl_cache.get((idx, True))
+            if fp is not None and fp.positions is not None:
+                pos = fp.positions[occ0:occ1]
+            elif docs.size:
+                deltas = self._pos_deltas_range(idx, occ0, occ1)
+                # the first occurrence of each doc run carries its
+                # absolute position, so reconstruction from a doc
+                # boundary needs nothing decoded before occ0
+                cum = np.cumsum(deltas)
+                rs = np.concatenate(
+                    ([0], np.cumsum(tfs)[:-1])).astype(np.int64)
+                base = np.repeat(cum[rs] - deltas[rs],
+                                 tfs.astype(np.int64))
+                pos = cum - base
+            else:
+                pos = np.empty(0, dtype=np.int64)
+        pl = PostingList(docs=docs, tfs=tfs, positions=pos,
+                         run_tfs=tfs if positions else None)
+        if len(self._plr_cache) >= self._pl_cache_max:
+            self._plr_cache.pop(next(iter(self._plr_cache)))
+        self._plr_cache[key] = pl
+        return pl
+
+    def _pos_deltas_range(self, idx: int, a: int, b: int) -> np.ndarray:
+        """Raw position deltas for occurrences ``[a, b)`` — the v3
+        blocked stream decodes only the overlapping 128-blocks."""
+        pos_row = self._posting_row(idx, "pos")
+        pos_blob = self._row_blob(pos_row, "pos_blob")
+        total = int(self.total_tf[idx])
+        if "pos_chunk_off" in pos_row.column_names:
+            return _decode_stream_range(
+                pos_blob, self._row_list(pos_row, "pos_chunk_off"),
+                total, a, b)
+        return varint_decode(pos_blob).view(np.int64)[a:b]  # v2 flat
 
     def postings_many(self, rows) -> list["PostingList"]:
         """Decode several terms' (docs, tfs) at once; cache misses go
@@ -1199,6 +1287,18 @@ class SegmentReader:
                     self._pl_cache.pop(next(iter(self._pl_cache)))
                 self._pl_cache[(r, False)] = pl
                 out[r] = pl
+        if getattr(self, "serve_range", None) is not None:
+            # bulk path caches FULL lists (shared machinery); the range
+            # view slices at the boundary (docs/tfs only here).
+            # getattr: duck-typed fakes reuse this method unbound
+            lo, hi = self.serve_range
+
+            def _clip(pl: "PostingList") -> "PostingList":
+                i0 = int(np.searchsorted(pl.docs, lo, side="right"))
+                i1 = int(np.searchsorted(pl.docs, hi, side="right"))
+                return PostingList(docs=pl.docs[i0:i1], tfs=pl.tfs[i0:i1])
+
+            return [_clip(out[int(r)]) for r in rows]
         return [out[int(r)] for r in rows]
 
     def _decode_postings(self, idx: int, positions: bool = False):
@@ -1245,6 +1345,11 @@ class SegmentReader:
         ``idx``, aligned with ``postings(idx, positions=True).positions``
         (the OFFS index feature; requires a segment built with
         ``index_features=("offs",)``)."""
+        if self.serve_range is not None:
+            raise RuntimeError(
+                "occurrence_offsets is not supported on a serve_range "
+                "sub-segment view (the OFFS stream aligns to the whole "
+                "segment); open the segment without a range")
         hit = self._occ_cache.get(("offs", idx))
         if hit is not None:
             return hit
@@ -1270,6 +1375,10 @@ class SegmentReader:
     def payloads(self, idx: int) -> np.ndarray:
         """uint64 payload per occurrence of term ``idx``, aligned with
         the flat position stream (PAY index feature)."""
+        if self.serve_range is not None:
+            raise RuntimeError(
+                "payloads is not supported on a serve_range sub-segment "
+                "view (the PAY stream aligns to the whole segment)")
         hit = self._occ_cache.get(("pay", idx))
         if hit is not None:
             return hit
@@ -1302,7 +1411,8 @@ class SegmentReader:
                       extras: bool = False) -> dict:
         """Decode ALL of a field's postings in a few vectorized passes
         (the merge/consolidation fast path — per-term ``postings()``
-        calls would cost O(V) Python round-trips).
+        calls would cost O(V) Python round-trips). Whole-segment only
+        (merge never runs on a ``serve_range`` view).
 
         Strategy: a binary Arrow column's value buffer already holds the
         per-term blobs contiguously, so every df<128 term (pure varint)
@@ -1446,6 +1556,14 @@ class SegmentReader:
         hit = self._pk_cache.get(key)
         if hit is None:
             base = self._pk_cache.get((idx, 0))
+            if base is None and self.serve_range is not None:
+                # range view: keys from the ranged positional decode
+                # (1/R of the stream) — the fused full-stream path below
+                # would misalign its deltas against sliced docs/tfs
+                pl = self._postings_range(idx, True)
+                doc_rep = np.repeat(pl.docs, pl.tfs)
+                base = (doc_rep << np.int64(32)) + pl.positions
+                self._pk_put((idx, 0), base)
             if base is None:
                 pl = self._pl_cache.get((idx, True))
                 if pl is not None:
@@ -1673,6 +1791,33 @@ def _decode_stream(blob: np.ndarray, offsets: np.ndarray, count: int) -> np.ndar
         pos += vals.size
     assert pos == count, f"decoded {pos} of {count}"
     return out
+
+
+def _decode_stream_range(blob: np.ndarray, offsets: np.ndarray,
+                         count: int, a: int, b: int) -> np.ndarray:
+    """Decode values ``[a, b)`` of a blocked stream touching ONLY the
+    bitpacked 128-blocks (and/or the varint tail) that overlap the
+    range — the sub-segment serving read path (VERDICT r4 #3): a
+    doc-range shard of a big consolidated segment decodes 1/R of the
+    position stream instead of all of it."""
+    if a <= 0 and b >= count:
+        return _decode_stream(blob, offsets, count)
+    if b <= a:
+        return np.empty(0, dtype=np.int64)
+    full = count // BLOCK_SIZE
+    b0 = min(a // BLOCK_SIZE, full)
+    b1 = min((b + BLOCK_SIZE - 1) // BLOCK_SIZE, full)
+    parts = []
+    if b1 > b0:
+        parts.append(_batch_unpack_full(
+            blob, offsets[b0:b1].astype(np.int64)).ravel())
+    if b > full * BLOCK_SIZE:
+        start = int(offsets[full]) if full < offsets.size else blob.size
+        tail = varint_decode(blob[start:], count=count - full * BLOCK_SIZE)
+        parts.append(tail.astype(np.int64))
+    vals = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    off = b0 * BLOCK_SIZE
+    return vals[a - off : b - off]
 
 
 def _batch_unpack_full(blob: np.ndarray, offs: np.ndarray,

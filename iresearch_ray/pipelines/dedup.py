@@ -903,6 +903,17 @@ def banded_hamming_pairs(fps, hash_col: str, id_col: str = "doc_id",
     -> Dataset(out_a, out_b, hamming) with out_a < out_b; ids must be
     non-negative and < 2^31 apart in packing range (int64 pack is
     a*(2^32)+b)."""
+    if max_hamming > n_bands - 1:
+        # pigeonhole recall only holds for hamming <= n_bands-1: a pair
+        # differing in every band never collides in any bucket and is
+        # silently missed.  Auto-widen the banding so the guarantee
+        # covers the requested radius (ADVICE r4) — smaller bands mean
+        # bigger buckets, never missed pairs.
+        if max_hamming > 63:
+            raise ValueError(
+                f"max_hamming={max_hamming} > 63 cannot be guaranteed "
+                "over a 64-bit fingerprint")
+        n_bands = max_hamming + 1
     band_bits = 64 // n_bands
     band_mask = np.uint64((1 << band_bits) - 1)
 

@@ -148,8 +148,11 @@ def _prune_group(df: pd.DataFrame, tau: float, vec_col: str,
 
 def semdedup(ds, k: int = 8, iters: int = 1, tau: float = 0.4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             concurrency=None) -> pd.DataFrame:
-    """-> DataFrame (id, cluster, keep) for the whole corpus.
+             concurrency=None):
+    """-> ``ray.data.Dataset`` (id, cluster, keep) — one row per input
+    vector, streamed; nothing corpus-sized lands on the driver
+    (VERDICT r4 #7: callers wanting a frame do ``.to_pandas()``
+    themselves, as the ``__ray_entry__`` oracle wrapper does).
 
     ``concurrency=None`` -> elastic assigner pool up to CPUs - 2 (a
     fixed pool equal to the session CPUs deadlocks the pipeline: the
@@ -166,7 +169,6 @@ def semdedup(ds, k: int = 8, iters: int = 1, tau: float = 0.4,
     assigned = ds.map_batches(
         _ClusterAssigner, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"centroids": cref, "vec_col": vec_col})
-    out = assigned.groupby("cluster").map_groups(
+    return assigned.groupby("cluster").map_groups(
         _prune_group, batch_format="pandas",
         fn_kwargs={"tau": tau, "vec_col": vec_col, "id_col": id_col})
-    return (out.to_pandas().sort_values(id_col).reset_index(drop=True))

@@ -171,9 +171,17 @@ class IndexSearcher:
     def __init__(self, index_dir: str, segment_subset: set | None = None,
                  stats_override: dict | None = None,
                  query_threads: int | None = None,
-                 generation: int | None = None):
+                 generation: int | None = None,
+                 segment_ranges: dict | None = None):
         """``segment_subset``: open only these segment names but keep
         GLOBAL doc bases (a shard view of the index).
+        ``segment_ranges``: {segment_name: (lo, hi)} local doc row
+        ranges — sub-segment shard views (``SegmentReader.
+        set_serve_range``) that keep cold decode parallelism over big
+        consolidated segments; use together with ``stats_override``
+        (a sharded coordinator's global stats) so scoring stays
+        rank-identical — a range view's OWN field stats still count the
+        whole segment, like deleted docs do until a merge.
         ``generation``: open a PAST commit point (Lucene IndexCommit /
         ES point-in-time) instead of the latest — readable until its
         segments are garbage-collected by ``Manifest.cleanup()``.
@@ -213,6 +221,11 @@ class IndexSearcher:
                 SegmentReader(os.path.join(index_dir, s["name"]), meta=s)
                 for s in metas
             ]
+        if segment_ranges:
+            for sr, m in zip(self.segments, metas):
+                rng = segment_ranges.get(m["name"])
+                if rng is not None:
+                    sr.set_serve_range(*rng)
         self.doc_bases = np.asarray([s["doc_base"] for s in metas], dtype=np.int64)
         self._field_stats: dict[str, FieldStats] = {}
         self._term_cache: dict[tuple, TermState] = {}
@@ -386,7 +399,9 @@ class IndexSearcher:
             # order-independent TopK makes results rank-identical to
             # the sequential scan; the shared threshold still prunes
             # across segments, just with whatever order finishes first.
-            list(self._executor(nthreads).map(
+            # skipped counts come back as per-call return values and are
+            # summed here — no shared read-modify-write across threads.
+            self.last_segments_skipped = sum(self._executor(nthreads).map(
                 lambda i: self._search_segment(prepared, i, col, mode,
                                                is_tdis, is_tconj),
                 range(nseg)))
@@ -397,8 +412,8 @@ class IndexSearcher:
                          if threshold_hook is not None and mode == "strict"
                          else None)
             for i in range(nseg):
-                self._search_segment(prepared, i, col, mode, is_tdis,
-                                     is_tconj)
+                self.last_segments_skipped += self._search_segment(
+                    prepared, i, col, mode, is_tdis, is_tconj)
                 if next_hook is not None and _time.monotonic() >= next_hook:
                     # post the lock-free stale bound (still valid);
                     # forcing a compaction here measurably costs more
@@ -410,7 +425,10 @@ class IndexSearcher:
         return self._result_frame(col.docs, col.scores, columns)
 
     def _search_segment(self, prepared, i: int, col: "TopK", mode: str,
-                        is_tdis: bool, is_tconj: bool) -> None:
+                        is_tdis: bool, is_tconj: bool) -> int:
+        """-> 1 if the whole segment was skipped by the WAND threshold,
+        else 0 (the caller accumulates into ``last_segments_skipped`` so
+        the counter stays exact under the query thread pool)."""
         base = int(self.doc_bases[i])
         if mode == "strict":
             thr = col.threshold
@@ -421,19 +439,19 @@ class IndexSearcher:
             # cached merge it would skip.)
             if not is_tdis and np.isfinite(thr) \
                     and prepared.max_score(i) < thr:
-                self.last_segments_skipped += 1  # int += under GIL
-                return
+                return 1
             if isinstance(prepared, PreparedTerm):
                 self._wand_term(prepared, i, base, col)
-                return
+                return 0
             if is_tdis:
                 self._maxscore_or(prepared, i, base, col)
-                return
+                return 0
             if is_tconj:
                 self._wand_and(prepared, i, base, col)
-                return
+                return 0
         docs, scores = self.segments[i].filter_live(*prepared.execute(i))
         col.push(docs + base, scores)
+        return 0
 
     def _executor(self, nthreads: int):
         """Persistent query thread pool (created lazily, sized once)."""

@@ -46,6 +46,81 @@ def test_structures():
     assert isinstance(q, F.Range) and q.hi == "300" and not q.include_hi
 
 
+def test_negation_under_default_or():
+    # 'a NOT b' (default OR) must be a AND NOT b, not
+    # Or([a, match-all-except-b]).  The lone Not flows bare into the
+    # Or, whose prepare() extracts it as a MUST_NOT negative.
+    for qs in ("a NOT b", "a OR -b"):
+        q = parse_query_string(qs)
+        assert isinstance(q, F.Or), qs
+        kinds = [type(c).__name__ for c in q.filters]
+        assert kinds == ["Term", "Not"], (qs, kinds)
+    # 'a -b' takes the parse_and continuation path -> And([a, Not(b)]),
+    # the same a AND NOT b semantics
+    q = parse_query_string("a -b")
+    assert isinstance(q, F.And)
+    assert [type(c).__name__ for c in q.filters] == ["Term", "Not"]
+    q = parse_query_string("-a b")
+    assert isinstance(q, F.Or)
+    assert [type(c).__name__ for c in q.filters] == ["Not", "Term"]
+    # lone negation stays a top-level Not (prepared as All AND NOT x)
+    q = parse_query_string("-a")
+    assert isinstance(q, F.Not)
+    q = parse_query_string("NOT a")
+    assert isinstance(q, F.Not)
+
+
+def test_regexp_clause():
+    q = parse_query_string("/dep.*y/")
+    assert isinstance(q, F.Regexp) and q.pattern == "dep.*y"
+    q = parse_query_string("lang:/d[ae]/")
+    assert isinstance(q, F.Regexp) and q.field == "lang"
+    # escaped slash inside the pattern body
+    q = parse_query_string("/a\\/b/")
+    assert isinstance(q, F.Regexp) and q.pattern == "a/b"
+    q = parse_query_string("/cu.*/ AND row")
+    assert isinstance(q, F.And)
+    assert [type(c).__name__ for c in q.filters] == ["Regexp", "Term"]
+
+
+def test_per_field_analyzers():
+    from iresearch_ray.analysis.analyzers import get_analyzer
+
+    az = get_analyzer("text", {"stemming": True, "stopwords": ["the"]})
+    # bare term runs through the field analyzer -> stemmed
+    q = parse_query_string("running", analyzers={None: az})
+    assert isinstance(q, F.Term) and q.term == "run"
+    # phrase words analyzed individually in order
+    q = parse_query_string('"running deployments"', analyzers={None: az})
+    assert isinstance(q, F.Phrase) and q.terms == ["run", "deploy"]
+    # stopword analyzed away -> Empty (matches nothing), like Lucene
+    q = parse_query_string("the", analyzers={None: az})
+    assert isinstance(q, F.Empty)
+    # field-scoped resolution: body uses the stemmer, lang does not
+    q = parse_query_string("body:running lang:DE",
+                           analyzers={"body": az})
+    stems = {c.field: c.term for c in q.filters}
+    assert stems == {"body": "run", "lang": "de"}
+    # analyzer may be given by registry name
+    q = parse_query_string("Deploy", analyzers={None: "segmentation"})
+    assert isinstance(q, F.Term) and q.term == "deploy"
+    # multiterm patterns stay on normalize (analyze_wildcard=false)
+    q = parse_query_string("runni*", analyzers={None: az})
+    assert isinstance(q, F.Prefix) and q.prefix == "runni"
+
+
+def test_searcher_analyzer_resolution(searcher):
+    from iresearch_ray.search.querystring import \
+        field_analyzers_from_searcher
+
+    m = field_analyzers_from_searcher(searcher)
+    assert None in m  # default-field fallback present
+    a = searcher.search(parse_query_string("Deploy", searcher=searcher),
+                        k=10, mode="strict")
+    b = searcher.search(F.Term("deploy"), k=10, mode="strict")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
 def test_errors():
     import pytest
 
@@ -64,6 +139,9 @@ def test_end_to_end_rank_identity(searcher):
         ("ref OR deploy OR ok",
          F.Or([F.Term("ref"), F.Term("deploy"), F.Term("ok")])),
         ("the -ref", F.And([F.Term("the"), F.Not(F.Term("ref"))])),
+        ("the NOT ref", F.And([F.Term("the"), F.Not(F.Term("ref"))])),
+        ("-ref the", F.And([F.Term("the"), F.Not(F.Term("ref"))])),
+        ("the OR -ref", F.And([F.Term("the"), F.Not(F.Term("ref"))])),
         ("sec*", F.Prefix("sec")),
         ("deploy~1", F.Fuzzy("deploy", 1)),
     ]

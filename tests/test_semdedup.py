@@ -25,7 +25,8 @@ def test_semdedup_planted_pairs(ray_session):
 
     t = _emb_table()
     out = semdedup(ray.data.from_arrow(t).repartition(4),
-                   k=4, iters=1, tau=0.9)
+                   k=4, iters=1, tau=0.9).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
     keep = dict(zip(out["vec_id"], out["keep"]))
     clus = dict(zip(out["vec_id"], out["cluster"]))
     assert len(out) == 120
@@ -46,6 +47,7 @@ def test_semdedup_layout_invariant(ray_session):
     outs = []
     for parts in (2, 7):
         out = semdedup(ray.data.from_arrow(t).repartition(parts),
-                       k=4, iters=1, tau=0.9)
+                       k=4, iters=1, tau=0.9).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
         outs.append(out.to_records(index=False).tolist())
     assert outs[0] == outs[1]

@@ -494,7 +494,9 @@ def test_knn_graph_exact(ray_session):
                   "embedding": pa.array(vecs.tolist(),
                                         type=pa.list_(pa.float32()))})
     f32 = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    pdf = knn_graph(ray.data.from_arrow(t), f32, ids, k=3)
+    pdf = knn_graph(ray.data.from_arrow(t), f32, ids, k=3).to_pandas() \
+        .sort_values(["vec_id", "nbr_rank"], kind="mergesort") \
+        .reset_index(drop=True)
     assert len(pdf) == 60 * 3
     assert pdf.columns.tolist() == ["vec_id", "nbr_rank", "nbr_id", "cosine"]
     # planted duplicate direction is each other's top neighbor

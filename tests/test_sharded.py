@@ -205,3 +205,105 @@ def test_threshold_exchange_prunes_skewed_corpus(ray_session, tmp_path):
                                    res["score"].to_numpy(), rtol=1e-6)
     finally:
         sh.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# sub-segment (doc-range) serving — VERDICT r4 #3
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sharded_sub(ray_session, small_index):
+    """4 shards over a 2-segment index: subshard=True splits each
+    segment into doc-range units so every shard holds one."""
+    from iresearch_ray.search.sharded import ShardedSearcher
+
+    # fractional actor CPUs: the module's other fixture holds 2 of the
+    # session's 4 CPUs; 4 one-CPU actors would deadlock the pool
+    s = ShardedSearcher(small_index, n_shards=4, subshard=True,
+                        actor_num_cpus=0.25)
+    yield s
+    s.shutdown()
+
+
+SUB_FILTERS = FILTERS + [
+    F.NGramSimilarity("the ref ok", threshold=0.5),   # positions path
+    F.SloppyPhrase(["deploy", "target"], slop=2),
+    F.Not(F.Term("ref")),                             # All-sourced docs
+    F.Range(lo="sec", hi="then"),
+]
+
+
+def test_subshard_actually_splits(sharded_sub):
+    # 2 segments must fan out over MORE than 2 workers
+    assert len(sharded_sub.actors) == 4
+
+
+@pytest.mark.parametrize("mode", ["all", "strict"])
+def test_subsharded_equals_local(sharded_sub, searcher, mode):
+    for flt in SUB_FILTERS:
+        a = sharded_sub.search(flt, k=25, mode=mode)
+        b = searcher.search(flt, k=25, mode=mode)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), flt
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   b["score"].to_numpy(), rtol=1e-6)
+
+
+def test_subsharded_columns(sharded_sub, searcher):
+    a = sharded_sub.search(F.Term("ref"), k=5,
+                           columns=("conv_id", "turn_idx"))
+    b = searcher.search(F.Term("ref"), k=5, columns=("conv_id", "turn_idx"))
+    assert a["conv_id"].tolist() == b["conv_id"].tolist()
+    assert a["turn_idx"].tolist() == b["turn_idx"].tolist()
+
+
+def test_serve_range_segment_reader(small_index):
+    """Unit invariants of the range view: sliced postings, block-range
+    position decode, phrase keys, and the filter_live clip all equal
+    the full reader restricted to the range."""
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import SegmentReader
+
+    man = Manifest.load(small_index)
+    meta = man.segments[0]
+    full = SegmentReader(man.segment_dir(meta), meta=dict(meta))
+    n = meta["docs_count"]
+    for lo, hi in ((0, 640), (640, n), (100, 777)):  # aligned + not
+        sub = SegmentReader(man.segment_dir(meta), meta=dict(meta))
+        sub.set_serve_range(lo, hi)
+        for term in ("the", "ref", "deploy"):
+            row = full.lookup(term)
+            assert row >= 0
+            fp = full.postings(row, positions=True)
+            sp = sub.postings(row, positions=True)
+            keep = (fp.docs > lo) & (fp.docs <= hi)
+            np.testing.assert_array_equal(sp.docs, fp.docs[keep])
+            np.testing.assert_array_equal(sp.tfs, fp.tfs[keep])
+            occ = np.repeat(keep, fp.tfs)
+            np.testing.assert_array_equal(sp.positions, fp.positions[occ])
+            # phrase keys: exactly the in-range subset of the full keys
+            fk = full.phrase_keys(row)
+            sk = sub.phrase_keys(row)
+            fd = fk >> np.int64(32)
+            np.testing.assert_array_equal(sk, fk[(fd > lo) & (fd <= hi)])
+        # filter_live range clip on an All-style doc stream
+        docs = np.arange(1, n + 1, dtype=np.int64)
+        got, _ = sub.filter_live(docs, np.zeros(n, dtype=np.float32))
+        np.testing.assert_array_equal(got,
+                                      np.arange(lo + 1, hi + 1))
+
+
+def test_serve_range_guards(small_index):
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import SegmentReader
+
+    man = Manifest.load(small_index)
+    meta = man.segments[0]
+    sub = SegmentReader(man.segment_dir(meta), meta=dict(meta))
+    with pytest.raises(ValueError):
+        sub.set_serve_range(10, 5)
+    sub.set_serve_range(0, 100)
+    with pytest.raises(RuntimeError):
+        sub.occurrence_offsets(0)
+    with pytest.raises(RuntimeError):
+        sub.payloads(0)

@@ -425,10 +425,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     qtimes, p99s = _query_set(searcher)
     if consolidated_meta:
-        cq, cp99 = _query_set(IndexSearcher(index_dir))
+        # big-segment layouts serve with query_threads (the searcher's
+        # documented knob: each per-segment task is one long
+        # GIL-releasing decode, measured cold HighNGram 2.8s at qt=8 vs
+        # 10.6s single-threaded on the 13-segment layout; 302 small
+        # segments measure FASTER single-threaded). Rank identity is
+        # independent of the setting (order-independent TopK).
+        cq, cp99 = _query_set(IndexSearcher(index_dir, query_threads=8))
         consolidated_meta["consolidated_query_total_sec"] = \
             round(sum(cq.values()), 4)
         consolidated_meta["consolidated_query_p99_sec"] = cp99
+        consolidated_meta["consolidated_query_threads"] = 8
 
     query_total = sum(qtimes.values())
     result = {

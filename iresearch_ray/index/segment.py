@@ -1180,13 +1180,47 @@ class SegmentReader:
         if hit is not None:
             return hit
         lo, hi = self.serve_range
-        full = self._postings_full_pl(idx, False)  # docs/tfs only (cheap)
-        i0 = int(np.searchsorted(full.docs, lo, side="right"))
-        i1 = int(np.searchsorted(full.docs, hi, side="right"))
-        docs, tfs = full.docs[i0:i1], full.tfs[i0:i1]
+        occ0 = None
+        full = self._pl_cache.get((idx, False)) \
+            or self._pl_cache.get((idx, True))
+        if full is not None:
+            # a FULL decode is already cached — slicing it is free
+            i0 = int(np.searchsorted(full.docs, lo, side="right"))
+            i1 = int(np.searchsorted(full.docs, hi, side="right"))
+            docs, tfs = full.docs[i0:i1], full.tfs[i0:i1]
+            if positions:
+                occ0 = int(full.tfs[:i0].sum())
+        else:
+            # block-restricted BASE decode (the wanderator skip list):
+            # only doc/freq blocks overlapping the range are touched, so
+            # a sub-shard's work is proportional to its doc share — the
+            # v1 full-base slice made every sub-shard of a segment pay
+            # the whole doc/freq decode and erased the split's win
+            cur = self.cursor(idx)
+            b0 = int(np.searchsorted(cur.last_doc, lo, side="right"))
+            b1 = min(int(np.searchsorted(cur.last_doc, hi, side="left"))
+                     + 1, cur.n_blocks)
+            if b0 >= b1:
+                docs = np.empty(0, dtype=np.int64)
+                tfs = np.empty(0, dtype=np.int64)
+                occ0 = 0
+            else:
+                bdocs, btfs = cur.decode_blocks(np.arange(b0, b1))
+                i0 = int(np.searchsorted(bdocs, lo, side="right"))
+                i1 = int(np.searchsorted(bdocs, hi, side="right"))
+                docs, tfs = bdocs[i0:i1], btfs[i0:i1]
+                if positions:
+                    pos_row = self._posting_row(idx, "pos")
+                    if "block_pos_val" in pos_row.column_names:
+                        pval = self._row_list(pos_row, "block_pos_val")
+                        occ0 = int(pval[b0]) + int(btfs[:i0].sum())
+                    else:  # v2: no per-block occurrence index
+                        fp = self._postings_full_pl(idx, False)
+                        occ0 = int(fp.tfs[
+                            :np.searchsorted(fp.docs, lo, side="right")
+                        ].sum())
         pos = None
         if positions:
-            occ0 = int(full.tfs[:i0].sum())
             occ1 = occ0 + int(tfs.sum())
             fp = self._pl_cache.get((idx, True))
             if fp is not None and fp.positions is not None:

@@ -179,13 +179,19 @@ class ShardedSearcher:
         distributed) — e.g. the pre-consolidation layout while a
         consolidated generation exists.
 
-        ``subshard``: split segments bigger than ~total/n_shards into
-        doc-range sub-segment units (128-block aligned) so a layout of
-        few big consolidated segments still spreads cold decode across
-        ALL shards (VERDICT r4 #3). Rank identity is preserved: ranges
-        tile each segment, scores depend only on (global stats, local
-        tf/norms), and stats collect counts each segment once via its
-        primary sub-shard."""
+        ``subshard``: split segments bigger than ~total/(n_shards * f)
+        into doc-range sub-segment units (128-block aligned) so a
+        layout of few big consolidated segments still spreads cold
+        decode across ALL shards (VERDICT r4 #3). ``True`` -> f=1:
+        units capped at a shard's fair share — measured best on the
+        13-segment sf0.1 consolidated layout (cold HighNGram best-of-3:
+        f1 1.59s, f4 1.64s, f8 1.83s vs 2.9s unsplit; block-restricted
+        base+position decode makes a unit's work proportional to its
+        doc share, so higher f only adds actor/open overhead once the
+        greedy assignment is balanced). An int sets f explicitly. Rank
+        identity is preserved: ranges tile each segment, scores depend
+        only on (global stats, local tf/norms), and stats collect
+        counts each segment once via its primary sub-shard."""
         self._index_dir = index_dir
         man = Manifest.load(index_dir) if generation is None \
             else Manifest.load_generation(index_dir, generation)
@@ -193,8 +199,9 @@ class ShardedSearcher:
             s["docs_count"] for s in man.segments) or 1))
         units: list[tuple] = []  # (name, lo|None, hi|None, docs)
         if subshard and man.segments:
+            f = 1 if subshard is True else max(1, int(subshard))
             total = sum(s["docs_count"] for s in man.segments)
-            target = max(1, -(-total // n_shards))  # ceil
+            target = max(1, -(-total // (n_shards * f)))  # ceil
             for s in man.segments:
                 n = int(s["docs_count"])
                 pieces = min(max(1, -(-n // target)), n_shards)

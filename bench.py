@@ -425,17 +425,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     qtimes, p99s = _query_set(searcher)
     if consolidated_meta:
-        # big-segment layouts serve with query_threads (the searcher's
-        # documented knob: each per-segment task is one long
-        # GIL-releasing decode, measured cold HighNGram 2.8s at qt=8 vs
-        # 10.6s single-threaded on the 13-segment layout; 302 small
-        # segments measure FASTER single-threaded). Rank identity is
-        # independent of the setting (order-independent TopK).
-        cq, cp99 = _query_set(IndexSearcher(index_dir, query_threads=8))
+        # cold in-process decode of the big-segment layout runs with
+        # query_threads=8 — the searcher's documented big-segment knob
+        # (each per-segment task is one long GIL-releasing decode:
+        # measured cold HighNGram 2.8s at qt=8 vs 10.6s single-threaded
+        # on 13 big segments). WARM queries measure FASTER
+        # single-threaded (thousands of tiny cached ops GIL-ping-pong
+        # across 8 threads), so the qt=8 searcher provides only this
+        # cold probe and the r4-comparable query set stays at qt=1.
+        ct = IndexSearcher(index_dir, query_threads=8)
+        t0 = time.time()
+        ct.search(cats["HighNGram"], k=100, mode="strict")
+        consolidated_meta["consolidated_cold_ngram_inproc_sec"] = \
+            round(time.time() - t0, 4)
+        del ct
+        cq, cp99 = _query_set(IndexSearcher(index_dir))
         consolidated_meta["consolidated_query_total_sec"] = \
             round(sum(cq.values()), 4)
         consolidated_meta["consolidated_query_p99_sec"] = cp99
-        consolidated_meta["consolidated_query_threads"] = 8
 
     query_total = sum(qtimes.values())
     result = {

@@ -122,3 +122,55 @@ def test_postings_many_equals_per_term_random():
             ref = seg2._decode_postings(int(r))
             assert (pl.docs == ref.docs).all(), (trial, r)
             assert (pl.tfs == ref.tfs).all(), (trial, r)
+
+
+def test_decode_stream_range_equals_full_slice():
+    """_decode_stream_range must equal the full decode's slice for any
+    [a, b): ranges inside the bitpacked full blocks, spanning the
+    block/tail boundary, entirely inside the varint tail, empty, and
+    the degenerate full-range fast path."""
+    import numpy as np
+
+    from iresearch_ray.index.codec import BLOCK_SIZE
+    from iresearch_ray.index.segment import (_decode_stream,
+                                             _decode_stream_range)
+    from iresearch_ray.index.segment import write_segment  # noqa: F401
+
+    rng = np.random.default_rng(5)
+    # build a blocked stream exactly like the encoder: full 128-blocks
+    # bitpacked + varint tail
+    from iresearch_ray.index.codec import (bitpack_block,
+                                           varint_encode,
+                                           varint_byte_lengths)
+
+    for count in (1, 127, 128, 129, 300, 128 * 3, 128 * 3 + 77):
+        vals = rng.integers(0, 1 << 17, size=count).astype(np.int64)
+        full = count // BLOCK_SIZE
+        parts, offs = [], []
+        pos = 0
+        for b in range(full):
+            blk = bitpack_block(vals[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE])
+            offs.append(pos)
+            parts.append(np.frombuffer(blk, dtype=np.uint8))
+            pos += len(blk)
+        tail = vals[full * BLOCK_SIZE:]
+        if tail.size:
+            offs.append(pos)
+            tb = varint_encode(tail, varint_byte_lengths(tail))
+            parts.append(np.frombuffer(tb, dtype=np.uint8))
+        blob = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.uint8))
+        offsets = np.asarray(offs, dtype=np.int64)
+        ref = _decode_stream(blob, offsets, count)
+        np.testing.assert_array_equal(ref, vals)
+        cases = {(0, count), (0, 0), (count, count),
+                 (0, min(5, count)), (max(0, count - 5), count),
+                 (count // 3, 2 * count // 3),
+                 (max(0, count - 1), count)}
+        if count > BLOCK_SIZE:
+            cases.add((BLOCK_SIZE - 1, BLOCK_SIZE + 1))   # boundary
+            cases.add((full * BLOCK_SIZE, count))          # tail only
+            cases.add((full * BLOCK_SIZE - 3, count))      # span tail
+        for a, b in cases:
+            got = _decode_stream_range(blob, offsets, count, a, b)
+            np.testing.assert_array_equal(got, ref[a:b], err_msg=f"{a}:{b}")

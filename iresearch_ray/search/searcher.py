@@ -250,6 +250,15 @@ class IndexSearcher:
         man = Manifest.load(self.index_dir)
         if man.generation == self.manifest.generation:
             return False
+        if any(s.serve_range is not None for s in self.segments):
+            # a sub-range view's doc ownership is a coordinator-level
+            # plan over ONE generation; silently reopening into a new
+            # generation would leave ADDED segments rangeless and
+            # overlap other shards' ownership. The coordinator rebuilds
+            # its shard plan instead (ShardedSearcher opens fresh).
+            raise RuntimeError(
+                "reopen() is not supported on a serve_range sub-segment "
+                "view — rebuild the shard plan for the new generation")
         old = {s.meta["name"]: s for s in self.segments}
         metas = [
             s for s in man.segments
@@ -526,6 +535,14 @@ class IndexSearcher:
         is counted globally."""
         import pyarrow.compute as pc
 
+        if any(s.serve_range is not None for s in self.segments):
+            # a conversation can span sub-range boundaries; per-range
+            # group counts would be silently partial. Run block joins
+            # on whole-segment searchers (the sharded scoring path
+            # never routes them here).
+            raise RuntimeError(
+                "conv_match is not supported on a serve_range "
+                "sub-segment view — use a whole-segment searcher")
         if match == "any":
             min_match, match = 1, "min"
         matched = self.match_docs(child, scorer)

@@ -307,3 +307,59 @@ def test_serve_range_guards(small_index):
         sub.occurrence_offsets(0)
     with pytest.raises(RuntimeError):
         sub.payloads(0)
+
+
+def test_subsharded_with_deletes(ray_session, tmp_path, small_corpus):
+    """Sub-range views compose with MVCC deletes: the range clip and
+    the delete mask both apply in filter_live, and results stay
+    rank-identical to the whole-index searcher on the same
+    generation."""
+    from iresearch_ray.analysis.analyzers import get_analyzer
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.index.segment import write_segment
+    from iresearch_ray.index.writer import IndexWriter
+    from iresearch_ray.search.searcher import IndexSearcher
+    from iresearch_ray.search.sharded import ShardedSearcher
+
+    # Ray-free build (the small_index fixture pattern): the module's
+    # shard fixtures hold most of the 4-CPU test session, so a Ray
+    # encoder pool here would starve and deadlock
+    idx = str(tmp_path / "delidx")
+    an = get_analyzer("segmentation", {})
+    n = small_corpus.num_rows
+    m1 = write_segment(idx, small_corpus.slice(0, n // 2), an)
+    m2 = write_segment(idx, small_corpus.slice(n // 2), an)
+    Manifest.commit(idx, [m1, m2])
+    IndexWriter(idx).delete(F.Term("deploy"))
+
+    local = IndexSearcher(idx)
+    assert local.match_docs(F.Term("deploy")).size == 0
+    sh = ShardedSearcher(idx, n_shards=4, subshard=True,
+                         actor_num_cpus=0.25)
+    try:
+        for flt in (F.Term("the"), F.Phrase(["security", "review"]),
+                    F.NGramSimilarity("the ref ok", threshold=0.5)):
+            a = sh.search(flt, k=25, mode="strict")
+            b = local.search(flt, k=25, mode="strict")
+            assert a["doc_id"].tolist() == b["doc_id"].tolist(), flt
+            np.testing.assert_allclose(a["score"].to_numpy(),
+                                       b["score"].to_numpy(), rtol=1e-6)
+        assert sh.search(F.Term("deploy"), k=25).empty
+    finally:
+        sh.shutdown()
+
+
+def test_serve_range_reopen_and_conv_match_guards(small_index):
+    from iresearch_ray.index.manifest import Manifest
+    from iresearch_ray.search.searcher import IndexSearcher
+
+    man = Manifest.load(small_index)
+    name = man.segments[0]["name"]
+    n = man.segments[0]["docs_count"]
+    s = IndexSearcher(small_index, segment_subset={name},
+                      segment_ranges={name: (0, n // 2)})
+    with pytest.raises(RuntimeError):
+        s.conv_match(F.Term("deploy"))
+    # reopen guard only fires when a NEW generation exists; on the
+    # same generation it is a no-op returning False
+    assert s.reopen() is False

@@ -449,6 +449,11 @@ def search_request(searcher: IndexSearcher, req: dict, scorer=None,
     drives everything through:
 
         {"query":  "<query-string>",        # benchmark-task syntax
+         "syntax": "simple" | "lucene",     # "lucene" routes through
+                                            # the full query_string
+                                            # parser with per-field
+                                            # analyzers resolved from
+                                            # the open index
          "filter": {field: value, ...},     # filter context (zero-score
                                             # ConstantScore gates)
          "from": M, "size": N,              # paging
@@ -465,8 +470,11 @@ def search_request(searcher: IndexSearcher, req: dict, scorer=None,
     deep-paging cost model (use ``search_after`` for cursors)."""
     from .search import filters as F
     from .search.parser import parse_query
+    from .search.querystring import parse_query_string
 
-    flt = parse_query(req["query"])
+    flt = (parse_query_string(req["query"], searcher=searcher)
+           if req.get("syntax") == "lucene"
+           else parse_query(req["query"]))
     for f, v in (req.get("filter") or {}).items():
         flt = F.And([flt, F.ConstantScore(F.Term(v, field=f))])
     frm, size = int(req.get("from", 0)), int(req.get("size", 10))

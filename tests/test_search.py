@@ -1163,6 +1163,20 @@ def test_search_request_full_response(searcher):
                                            "tool", "system"}
 
 
+def test_search_request_lucene_syntax(searcher):
+    from iresearch_ray.api import search_request
+
+    # 'deploy NOT target' through the full query_string parser with
+    # per-field analyzers resolved from the open index == AND NOT
+    resp = search_request(searcher, {
+        "query": "deploy NOT target", "syntax": "lucene", "size": 10,
+    }, id_col=None)
+    want = searcher.search(
+        F.And([F.Term("deploy"), F.Not(F.Term("target"))]),
+        k=10, mode="strict")
+    assert resp["hits"]["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 def test_filters_agg_counts_and_other_bucket(searcher, small_corpus):
     from iresearch_ray.api import filters_agg
 

@@ -240,6 +240,35 @@ class IndexSearcher:
         # fuzzy/wildcard dictionary-scan memo (filters._cached_scan)
         self._scan_cache: dict = {}
 
+    @classmethod
+    def subview(cls, parent: "IndexSearcher",
+                segment_names: set) -> "IndexSearcher":
+        """A searcher over a SUBSET of ``parent``'s segments SHARING its
+        reader objects (dictionaries, posting caches) — the sub-shard
+        worker's stats-collect view: collect is metadata-level (term
+        dictionary rows + per-segment field stats, never a posting
+        decode), and that metadata is whole-segment regardless of any
+        ``serve_range`` on the shared readers, so a primary-only
+        subview collects exact whole-segment stats without opening the
+        big dictionaries a second time."""
+        s = object.__new__(cls)
+        keep = [i for i, seg in enumerate(parent.segments)
+                if seg.meta["name"] in segment_names]
+        s.index_dir = parent.index_dir
+        s._segment_subset = set(segment_names)
+        s.manifest = parent.manifest
+        s.segments = [parent.segments[i] for i in keep]
+        s.doc_bases = parent.doc_bases[keep]
+        s._field_stats = {}
+        s._term_cache = {}
+        s._match_cache = {}
+        s._stats_override = {}
+        s._multiterm_matched = {}
+        s.query_threads = 1
+        s._pool = None
+        s._scan_cache = {}
+        return s
+
     def reopen(self) -> bool:
         """Re-open at the latest manifest generation (the reference's
         ``DirectoryReader::Reopen``): unchanged segments KEEP their

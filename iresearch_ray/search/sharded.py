@@ -61,9 +61,12 @@ class _ShardWorker:
         if self._primary == self.seg_names and not ranges:
             self._collect_searcher = self.searcher
         elif self._primary:
-            self._collect_searcher = IndexSearcher(
-                index_dir, segment_subset=self._primary,
-                generation=generation)
+            # SHARE the scoring searcher's readers (collect is
+            # metadata-level and range-independent) — a second
+            # IndexSearcher here re-opened every big primary
+            # dictionary per worker
+            self._collect_searcher = IndexSearcher.subview(
+                self.searcher, self._primary)
         else:
             self._collect_searcher = None
 

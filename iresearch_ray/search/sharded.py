@@ -171,6 +171,54 @@ class _ThresholdBoard:
 AUTO_EXCHANGE_MIN_DF = 200_000
 
 
+def plan_shard_units(segments: list[dict], n_shards: int,
+                     subshard) -> list[list[tuple]]:
+    """Pure shard-unit planner (unit-testable without actors):
+    -> per-worker lists of ``(segment_name, lo|None, hi|None)``.
+
+    With ``subshard`` truthy, segments bigger than ~total/(n_shards*f)
+    split into 128-block-aligned doc ranges; units are assigned
+    greedily biggest-first to the least-loaded worker not already
+    holding a piece of that segment (so every segment has exactly one
+    ``lo in (None, 0)`` primary, and no worker double-decodes one
+    segment's dictionary)."""
+    units: list[tuple] = []  # (name, lo|None, hi|None, docs)
+    if subshard and segments:
+        f = 1 if subshard is True else max(1, int(subshard))
+        total = sum(s["docs_count"] for s in segments)
+        target = max(1, -(-total // (n_shards * f)))  # ceil
+        for s in segments:
+            n = int(s["docs_count"])
+            pieces = min(max(1, -(-n // target)), n_shards)
+            if pieces == 1:
+                units.append((s["name"], None, None, n))
+                continue
+            # 128-doc posting-block alignment: a boundary never splits
+            # a block, so adjacent sub-shards decode disjoint block sets
+            per_piece = -(-n // pieces)  # ceil
+            step = -(-per_piece // 128) * 128
+            lo = 0
+            while lo < n:
+                hi = min(lo + step, n)
+                if n - hi < 128:  # absorb a tiny tail
+                    hi = n
+                units.append((s["name"], lo, hi, hi - lo))
+                lo = hi
+    else:
+        units = [(s["name"], None, None, int(s["docs_count"]))
+                 for s in segments]
+    n_shards = max(1, min(n_shards, len(units) or 1))
+    loads = [0] * n_shards
+    groups: list[list[tuple]] = [[] for _ in range(n_shards)]
+    for u in sorted(units, key=lambda u: (-u[3], u[0], u[1] or 0)):
+        order = sorted(range(n_shards), key=lambda w: loads[w])
+        w = next((w for w in order
+                  if all(g[0] != u[0] for g in groups[w])), order[0])
+        groups[w].append((u[0], u[1], u[2]))
+        loads[w] += u[3]
+    return [g for g in groups if g]
+
+
 class ShardedSearcher:
     """Coordinator over N shard actors (long-lived; dictionaries and
     decoded postings amortize across queries)."""
@@ -200,43 +248,7 @@ class ShardedSearcher:
             else Manifest.load_generation(index_dir, generation)
         n_shards = max(1, min(n_shards, sum(
             s["docs_count"] for s in man.segments) or 1))
-        units: list[tuple] = []  # (name, lo|None, hi|None, docs)
-        if subshard and man.segments:
-            f = 1 if subshard is True else max(1, int(subshard))
-            total = sum(s["docs_count"] for s in man.segments)
-            target = max(1, -(-total // (n_shards * f)))  # ceil
-            for s in man.segments:
-                n = int(s["docs_count"])
-                pieces = min(max(1, -(-n // target)), n_shards)
-                if pieces == 1:
-                    units.append((s["name"], None, None, n))
-                    continue
-                # 128-doc posting-block alignment: a boundary never
-                # splits a block, so adjacent sub-shards decode
-                # disjoint block sets
-                per_piece = -(-n // pieces)  # ceil
-                step = -(-per_piece // 128) * 128
-                lo = 0
-                while lo < n:
-                    hi = min(lo + step, n)
-                    if n - hi < 128:  # absorb a tiny tail
-                        hi = n
-                    units.append((s["name"], lo, hi, hi - lo))
-                    lo = hi
-        else:
-            units = [(s["name"], None, None, int(s["docs_count"]))
-                     for s in man.segments]
-        n_shards = max(1, min(n_shards, len(units) or 1))
-        # greedy balanced assignment: biggest unit to the least-loaded
-        # worker that doesn't already hold a piece of that segment
-        loads = [0] * n_shards
-        groups: list[list[tuple]] = [[] for _ in range(n_shards)]
-        for u in sorted(units, key=lambda u: (-u[3], u[0], u[1] or 0)):
-            order = sorted(range(n_shards), key=lambda w: loads[w])
-            w = next((w for w in order
-                      if all(g[0] != u[0] for g in groups[w])), order[0])
-            groups[w].append((u[0], u[1], u[2]))
-            loads[w] += u[3]
+        groups = plan_shard_units(man.segments, n_shards, subshard)
         Actor = ray.remote(_ShardWorker)
         self.actors = [
             Actor.options(num_cpus=actor_num_cpus).remote(

@@ -363,3 +363,43 @@ def test_serve_range_reopen_and_conv_match_guards(small_index):
     # reopen guard only fires when a NEW generation exists; on the
     # same generation it is a no-op returning False
     assert s.reopen() is False
+
+
+def test_plan_shard_units_invariants():
+    """Pure planner: ranges tile each segment exactly on 128-block
+    boundaries, each segment has exactly one primary (lo in {None, 0}),
+    no worker holds two pieces of one segment, and loads balance."""
+    from iresearch_ray.search.sharded import plan_shard_units
+
+    segs = [{"name": f"s{i}", "docs_count": d}
+            for i, d in enumerate(
+                [757606, 757173, 755941, 755722, 754308, 753509,
+                 725775, 596924, 443853, 442129, 441248, 440712,
+                 436450])]
+    for n_shards, sub in ((8, True), (8, 4), (4, True), (16, True),
+                          (8, False)):
+        groups = plan_shard_units(segs, n_shards, sub)
+        assert 1 <= len(groups) <= n_shards
+        by_seg: dict = {}
+        for g in groups:
+            names = [u[0] for u in g]
+            assert len(names) == len(set(names))  # one piece per worker
+            for name, lo, hi in g:
+                by_seg.setdefault(name, []).append((lo, hi))
+        docs = {s["name"]: s["docs_count"] for s in segs}
+        for name, pieces in by_seg.items():
+            if pieces == [(None, None)]:
+                continue
+            pieces.sort()
+            assert pieces[0][0] == 0
+            assert pieces[-1][1] == docs[name]
+            for (l0, h0), (l1, h1) in zip(pieces, pieces[1:]):
+                assert h0 == l1          # exact tiling, no overlap
+                assert l1 % 128 == 0     # block-aligned boundary
+        primaries = [lo for g in groups for (n_, lo, hi) in g
+                     if lo in (None, 0)]
+        assert len(primaries) == len(segs)  # exactly one per segment
+        if sub and len(groups) > 1:
+            loads = [sum((hi - lo) if lo is not None else docs[n_]
+                         for n_, lo, hi in g) for g in groups]
+            assert max(loads) <= 2.05 * min(loads)

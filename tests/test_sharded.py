@@ -403,3 +403,18 @@ def test_plan_shard_units_invariants():
             loads = [sum((hi - lo) if lo is not None else docs[n_]
                          for n_, lo, hi in g) for g in groups]
             assert max(loads) <= 2.05 * min(loads)
+
+
+def test_subsharded_threshold_exchange(sharded_sub, searcher):
+    """The live cross-shard threshold exchange composes with doc-range
+    sub-shards: posted kth bounds are range-independent lower bounds of
+    the global kth, so rank identity must hold with the board forced on."""
+    for flt in (F.Term("the"), F.Or([F.Term("the"), F.Term("ref"),
+                                     F.Term("second"), F.Term("deploy")]),
+                F.Phrase(["deploy", "target"])):
+        a = sharded_sub.search(flt, k=25, mode="strict",
+                               threshold_exchange=True)
+        b = searcher.search(flt, k=25, mode="strict")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), flt
+        np.testing.assert_allclose(a["score"].to_numpy(),
+                                   b["score"].to_numpy(), rtol=1e-6)

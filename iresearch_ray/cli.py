@@ -60,7 +60,8 @@ def cmd_search(args) -> None:
     from iresearch_ray.search.querystring import parse_query_string
     from iresearch_ray.search.searcher import IndexSearcher
 
-    s = IndexSearcher(args.index)
+    s = IndexSearcher(args.index,
+                      query_threads=getattr(args, "query_threads", 1))
     # lucene syntax resolves each field's registered analyzer from the
     # open index (reference utils/index-search.cpp:680-683)
     flt = (parse_query_string(args.query, searcher=s)
@@ -164,6 +165,12 @@ def main(argv=None) -> None:
                          "phrase) or 'lucene' (full query_string: "
                          "AND/OR/NOT, field:, ranges, fuzzy, boosts)")
     se.add_argument("--repeat", type=int, default=1)
+    se.add_argument("--query-threads", type=int, default=1,
+                    help="per-query segment parallelism (set >1 only "
+                         "for few-big-segment consolidated layouts, "
+                         "where each per-segment task is one long "
+                         "GIL-releasing decode; small segments measure "
+                         "faster single-threaded)")
     se.set_defaults(fn=cmd_search)
 
     du = sub.add_parser("dump", help="dump manifest / posting lists")

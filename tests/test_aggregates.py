@@ -622,3 +622,36 @@ def test_auto_date_histogram_any_timestamp_unit(ray_session):
                                   target_buckets=30)
         assert out["interval_s"].tolist() == base["interval_s"].tolist(), unit
         assert out["n"].tolist() == base["n"].tolist(), unit
+
+
+def test_dup_gram_table_block_straddle_exact(ray_session):
+    """ADVICE r4: a gram repeated within ONE doc whose position rows
+    straddle block boundaries must NOT count as 2 distinct docs. The
+    exact two-stage groupby dedups (doc, gram) globally, so block
+    layout cannot change the df count."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.textstats import _dup_gram_table
+
+    # gram 7: twice in doc 1 but split across two input blocks -> df 1
+    # gram 9: docs 2 and 3 (true dup)                         -> df 2
+    b1 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "ghash": pa.array([7, 9], type=pa.int64()),
+                   "pos": pa.array([0, 0], type=pa.int64()),
+                   "packed": pa.array([(1 << 32) + 0, (2 << 32) + 0],
+                                      type=pa.int64())})
+    b2 = pa.table({"doc_id": pa.array([1, 3], type=pa.int64()),
+                   "ghash": pa.array([7, 9], type=pa.int64()),
+                   "pos": pa.array([5, 1], type=pa.int64()),
+                   "packed": pa.array([(1 << 32) + 5, (3 << 32) + 1],
+                                      type=pa.int64())})
+    ds = ray.data.from_arrow([b1, b2])  # one block per table
+
+    dup = _dup_gram_table(ds, "doc_id", with_winner=False).to_pandas()
+    assert sorted(dup["__dghash"].tolist()) == [9]
+
+    win = _dup_gram_table(ds, "doc_id", with_winner=True).to_pandas()
+    assert win["__dghash"].tolist() == [9]
+    # keep-first winner: globally minimal packed (doc, pos) of gram 9
+    assert win["wpacked"].tolist() == [(2 << 32) + 0]
